@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loads the driver-generated parquet tables (TESTDATA.md).
+  *
+  * Each table is one parquet file under `$sfDir/<name>.parquet`.
+  * Reads are plain `spark.read.parquet`, so Catalyst pushes filters
+  * and prunes columns down to the scan — callers should `select` /
+  * `filter` early and let pushdown do the rest. At 100 TB these
+  * would be partitioned parquet/iceberg table roots instead of
+  * single files; the API shape (name → DataFrame) is unchanged.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}
