@@ -1,0 +1,82 @@
+package graft.jobs
+
+import java.sql.Timestamp
+import java.time.Instant
+import java.util.UUID
+
+import graft.config.EntitySchema
+import graft.meta.{HandlerExecution, MonitorStore}
+import graft.operators.{Dedup, EntitySplit, KeyGen, Normalize}
+import graft.sinks.ParquetUpsertSink
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Handler (reference entry point 3, `src/handler/handler.py`):
+  * locate the staged batch for a workflow, split it by entity,
+  * normalize/key/dedup each entity, and upsert into its warehouse
+  * table, with per-entity error isolation and an audit row per
+  * run×entity.
+  *
+  * The staged frame is cached once and each entity is a filter over
+  * it (one scan feeds all entities). Per-entity failure is caught so
+  * one entity's bad batch never blocks the others — the reference's
+  * contract (`handler.py:91-100`).
+  */
+object HandlerJob {
+
+  case class Result(recordsInserted: Map[String, Long], failures: Map[String, String])
+
+  /** The core semantic pipeline for one entity, exposed for tests and
+    * for the analytics registry: normalize → keygen → dedup. */
+  def entityPipeline(raw: DataFrame, schema: EntitySchema): DataFrame = {
+    val normalized = Normalize(raw, schema)
+    val keyed = KeyGen(normalized, schema)
+    Dedup(keyed, KeyGen.columnName)
+  }
+
+  def run(
+      spark: SparkSession,
+      store: MonitorStore,
+      warehouseDir: String,
+      schemas: Seq[EntitySchema],
+      workflowId: String,
+      now: Instant = Instant.now()): Result = {
+
+    require(
+      try { UUID.fromString(workflowId); true } catch { case _: Exception => false },
+      s"workflow id is not a UUID: $workflowId")
+
+    val missing = schemas.map(_.targetTable).filterNot(store.targetTableExists)
+    require(missing.isEmpty, s"missing target tables: ${missing.mkString(", ")}")
+
+    val executionId = UUID.randomUUID().toString
+    val stagedPath = store.stagedFilePath(workflowId)
+    if (stagedPath.isEmpty) return Result(Map.empty, Map.empty)
+
+    val staged = spark.read.parquet(stagedPath.get).cache()
+    try {
+      val byEntity = EntitySplit(staged, "on", schemas.map(_.entity))
+      val outcomes = schemas.map { schema =>
+        val entity = schema.entity
+        try {
+          val ready = entityPipeline(byEntity(entity), schema)
+          val n = ready.count()
+          ParquetUpsertSink.upsert(
+            spark, ready, s"$warehouseDir/${schema.targetTable}", KeyGen.columnName)
+          store.recordHandler(HandlerExecution(
+            workflowId, executionId, Timestamp.from(now), stagedPath,
+            schema.targetTable, n, None))
+          entity -> Right(n)
+        } catch {
+          case e: Throwable =>
+            store.recordHandler(HandlerExecution(
+              workflowId, executionId, Timestamp.from(now), stagedPath,
+              schema.targetTable, 0L, Some(e.toString)))
+            entity -> Left(e.toString)
+        }
+      }
+      Result(
+        outcomes.collect { case (e, Right(n)) => e -> n }.toMap,
+        outcomes.collect { case (e, Left(err)) => e -> err }.toMap)
+    } finally staged.unpersist()
+  }
+}

@@ -1,0 +1,108 @@
+package graft.meta
+
+import java.sql.Timestamp
+import java.time.Instant
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One ingestor run's audit row (reference table `ingestor_executions`,
+  * `migrations/init.sql:6-14`). */
+case class IngestorExecution(
+    workflowId: String,
+    codeExecutionId: String,
+    codeExecutionDate: Timestamp,
+    fetchedHour: Timestamp,
+    numberOfFilesFetched: Int,
+    fileDestinationPath: Option[String],
+    traceback: Option[String])
+
+/** One handler run×entity audit row (`migrations/init.sql:16-24`). */
+case class HandlerExecution(
+    workflowId: String,
+    codeExecutionId: String,
+    codeExecutionDate: Timestamp,
+    fileFetchPath: Option[String],
+    destinationTable: String,
+    recordsInserted: Long,
+    traceback: Option[String])
+
+/** Execution-metadata store: the incremental cursor + audit trail
+  * (reference ops A-1/A-2/K-3/K-4, `src/helper/postgres.py:35-155`).
+  *
+  * Contract preserved from the reference:
+  *  - cursor = MAX(fetched_hour) over SUCCESSFUL ingestor runs
+  *    (failed runs keep a traceback and are excluded, so their hour is
+  *    retried);
+  *  - the handler locates its input through the ingestor row with the
+  *    same workflow_id, no traceback, and files fetched > 0;
+  *  - rows are append-only.
+  *
+  * Divergence (deliberate, SURVEY.md §2.7): metadata is written with
+  * fully-initialized values after the sink commit — the reference's
+  * unbound-variable `finally` hazard is not reproduced.
+  */
+trait MonitorStore {
+  def lastSuccessfulFetchHour(): Option[Instant]
+  def stagedFilePath(workflowId: String): Option[String]
+  def recordIngestor(row: IngestorExecution): Unit
+  def recordHandler(row: HandlerExecution): Unit
+  def targetTableExists(table: String): Boolean
+}
+
+/** Parquet-backed monitor store. The monitor tables are tiny (one row
+  * per run) so every read is a driver-cheap scan; appends are
+  * single-row parquet appends.
+  */
+class FileMonitorStore(spark: SparkSession, dir: String,
+    knownTables: Set[String] = Set("vehicle_location", "operating_periods"))
+  extends MonitorStore {
+
+  import spark.implicits._
+
+  private val ingestorPath = s"$dir/ingestor_executions"
+  private val handlerPath = s"$dir/handler_executions"
+
+  private def exists(path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  override def lastSuccessfulFetchHour(): Option[Instant] = {
+    if (!exists(ingestorPath)) return None
+    spark.read.parquet(ingestorPath)
+      .filter($"traceback".isNull)
+      .agg(max($"fetchedHour"))
+      .collect()
+      .headOption
+      .flatMap(r => Option(r.getTimestamp(0)))
+      .map(_.toInstant)
+  }
+
+  override def stagedFilePath(workflowId: String): Option[String] = {
+    if (!exists(ingestorPath)) return None
+    spark.read.parquet(ingestorPath)
+      .filter($"workflowId" === workflowId &&
+        $"traceback".isNull && $"numberOfFilesFetched" > 0)
+      .orderBy($"codeExecutionDate".desc)
+      .limit(1)
+      .select($"fileDestinationPath")
+      .collect()
+      .headOption
+      .flatMap(r => Option(r.getString(0)))
+  }
+
+  override def recordIngestor(row: IngestorExecution): Unit =
+    Seq(row).toDS().write.mode("append").parquet(ingestorPath)
+
+  override def recordHandler(row: HandlerExecution): Unit =
+    Seq(row).toDS().write.mode("append").parquet(handlerPath)
+
+  override def targetTableExists(table: String): Boolean =
+    knownTables.contains(table)
+
+  def ingestorRows(): Seq[Row] =
+    if (exists(ingestorPath)) spark.read.parquet(ingestorPath).collect().toSeq else Seq.empty
+  def handlerRows(): Seq[Row] =
+    if (exists(handlerPath)) spark.read.parquet(handlerPath).collect().toSeq else Seq.empty
+}

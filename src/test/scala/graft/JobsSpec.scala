@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.nio.file.attribute.FileTime
+import java.time.Instant
+import java.util.UUID
+
+import graft.config.EntitySchema
+import graft.jobs.{Executor, HandlerJob, IngestorJob, Pipelines}
+import graft.meta.FileMonitorStore
+
+/** End-to-end: landing JSON-lines → ingestor (cursor + hour pruning +
+  * staging) → handler (split/normalize/key/dedup/upsert) → monitor
+  * audit rows, across two hourly runs. */
+class JobsSpec extends SparkSpec {
+
+  private val hour0 = IngestorJob.coldStart // 2022-11-24T10:00:00Z
+
+  private def writeLanding(dir: String, name: String, mtime: Instant, lines: String*): Unit = {
+    val p = Paths.get(s"$dir/$name")
+    Files.write(p, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.setLastModifiedTime(p, FileTime.from(mtime))
+  }
+
+  test("two-run incremental pipeline with cursor advance and upsert") {
+    val root = tmpDir("e2e")
+    val landing = s"$root/landing"; Files.createDirectories(Paths.get(landing))
+    val store = new FileMonitorStore(spark, s"$root/monitor")
+    val schemas = EntitySchema.reference
+    val source = Pipelines.unionSourceStruct(schemas)
+
+    // hour 10: one vehicle + one operating period + a file in hour 11 (must be ignored)
+    writeLanding(landing, "a.json", hour0.plusSeconds(60),
+      """{"event": "update", "on": "vehicle", "at": "2022-11-24T10:02:11Z", "organization_id": "o", "data": {"id": "v-1", "location": {"lat": 1.5, "lng": 2.5, "at": "2022-11-24T10:02:10Z"}}}""",
+      """{"event": "create", "on": "operating_period", "at": "2022-11-24T10:00:05Z", "organization_id": "o", "data": {"id": "op-1", "start": "2022-11-24T08:00:00Z", "finish": "2022-11-24T20:00:00Z"}}""")
+    writeLanding(landing, "later.json", hour0.plusSeconds(3660),
+      """{"event": "update", "on": "vehicle", "at": "2022-11-24T11:01:00Z", "organization_id": "o", "data": {"id": "v-1", "location": {"lat": 9.9, "lng": 9.9, "at": "2022-11-24T11:00:59Z"}}}""")
+
+    // run 1: cold start → hour 10, only a.json picked up
+    val wf1 = UUID.randomUUID().toString
+    val r1 = IngestorJob.run(spark, store, landing, s"$root/staging", source, wf1)
+    assert(r1.hour == hour0 && r1.filesFetched == 1 && r1.stagedPath.nonEmpty)
+
+    val h1 = HandlerJob.run(spark, store, s"$root/tables", schemas, wf1)
+    assert(h1.failures.isEmpty)
+    assert(h1.recordsInserted == Map("vehicle" -> 1, "operating_period" -> 1))
+    val vl = spark.read.parquet(s"$root/tables/vehicle_location")
+    assert(vl.count() == 1)
+    assert(vl.collect().head.getAs[Double]("vehicle_latitude") == 1.5)
+
+    // run 2: cursor advanced to hour 11 → later.json picked up, upsert updates v-1
+    val wf2 = UUID.randomUUID().toString
+    val r2 = IngestorJob.run(spark, store, landing, s"$root/staging", source, wf2)
+    assert(r2.hour == hour0.plusSeconds(3600) && r2.filesFetched == 1)
+    val h2 = HandlerJob.run(spark, store, s"$root/tables", schemas, wf2)
+    assert(h2.failures.isEmpty)
+    val vl2 = spark.read.parquet(s"$root/tables/vehicle_location")
+    // same vehicle, two distinct event timestamps → two rows (key = id+at)
+    assert(vl2.count() == 2)
+
+    // audit trail: 2 ingestor rows + 4 handler rows, all clean
+    assert(store.ingestorRows().size == 2)
+    assert(store.handlerRows().size == 4)
+  }
+
+  test("handler with no staged file is a clean no-op") {
+    val root = tmpDir("noop")
+    val store = new FileMonitorStore(spark, s"$root/monitor")
+    val res = HandlerJob.run(spark, store, s"$root/tables",
+      EntitySchema.reference, UUID.randomUUID().toString)
+    assert(res.recordsInserted.isEmpty && res.failures.isEmpty)
+  }
+
+  test("handler rejects non-UUID workflow ids (reference validation)") {
+    val root = tmpDir("badwf")
+    val store = new FileMonitorStore(spark, s"$root/monitor")
+    assertThrows[IllegalArgumentException] {
+      HandlerJob.run(spark, store, s"$root/tables", EntitySchema.reference, "not-a-uuid")
+    }
+  }
+
+  test("executor arg consistency rules match the reference") {
+    assert(Executor.parse(Seq("-s", "ingestor")).step == "ingestor")
+    // workflow only valid with handler step
+    assertThrows[IllegalArgumentException](
+      Executor.parse(Seq("-s", "all", "-w", UUID.randomUUID().toString)))
+    // handler step requires workflow
+    assertThrows[IllegalArgumentException](Executor.parse(Seq("-s", "handler")))
+    assert(Executor.parse(
+      Seq("-s", "handler", "-w", UUID.randomUUID().toString)).workflow.nonEmpty)
+  }
+}
