@@ -21,8 +21,8 @@ object Dedup {
   def apply(df: DataFrame, keyCols: String*): DataFrame =
     df.dropDuplicates(keyCols)
 
-  def firstOccurrence(df: DataFrame, key: Column, order: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(key).orderBy(order: _*)
+  def firstOccurrence(df: DataFrame, keys: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")

@@ -30,11 +30,11 @@ object KeyGen {
   def canonicalString(c: Column, dt: DataType): Column = dt match {
     case TimestampType =>
       // pandas: "2022-11-24 10:00:00" for whole seconds,
-      //         "2022-11-24 10:00:00.123000" with microseconds.
+      //         "2022-11-24 10:00:00.179575" (6-digit µs) otherwise.
       val whole = date_format(c, "yyyy-MM-dd HH:mm:ss")
-      val milli = date_format(c, "yyyy-MM-dd HH:mm:ss.SSS")
-      val rendered = when(date_format(c, "SSS") === "000", whole)
-        .otherwise(concat(milli, lit("000")))
+      val micro = date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      val rendered = when(date_format(c, "SSSSSS") === "000000", whole)
+        .otherwise(micro)
       coalesce(rendered, lit("NaT"))
     case DateType => coalesce(c.cast("string"), lit("NaT"))
     case _        => coalesce(c.cast("string"), lit("None"))
