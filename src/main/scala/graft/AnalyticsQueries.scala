@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -10,6 +11,13 @@ import org.apache.spark.sql.types.DecimalType
   * DuckDB oracle SQL over the same parquet tables. See SparkEntry for
   * the determinism conventions (decimal-exact sums, aliased columns,
   * ordered output).
+  *
+  * Scale notes are per-query; the common posture: dimension joins are
+  * explicit `broadcast()` (region/nation/customer/supplier/part are
+  * tiny relative to the fact tables at every SF), fact-side filters
+  * sit directly on the scan so parquet pushdown prunes IO, and
+  * aggregations rely on map-side partial aggregation so the single
+  * shuffle carries only group keys.
   */
 object AnalyticsQueries {
 
@@ -20,6 +28,8 @@ object AnalyticsQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
+
+  // ------------------------------------------------------------------ q1
 
   /** TPC-H Q1-style pricing summary: single shuffle on the two
     * low-cardinality flags; partial aggregation map-side keeps the
@@ -54,13 +64,384 @@ object AnalyticsQueries {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // ------------------------------------------------------------------ q3
+
+  /** TPC-H Q3-style shipping priority: two selective scans, shuffle
+    * join on orderkey, customer side broadcast. Top-k is
+    * TakeOrderedAndProject — no global sort materialization. */
+  private def q3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cutoff = lit(java.sql.Date.valueOf("1998-06-15"))
+    val cust = t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    val ord = t(s, dir, "orders").filter($"o_orderdate" < cutoff)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val li = t(s, dir, "lineitem").filter($"l_shipdate" > cutoff)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  private val q3Sql =
+    """SELECT l_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < DATE '1998-06-15'
+      |  AND l_shipdate > DATE '1998-06-15'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  // ------------------------------------------------------------------ q4
+
+  /** TPC-H Q4-style order-priority check: EXISTS as a left-semi join
+    * (no row multiplication, lineitem side reduced before the join). */
+  private def q4(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = t(s, dir, "orders")
+      .filter($"o_orderdate" >= lit(java.sql.Date.valueOf("1997-01-01")) &&
+        $"o_orderdate" < lit(java.sql.Date.valueOf("1998-01-01")))
+    val late = t(s, dir, "lineitem").select($"l_orderkey", $"l_shipdate")
+    ord.join(late,
+        ord("o_orderkey") === late("l_orderkey") && late("l_shipdate") > ord("o_orderdate"),
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val q4Sql =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ------------------------------------------------------------------ q5
+
+  /** TPC-H Q5-style regional volume: the full dim chain
+    * (region→nation→customer/supplier) stays broadcast; the only
+    * shuffle joins are fact-to-fact on orderkey. */
+  private def q5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nations = t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region").filter($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val cust = t(s, dir, "customer").select($"c_custkey", $"c_nationkey")
+    val supp = t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+    val ord = t(s, dir, "orders")
+      .filter($"o_orderdate" >= lit(java.sql.Date.valueOf("1996-01-01")) &&
+        $"o_orderdate" < lit(java.sql.Date.valueOf("1998-01-01")))
+      .select($"o_orderkey", $"o_custkey")
+    val li = t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(supp),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nations), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  private val q5Sql =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  // ---------------------------------------------------------- brand revenue
+
+  /** Part-dim join + two-level group: broadcast part, one shuffle. */
+  private def qBrand(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val part = t(s, dir, "part").select($"p_partkey", $"p_brand")
+    t(s, dir, "lineitem")
+      .select($"l_partkey", $"l_extendedprice", $"l_discount", $"l_quantity")
+      .join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+        dsum($"l_quantity").as("total_qty"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"p_brand")
+  }
+
+  private val qBrandSql =
+    """SELECT p_brand,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // ---------------------------------------------------------------- rollup
+
+  /** ROLLUP with grouping() marker — exercises grouping sets. */
+  private def qRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        $"sum_qty", $"n")
+      .orderBy($"returnflag", $"linestatus")
+  }
+
+  private val qRollupSql =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  // --------------------------------------------------------- distinct aggs
+
+  /** Exact distinct counts + min/max per group. */
+  private def qDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(
+        countDistinct($"user_id").as("n_users"),
+        count(lit(1)).as("n_events"),
+        min($"value").as("min_value"),
+        max($"value").as("max_value"))
+      .orderBy($"event_type")
+  }
+
+  private val qDistinctSql =
+    """SELECT event_type,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  COUNT(*) AS n_events,
+      |  MIN(value) AS min_value,
+      |  MAX(value) AS max_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------ statistics
+
+  /** Moment statistics computed from exact decimal sums so variance is
+    * reproducible double arithmetic on both engines (avoids engine
+    *-specific streaming-variance accumulation orders). */
+  private def qStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum($"value").as("sum_value"),
+        dsum($"value" * $"value").as("sum_sq"))
+      .select(
+        $"event_type", $"n", $"sum_value",
+        ($"sum_value" / $"n").as("mean_value"),
+        (($"sum_sq" - $"sum_value" * $"sum_value" / $"n") / ($"n" - lit(1))).as("var_value"))
+      .orderBy($"event_type")
+  }
+
+  private val qStatsSql =
+    """WITH a AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+      |    CAST(SUM(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS sum_sq
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, n, sum_value,
+      |  sum_value / n AS mean_value,
+      |  (sum_sq - sum_value * sum_value / n) / (n - 1) AS var_value
+      |FROM a ORDER BY event_type""".stripMargin
+
+  // -------------------------------------------------------------- windows
+
+  /** Per-user ordered window: row_number, lag delta, running sum.
+    * One shuffle on user_id; all three functions share one window
+    * frame so Spark evaluates them in a single WindowExec pass. */
+  private def qWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    t(s, dir, "events")
+      .filter($"user_id" < 50)
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .withColumn("gap_seconds",
+        (unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w))).cast("double") / 1e6)
+      .withColumn("running_value",
+        sum($"value".cast(dec)).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double"))
+      .orderBy($"user_id", $"seq")
+  }
+
+  private val qWindowSql =
+    """SELECT user_id, event_id, ts, value,
+      |  row_number() OVER w AS seq,
+      |  CAST(epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS DOUBLE) / 1e6 AS gap_seconds,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+      |FROM events
+      |WHERE user_id < 50
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, seq""".stripMargin
+
+  // --------------------------------------------------------- sessionization
+
+  /** Gap-based sessionization (30 min) via lag + conditional cumsum —
+    * the classic two-window formulation; both windows hash-partition
+    * by user_id only, so a single shuffle serves the whole query. */
+  private def qSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    t(s, dir, "events")
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_ts".isNull ||
+          unix_micros($"ts") - unix_micros($"prev_ts") > 30L * 60 * 1000000, 1)
+          .otherwise(0))
+      .withColumn("session_seq",
+        sum($"new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"session_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum($"value").as("session_value"),
+        min($"ts").as("session_start"),
+        max($"ts").as("session_end"))
+      .orderBy($"user_id", $"session_seq")
+  }
+
+  private val qSessionsSql =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(ts, 1) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > 30*60*1000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM flagged)
+      |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value,
+      |  MIN(ts) AS session_start,
+      |  MAX(ts) AS session_end
+      |FROM sessions
+      |GROUP BY session_seq, user_id
+      |ORDER BY user_id, session_seq""".stripMargin
+
+  // ------------------------------------------------------------------ json
+
+  /** Semi-structured extraction: JSON props → typed column → agg. */
+  private def qJson(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .withColumn("k_bucket", $"k" % 10)
+      .groupBy($"k_bucket")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .orderBy($"k_bucket")
+  }
+
+  private val qJsonSql =
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY k_bucket ORDER BY k_bucket""".stripMargin
+
+  // --------------------------------------------------------------- set ops
+
+  /** Set operation: users who clicked but never purchased (EXCEPT). */
+  private def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    ev.filter($"event_type" === "click").select($"user_id")
+      .except(ev.filter($"event_type" === "purchase").select($"user_id"))
+      .orderBy($"user_id")
+  }
+
+  private val qSetOpsSql =
+    """SELECT user_id FROM events WHERE event_type = 'click'
+      |EXCEPT
+      |SELECT user_id FROM events WHERE event_type = 'purchase'
+      |ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------------- top-k per group
+
+  /** Rank-in-group top-k: top 3 orders per customer by totalprice.
+    * Window + filter; partition pruning keeps output bounded. */
+  private def qTopPerGroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    t(s, dir, "orders")
+      .filter($"o_custkey" < 100)
+      .withColumn("rank_in_cust", row_number().over(w).cast("long"))
+      .filter($"rank_in_cust" <= 3)
+      .select($"o_custkey", $"rank_in_cust", $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_custkey", $"rank_in_cust")
+  }
+
+  private val qTopPerGroupSql =
+    """SELECT o_custkey,
+      |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank_in_cust,
+      |  o_orderkey, o_totalprice
+      |FROM orders
+      |WHERE o_custkey < 100
+      |QUALIFY rank_in_cust <= 3
+      |ORDER BY o_custkey, rank_in_cust""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_pricing_summary" -> (q1 _)
-  )
+    "q1_pricing_summary"   -> (q1 _),
+    "q3_shipping_priority" -> (q3 _),
+    "q4_order_priority"    -> (q4 _),
+    "q5_region_volume"     -> (q5 _),
+    "q_brand_revenue"      -> (qBrand _),
+    "q_rollup_qty"         -> (qRollup _),
+    "q_distinct_users"     -> (qDistinct _),
+    "q_value_stats"        -> (qStats _),
+    "q_user_windows"       -> (qWindow _),
+    "q_sessionize"         -> (qSessions _),
+    "q_json_props"         -> (qJson _),
+    "q_click_not_purchase" -> (qSetOps _),
+    "q_top_orders_per_cust" -> (qTopPerGroup _))
 
   val oracles: Map[String, String] = Map(
-    "q1_pricing_summary" -> q1Sql
-  )
+    "q1_pricing_summary"   -> q1Sql,
+    "q3_shipping_priority" -> q3Sql,
+    "q4_order_priority"    -> q4Sql,
+    "q5_region_volume"     -> q5Sql,
+    "q_brand_revenue"      -> qBrandSql,
+    "q_rollup_qty"         -> qRollupSql,
+    "q_distinct_users"     -> qDistinctSql,
+    "q_value_stats"        -> qStatsSql,
+    "q_user_windows"       -> qWindowSql,
+    "q_sessionize"         -> qSessionsSql,
+    "q_json_props"         -> qJsonSql,
+    "q_click_not_purchase" -> qSetOpsSql,
+    "q_top_orders_per_cust" -> qTopPerGroupSql)
 }
