@@ -1,0 +1,270 @@
+package graft
+
+import graft.ext.dedup.NearDup
+import graft.ext.multimodal.Multimodal
+import graft.ext.similarity.CosineKNN
+import graft.ext.text.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline operator registry: text analysis, dedup family,
+  * similarity search, multimodal plumbing — over `documents` /
+  * `embeddings` (TESTDATA.md).
+  *
+  * Oracle-checked where the semantics are SQL-expressible in DuckDB;
+  * the approximate operators (MinHash/SimHash/LSH-ANN) are registered
+  * rows-only and their recall is measured against the exact
+  * brute-force paths in ScalaTest (LlmOpsSpec).
+  */
+object LlmQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+
+  // -------------------------------------------------------- token counting
+
+  private def qTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+      length(col("text")).cast("long").as("n_chars_measured"))
+      .orderBy(col("doc_id"))
+
+  private val qTokensSql =
+    s"""SELECT doc_id,
+       |  CASE WHEN len(trim(text)) = 0 THEN 0
+       |       ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+')) END AS n_tokens,
+       |  len(regexp_extract_all(text, '${TextFunctions.bpePattern}')) AS n_bpe_tokens,
+       |  CAST(length(text) AS BIGINT) AS n_chars_measured
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------- language id
+
+  private def qLangId(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      TextFunctions.langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  private val qLangIdSql = {
+    def hits(lang: String): String = {
+      val words = TextFunctions.stopwords.toMap.apply(lang).map(w => s"'$w'").mkString(",")
+      s"len(list_filter(toks, t -> t IN ($words)))"
+    }
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(trim(text)) = 0 THEN []
+       |         ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, ${hits("en")} AS s_en, ${hits("de")} AS s_de,
+       |         ${hits("es")} AS s_es, ${hits("fr")} AS s_fr
+       |  FROM t)
+       |SELECT doc_id,
+       |  CASE WHEN s_en + s_de + s_es + s_fr = 0 THEN 'und'
+       |       WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |       WHEN s_es >= s_fr THEN 'es'
+       |       ELSE 'fr' END AS lang_pred
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------- quality scoring
+
+  private def qQuality(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  private val qQualitySql = {
+    val allStops = TextFunctions.stopwords.flatMap(_._2).map(w => s"'$w'").mkString(",")
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN len(trim(text)) = 0 THEN []
+       |         ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(toks) AS DOUBLE) AS n_tok,
+       |    CAST(len(list_filter(toks, t -> t IN ($allStops))) AS DOUBLE) AS stop_hits,
+       |    CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) AS tok_chars,
+       |    CAST(length(text) AS DOUBLE) AS n_ch,
+       |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
+       |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digit
+       |  FROM t)
+       |SELECT doc_id,
+       |  LEAST(n_tok / 100.0, 1.0) * 0.3 +
+       |  (CASE WHEN n_tok = 0 THEN 0.0 ELSE stop_hits / n_tok END) * 0.3 +
+       |  (CASE WHEN n_tok = 0 THEN 0.5
+       |        WHEN tok_chars / n_tok >= 3 AND tok_chars / n_tok <= 10 THEN 1.0
+       |        ELSE 0.5 END) * 0.2 +
+       |  (1.0 - CASE WHEN n_ch = 0 THEN 0.0 ELSE n_punct / n_ch END) * 0.1 +
+       |  (1.0 - CASE WHEN n_ch = 0 THEN 0.0 ELSE n_digit / n_ch END) * 0.1 AS quality
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------- fingerprint
+
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      TextFunctions.fingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  private val qFingerprintSql =
+    """SELECT doc_id,
+      |  substr(sha256(regexp_replace(regexp_replace(lower(trim(text)),
+      |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), 1, 16) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------- exact dedup
+
+  private def qExactDedup(s: SparkSession, dir: String): DataFrame =
+    NearDup.exact(docs(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  private val qExactDedupSql =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    substr(sha256(regexp_replace(regexp_replace(lower(trim(text)),
+      |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), 1, 16) AS fingerprint
+      |  FROM documents)
+      |SELECT doc_id, fingerprint FROM f
+      |QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------- n-gram jaccard (exact path)
+
+  /** Brute-force token-set Jaccard pairs ≥ 0.9 on a bounded subset —
+    * the exact measure the LSH path approximates. */
+  private def qJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    NearDup.jaccardPairsBruteForce(
+      docs(s, dir).filter(col("doc_id") < 200), "doc_id", "text",
+      shingleSize = 1, threshold = 0.9)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val qJaccardPairsSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks
+      |  FROM documents WHERE doc_id < 200)
+      |SELECT * FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |      len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+      |  FROM t a, t b
+      |  WHERE a.doc_id < b.doc_id)
+      |WHERE jaccard >= 0.9
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ----------------------------------------- minhash / simhash (LSH paths)
+
+  /** MinHash+LSH near-dup pairs (rows-only: xxhash64 has no DuckDB
+    * twin; recall vs brute force is asserted in LlmOpsSpec). */
+  private def qMinhash(s: SparkSession, dir: String): DataFrame =
+    NearDup.minhashPairs(docs(s, dir), "doc_id", "text",
+      shingleSize = 1, bands = 16, rowsPerBand = 4, threshold = 0.8)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** SimHash near-dup pairs (rows-only, same rationale). */
+  private def qSimhash(s: SparkSession, dir: String): DataFrame =
+    NearDup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  // ------------------------------------------------------ similarity search
+
+  /** Exact brute-force KNN: top-5 cosine neighbors of 10 queries. */
+  private def qKnnExact(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    CosineKNN.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val qKnnExactSql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      |pairs AS (
+      |  SELECT q.query_id, e.vec_id AS neighbor_id,
+      |    unnest(q.qv) AS x, unnest(e.embedding) AS y
+      |  FROM q, embeddings e WHERE e.vec_id != q.query_id),
+      |dots AS (
+      |  SELECT query_id, neighbor_id,
+      |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+      |    SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+      |    SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+      |  FROM pairs GROUP BY query_id, neighbor_id),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |    round(dot / (sqrt(na) * sqrt(nb)), 9) AS cosine
+      |  FROM dots)
+      |SELECT query_id,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank,
+      |  neighbor_id, cosine
+      |FROM scored
+      |QUALIFY rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** LSH-bucketed ANN (rows-only; recall asserted in LlmOpsSpec). */
+  private def qKnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    CosineKNN.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, numPlanes = 8, dim = 64)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Embedding near-dup pairs above cosine 0.3 within LSH buckets
+    * (rows-only; the corpus is random so high thresholds are empty). */
+  private def qEmbNearDup(s: SparkSession, dir: String): DataFrame =
+    CosineKNN.nearDupPairs(emb(s, dir), "vec_id", "embedding",
+      threshold = 0.3, numPlanes = 4, dim = 64)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  // ------------------------------------------------------------ multimodal
+
+  /** Multimodal metadata + stub feature extraction over the synthetic
+    * binary corpus; metadata is oracle-checked (byte lengths and type
+    * tags are SQL-derivable), features are exercised in MultimodalSpec. */
+  private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = Multimodal.syntheticCorpus(s, docs(s, dir))
+    Multimodal.extractFeatures(corpus)
+      .select($"id".as("doc_id"), $"mediaType".as("media_type"), $"nBytes".as("n_bytes"))
+      .orderBy($"doc_id")
+  }
+
+  private val qMultimodalMetaSql =
+    """SELECT doc_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- registry
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "docs_token_stats"    -> (qTokens _),
+    "docs_langid"         -> (qLangId _),
+    "docs_quality"        -> (qQuality _),
+    "docs_fingerprint"    -> (qFingerprint _),
+    "docs_exact_dedup"    -> (qExactDedup _),
+    "docs_jaccard_pairs"  -> (qJaccardPairs _),
+    "docs_minhash_pairs"  -> (qMinhash _),
+    "docs_simhash_pairs"  -> (qSimhash _),
+    "emb_knn_exact"       -> (qKnnExact _),
+    "emb_knn_lsh"         -> (qKnnLsh _),
+    "emb_neardup_pairs"   -> (qEmbNearDup _),
+    "multimodal_meta"     -> (qMultimodalMeta _))
+
+  val oracles: Map[String, String] = Map(
+    "docs_token_stats"   -> qTokensSql,
+    "docs_langid"        -> qLangIdSql,
+    "docs_quality"       -> qQualitySql,
+    "docs_fingerprint"   -> qFingerprintSql,
+    "docs_exact_dedup"   -> qExactDedupSql,
+    "docs_jaccard_pairs" -> qJaccardPairsSql,
+    "emb_knn_exact"      -> qKnnExactSql,
+    "multimodal_meta"    -> qMultimodalMetaSql)
+}

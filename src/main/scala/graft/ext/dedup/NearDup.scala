@@ -1,0 +1,169 @@
+package graft.ext.dedup
+
+import graft.ext.text.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection family for document corpora: exact
+  * (fingerprint), MinHash+LSH, SimHash, and brute-force n-gram
+  * Jaccard (the verification oracle for the approximate paths).
+  *
+  * Scale posture (the reason LSH exists): brute-force pair
+  * comparison is O(n²) rows — 5×10⁹ pairs at 100k docs, impossible at
+  * corpus scale. Both LSH variants reduce that to
+  * O(n·bands) explode → shuffle on bucket key → within-bucket pairs,
+  * and every candidate pair is then verified with the exact measure,
+  * so precision is 1.0 and only recall depends on the band geometry.
+  * Bucket sizes are capped (`maxBucketSize`) so a degenerate bucket
+  * (e.g. boilerplate shingles) cannot quadratically explode a single
+  * task — the classic LSH skew guard.
+  */
+object NearDup {
+
+  // ----------------------------------------------------------- exact dedup
+
+  /** Exact dedup on the normalized-content fingerprint; keeps the
+    * lowest id per group. One hash-shuffle, map-side combine. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("fingerprint")).orderBy(col(idCol))
+    docs.withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  // -------------------------------------------------------------- minhash
+
+  /** MinHash signature of a shingle set: `numHashes` independent
+    * hash families simulated by salting xxhash64 with the hash index;
+    * the signature element j is the min salted hash over shingles.
+    * Pure array expressions — codegen'd, no UDF. */
+  def minhashSignature(shingleSet: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      j => array_min(transform(shingleSet, s => xxhash64(concat(s, lit("#"), j)))))
+
+  /** Candidate pairs via banded LSH over minhash signatures, each
+    * verified with exact Jaccard over the shingle sets.
+    *
+    * @param bands      number of bands (b)
+    * @param rowsPerBand signature rows per band (r); b*r = numHashes
+    * @param threshold  exact-Jaccard acceptance threshold
+    */
+  def minhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val withSig = docs
+      .select(col(idCol).as("doc"), TextFunctions.shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    // explode into (band, bandSignatureHash) bucket keys
+    val buckets = withSig.select(
+      col("doc"), col("sh"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"),
+          xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
+            .as("sig")))).as("bucket"))
+      .select(col("doc"), col("sh"), col("bucket.band"), col("bucket.sig"))
+    // skew guard: drop degenerate buckets
+    val capped = buckets
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("band"), col("sig"))))
+      .filter(col("__bn") <= maxBucketSize)
+      .drop("__bn")
+    val left = capped.select(col("band"), col("sig"),
+      col("doc").as("doc_a"), col("sh").as("sh_a"))
+    val right = capped.select(col("band"), col("sig"),
+      col("doc").as("doc_b"), col("sh").as("sh_b"))
+    val candidates = left.join(right, Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .dropDuplicates("doc_a", "doc_b")
+    verifyJaccard(candidates, threshold)
+  }
+
+  /** Exact Jaccard on shingle-set pair columns; keeps pairs ≥ t. */
+  private def verifyJaccard(pairs: DataFrame, threshold: Double): DataFrame =
+    pairs
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+  /** Brute-force n-gram Jaccard pairs (the exact reference measure;
+    * O(n²) — only for verification / small subsets). */
+  def jaccardPairsBruteForce(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int,
+      threshold: Double): DataFrame = {
+    val base = docs.select(col(idCol).as("doc"),
+      TextFunctions.shingles(col(textCol), shingleSize).as("sh"))
+    val a = base.select(col("doc").as("doc_a"), col("sh").as("sh_a"))
+    val b = base.select(col("doc").as("doc_b"), col("sh").as("sh_b"))
+    verifyJaccard(
+      a.crossJoin(b).filter(col("doc_a") < col("doc_b")), threshold)
+  }
+
+  // --------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over whitespace tokens: per-bit majority vote of
+    * token xxhash64s. The bit loop is unrolled at plan-build time
+    * (bit positions are compile-time Ints), and the token-hash array
+    * is materialized once in `hashesCol` so the 64 bit expressions
+    * share it instead of re-tokenizing. */
+  def withSimhash(df: DataFrame, textCol: String, out: String = "sim"): DataFrame = {
+    val hashed = df.withColumn("__hashes",
+      transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)))
+    val n = size(col("__hashes"))
+    val bits = (0 until 64).map { b =>
+      when(size(filter(col("__hashes"),
+        h => shiftright(h, b).bitwiseAND(1) === 1)) * 2 >= n,
+        lit(1L << b)).otherwise(0L)
+    }
+    hashed.withColumn(out, bits.reduce(_ + _)).drop("__hashes")
+  }
+
+  /** SimHash near-dup pairs: candidates via 4×16-bit chunk equality
+    * (pigeonhole guarantees recall for hamming ≤ 3), verified with
+    * exact `bit_count(xor) ≤ maxHamming`. */
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val chunks = 4
+    val withSim = withSimhash(docs.select(col(idCol).as("doc"), col(textCol)), textCol)
+      .select(col("doc"), col("sim"))
+    val buckets = withSim.select(col("doc"), col("sim"),
+      explode(array((0 until chunks).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL).as("piece"))): _*))
+        .as("bucket"))
+      .select(col("doc"), col("sim"), col("bucket.chunk"), col("bucket.piece"))
+    val capped = buckets
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("chunk"), col("piece"))))
+      .filter(col("__bn") <= maxBucketSize)
+      .drop("__bn")
+    val left = capped.select(col("chunk"), col("piece"),
+      col("doc").as("doc_a"), col("sim").as("sim_a"))
+    val right = capped.select(col("chunk"), col("piece"),
+      col("doc").as("doc_b"), col("sim").as("sim_b"))
+    left.join(right, Seq("chunk", "piece"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sim_a", "sim_b")
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+  }
+}

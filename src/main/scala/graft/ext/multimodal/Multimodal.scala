@@ -1,0 +1,108 @@
+package graft.ext.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed metadata travelling with every media blob. */
+case class MediaMeta(
+    mediaType: String,   // "image" | "audio" | "video"
+    format: String,      // container/codec tag, e.g. "png", "wav"
+    width: Int,
+    height: Int,
+    durationMs: Long)
+
+/** One multimodal record: the payload is an opaque binary column —
+  * the engine never interprets it except inside the decode stubs. */
+case class MediaRecord(id: Long, media: Array[Byte], meta: MediaMeta)
+
+/** Decoded-feature row produced by the (stubbed) decoder. */
+case class MediaFeatures(
+    id: Long,
+    mediaType: String,
+    nBytes: Long,
+    features: Array[Float])
+
+/** Multimodal column handling: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus decode / feature-extract /
+  * resize / frame-sample stages.
+  *
+  * The Spark-side plumbing is real and tested: schemas, encoders,
+  * partition-preserving `mapPartitions` stages (the Scala analogue of
+  * `mapInPandas` batch UDFs), and batch shapes. The actual media
+  * decoding is STUBBED — this container has no image/audio codecs —
+  * behind [[DecoderStub]], with a deterministic byte-level fake so
+  * tests are reproducible. Swapping in a real codec changes only that
+  * object.
+  *
+  * Scale posture: decode is a per-partition map with no shuffle;
+  * binary payloads stay columnar in parquet; feature extraction emits
+  * fixed-width `array<float>` ready for [[graft.ext.similarity.CosineKNN]].
+  */
+object Multimodal {
+
+  /** ======== STUB BOUNDARY ========
+    * Deterministic fakes standing in for real codecs. Each is a pure
+    * function of the bytes, so pipelines are testable end-to-end. */
+  object DecoderStub {
+    /** "Decode + feature-extract": 16-bin byte histogram, L1-normalized. */
+    def extractFeatures(media: Array[Byte]): Array[Float] = {
+      val bins = new Array[Float](16)
+      media.foreach(b => bins((b & 0xFF) / 16) += 1f)
+      val total = math.max(1f, media.length.toFloat)
+      bins.map(_ / total)
+    }
+    /** "Resize": proportional byte truncation standing in for pixel scaling. */
+    def resize(media: Array[Byte], scalePercent: Int): Array[Byte] =
+      media.take(math.max(1, media.length * scalePercent / 100))
+    /** "Frame sample": every k-th byte standing in for every k-th frame. */
+    def sampleFrames(media: Array[Byte], everyK: Int): Array[Byte] =
+      media.zipWithIndex.collect { case (b, i) if i % everyK == 0 => b }
+  }
+
+  /** Synthesize a deterministic media corpus from the documents table
+    * (texts become payload bytes) — the test/bench stand-in for a real
+    * binary ingest. */
+  def syntheticCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val mediaType = Seq("image", "audio", "video")((id % 3).toInt)
+      MediaRecord(id, bytes,
+        MediaMeta(mediaType, if (mediaType == "image") "png" else "wav",
+          width = bytes.length min 1024, height = 256,
+          durationMs = bytes.length.toLong * 10))
+    }
+  }
+
+  /** Feature extraction as a partition-preserving batch map — the
+    * `mapInPandas` analogue: one decoder init per partition, rows
+    * streamed through it. */
+  def extractFeatures(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      // per-partition decoder init would go here (codec handles etc.)
+      it.map(r => MediaFeatures(
+        r.id, r.meta.mediaType, r.media.length.toLong,
+        DecoderStub.extractFeatures(r.media)))
+    }
+  }
+
+  /** Resize stage (binary → binary, metadata updated consistently). */
+  def resize(records: Dataset[MediaRecord], scalePercent: Int): Dataset[MediaRecord] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.map { r =>
+      val resized = DecoderStub.resize(r.media, scalePercent)
+      r.copy(media = resized,
+        meta = r.meta.copy(width = resized.length min 1024))
+    })
+  }
+
+  /** Frame sampling for video-typed rows; others pass through. */
+  def sampleFrames(records: Dataset[MediaRecord], everyK: Int): Dataset[MediaRecord] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.map { r =>
+      if (r.meta.mediaType != "video") r
+      else r.copy(media = DecoderStub.sampleFrames(r.media, everyK))
+    })
+  }
+}

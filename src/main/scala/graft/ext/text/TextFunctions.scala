@@ -1,0 +1,113 @@
+package graft.ext.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale corpus pipelines:
+  * tokenization, token counting, language ID, quality scoring,
+  * fingerprinting, shingling.
+  *
+  * Everything here is a pure `org.apache.spark.sql.functions` chain
+  * (higher-order array functions, regexes, hashes) — no UDFs — so the
+  * whole stage stays inside WholeStageCodegen and scales as a map-only
+  * pass over the corpus: no shuffle, no driver involvement, trivially
+  * 100 TB-parallel.
+  *
+  * Regex patterns deliberately avoid engine-specific classes
+  * (`\p{...}`) so the DuckDB oracles replicate them byte-for-byte.
+  */
+object TextFunctions {
+
+  /** Lowercased whitespace tokens; empty/blank text → empty array. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(lower(trim(text)), "\\s+"))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword count: greedy ≤4-char alpha chunks, single
+    * digits, single punctuation marks — a deterministic stand-in for
+    * a byte-pair vocabulary's piece count. */
+  val bpePattern = "[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePattern), lit(0))).cast("long")
+
+  /** Stopword inventories for the language-ID heuristic. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una", "en", "que"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans"))
+
+  /** Count of tokens contained in a fixed vocabulary. */
+  def vocabHits(toks: Column, vocab: Seq[String]): Column =
+    size(filter(toks, t => t.isin(vocab: _*)))
+
+  /** N-gram-frequency language ID: stopword-hit score per language,
+    * argmax with a fixed priority order (en→de→es→fr) for ties,
+    * `und` when no stopword of any language occurs. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = stopwords.map { case (lang, words) => lang -> vocabHits(toks, words) }
+    val total = scores.map(_._2).reduce(_ + _)
+    // fixed-priority argmax chain (deterministic, oracle-replicable)
+    val Seq(en, de, es, fr) = scores.map(_._2)
+    when(total === 0, lit("und"))
+      .when(en >= de && en >= es && en >= fr, lit("en"))
+      .when(de >= es && de >= fr, lit("de"))
+      .when(es >= fr, lit("es"))
+      .otherwise(lit("fr"))
+  }
+
+  private val punctClass = "[.,;:!?]"
+  private val digitClass = "[0-9]"
+
+  /** Character-class ratio over the raw text (0 for empty text). */
+  private def classRatio(text: Column, clazz: String): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text, clazz, ""))).cast("double") /
+        length(text).cast("double"))
+
+  /** Heuristic document quality score in [0,1]: length saturation,
+    * stopword density, punctuation/digit penalties, mean token length
+    * sanity. Deterministic double arithmetic (oracle-replicable). */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val stopHits = vocabHits(toks, stopwords.flatMap(_._2)).cast("double")
+    val stopRatio = when(nTok === 0, 0.0).otherwise(stopHits / nTok)
+    val lenScore = least(nTok / lit(100.0), lit(1.0))
+    val meanTokLen = when(nTok === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok)
+    val tokLenScore = when(meanTokLen >= 3 && meanTokLen <= 10, 1.0).otherwise(0.5)
+    lenScore * 0.3 + stopRatio * 0.3 + tokLenScore * 0.2 +
+      (lit(1.0) - classRatio(text, punctClass)) * 0.1 +
+      (lit(1.0) - classRatio(text, digitClass)) * 0.1
+  }
+
+  /** Content fingerprint: normalize (lowercase, strip non-alnum,
+    * collapse spaces) then sha256, first 16 hex chars. Identical
+    * content up to punctuation/casing/whitespace → identical
+    * fingerprint — the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    substring(
+      sha2(
+        regexp_replace(
+          regexp_replace(lower(trim(text)), "[^a-z0-9 ]", ""),
+          " +", " "),
+        256),
+      1, 16)
+
+  /** Word n-gram shingles (space-joined); n=1 degenerates to tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    if (n == 1) array_distinct(tokens(text))
+    else {
+      val toks = tokens(text)
+      array_distinct(
+        when(size(toks) < n, array().cast("array<string>")).otherwise(
+          transform(sequence(lit(1), size(toks) - (n - 1)),
+            i => concat_ws(" ", slice(toks, i, lit(n))))))
+    }
+  }
+}
