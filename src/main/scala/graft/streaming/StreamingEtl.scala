@@ -1,0 +1,123 @@
+package graft.streaming
+
+import graft.config.EntitySchema
+import graft.jobs.Pipelines
+import graft.operators.{KeyGen, Normalize}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured-Streaming variant of the reference pipeline (SURVEY.md
+  * §2.7): the hourly-batch-with-cursor contract becomes a file-source
+  * stream with checkpointed exactly-once progress.
+  *
+  * Correspondence to the reference's simulated-streaming mechanics:
+  *  - monitor-table cursor → streaming checkpoint (file-source offsets);
+  *  - hourly tumbling file buckets → event-time windows + watermark;
+  *  - upsert-on-key idempotence → `dropDuplicatesWithinWatermark` on
+  *    the deterministic surrogate key;
+  *  - retry-failed-hour → replayable source + checkpoint recovery.
+  *
+  * `Trigger.AvailableNow` gives the reference's batch cadence (drain
+  * everything currently landed, then stop) while keeping incremental
+  * state — the recommended modern form of "hourly incremental batch".
+  * At scale the same topology runs continuously with a processing-time
+  * trigger; state stores shard by key across executors.
+  */
+object StreamingEtl {
+
+  /** Streaming read of the landing area with the union source schema. */
+  def eventStream(spark: SparkSession, landingDir: String,
+      schemas: Seq[EntitySchema] = EntitySchema.reference): DataFrame =
+    spark.readStream
+      .schema(Pipelines.unionSourceStruct(schemas))
+      .option("maxFilesPerTrigger", 64) // bound per-microbatch work
+      .json(landingDir)
+
+  /** Normalize+key one entity from the stream and dedup within the
+    * watermark — the streaming twin of HandlerJob.entityPipeline. */
+  def entityPipeline(
+      stream: DataFrame,
+      schema: EntitySchema,
+      watermark: String = "2 hours"): DataFrame = {
+    val one = stream.filter(col("on") === schema.entity)
+    val keyed = KeyGen(Normalize(one, schema), schema)
+    keyed
+      .withWatermark("event_timestamp", watermark)
+      .dropDuplicatesWithinWatermark(KeyGen.columnName)
+  }
+
+  /** Run one AvailableNow drain of an entity into a parquet sink with
+    * checkpointed exactly-once progress; returns when drained. */
+  def drainEntity(
+      spark: SparkSession,
+      landingDir: String,
+      schema: EntitySchema,
+      outDir: String,
+      checkpointDir: String): Unit = {
+    val q = entityPipeline(eventStream(spark, landingDir), schema)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Hourly event counts per entity with a watermark — the streaming
+    * twin of the reference's hourly file buckets. */
+  def hourlyCounts(stream: DataFrame, watermark: String = "2 hours"): DataFrame =
+    stream
+      .withColumn("at_ts", col("at").try_cast("timestamp"))
+      .withWatermark("at_ts", watermark)
+      .groupBy(window(col("at_ts"), "1 hour"), col("on"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("window.start").as("hour_start"),
+        col("on").as("entity"),
+        col("n_events"))
+
+  // ------------------------------------------------- stateful sessionization
+
+  case class SessionInput(userId: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  case class SessionOutput(userId: Long, nEvents: Long, sumValue: Double,
+      startMs: Long, endMs: Long)
+
+  /** Gap-based sessionization with explicit state
+    * (`flatMapGroupsWithState`): emits a session when the gap between
+    * consecutive events exceeds `gapMs`, or on state timeout. State is
+    * per-user and sharded by the streaming state store — the custom-
+    * state primitive the DataFrame window version cannot express
+    * incrementally. */
+  def sessionize(
+      events: Dataset[SessionInput],
+      gapMs: Long = 30 * 60 * 1000L): Dataset[SessionOutput] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, SessionOutput](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[SessionInput], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOutput]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            st match {
+              case null =>
+                st = SessionState(t, t, 1, e.value)
+              case s if t - s.last > gapMs =>
+                out += SessionOutput(userId, s.n, s.sum, s.start, s.last)
+                st = SessionState(t, t, 1, e.value)
+              case s =>
+                st = SessionState(s.start, t, s.n + 1, s.sum + e.value)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+}

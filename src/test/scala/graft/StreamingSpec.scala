@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.config.EntitySchema
+import graft.streaming.StreamingEtl
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vehicleSchema = EntitySchema.reference.head
+
+  private def writeLanding(dir: String, name: String, lines: String*): Unit =
+    Files.write(Paths.get(s"$dir/$name"),
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+  test("AvailableNow drain is incremental and exactly-once across runs") {
+    val root = tmpDir("stream")
+    val landing = s"$root/landing"; Files.createDirectories(Paths.get(landing))
+    writeLanding(landing, "a.json",
+      """{"event": "update", "on": "vehicle", "at": "2022-11-24T10:02:11Z", "organization_id": "o", "data": {"id": "v-1", "location": {"lat": 1.0, "lng": 2.0, "at": "2022-11-24T10:02:10Z"}}}""",
+      // duplicate key within the batch → deduped by the stream
+      """{"event": "update", "on": "vehicle", "at": "2022-11-24T10:02:11Z", "organization_id": "o", "data": {"id": "v-1", "location": {"lat": 1.0, "lng": 2.0, "at": "2022-11-24T10:02:10Z"}}}""",
+      """{"event": "create", "on": "operating_period", "at": "2022-11-24T10:00:05Z", "organization_id": "o", "data": {"id": "op-1", "start": "2022-11-24T08:00:00Z", "finish": "2022-11-24T20:00:00Z"}}""")
+
+    StreamingEtl.drainEntity(spark, landing, vehicleSchema,
+      s"$root/out", s"$root/ckpt")
+    val first = spark.read.parquet(s"$root/out")
+    assert(first.count() == 1) // only the vehicle row, deduped
+
+    // re-drain with no new files → no new rows (checkpointed offsets)
+    StreamingEtl.drainEntity(spark, landing, vehicleSchema,
+      s"$root/out", s"$root/ckpt")
+    assert(spark.read.parquet(s"$root/out").count() == 1)
+
+    // land a new file → only it is processed
+    writeLanding(landing, "b.json",
+      """{"event": "update", "on": "vehicle", "at": "2022-11-24T11:00:00Z", "organization_id": "o", "data": {"id": "v-2", "location": {"lat": 3.0, "lng": 4.0, "at": "2022-11-24T10:59:59Z"}}}""")
+    StreamingEtl.drainEntity(spark, landing, vehicleSchema,
+      s"$root/out", s"$root/ckpt")
+    assert(spark.read.parquet(s"$root/out").count() == 2)
+  }
+
+  test("watermarked hourly window counts per entity") {
+    val root = tmpDir("streamwin")
+    val landing = s"$root/landing"; Files.createDirectories(Paths.get(landing))
+    writeLanding(landing, "a.json",
+      """{"event": "update", "on": "vehicle", "at": "2022-11-24T10:02:11Z", "organization_id": "o", "data": {"id": "v-1"}}""",
+      """{"event": "update", "on": "vehicle", "at": "2022-11-24T10:59:00Z", "organization_id": "o", "data": {"id": "v-2"}}""",
+      """{"event": "update", "on": "vehicle", "at": "2022-11-24T11:01:00Z", "organization_id": "o", "data": {"id": "v-3"}}""",
+      """{"event": "create", "on": "operating_period", "at": "2022-11-24T10:30:00Z", "organization_id": "o", "data": {"id": "op-1"}}""")
+    val q = StreamingEtl.hourlyCounts(
+        StreamingEtl.eventStream(spark, landing))
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("hourly").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("2022-11-24 10:00:00.0", "vehicle") -> 2L,
+      ("2022-11-24 11:00:00.0", "vehicle") -> 1L,
+      ("2022-11-24 10:00:00.0", "operating_period") -> 1L))
+  }
+
+  test("stateful sessionization emits closed sessions, keeps open state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingEtl.SessionInput]
+    val q = StreamingEtl.sessionize(input.toDS(), gapMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    // user 1: two events close together, then a 60-min gap, then one more
+    input.addData(
+      StreamingEtl.SessionInput(1, ts(0), 1.0),
+      StreamingEtl.SessionInput(1, ts(5), 2.0))
+    q.processAllAvailable()
+    assert(spark.table("sessions").count() == 0) // session still open
+
+    input.addData(StreamingEtl.SessionInput(1, ts(65), 5.0))
+    q.processAllAvailable()
+    val closed = spark.table("sessions").as[StreamingEtl.SessionOutput].collect()
+    assert(closed.length == 1)
+    assert(closed.head.nEvents == 2 && closed.head.sumValue == 3.0)
+    q.stop()
+  }
+}
