@@ -164,11 +164,14 @@ object LlmQueries {
 
   // ----------------------------------------- minhash / simhash (LSH paths)
 
-  /** MinHash+LSH near-dup pairs (rows-only: xxhash64 has no DuckDB
-    * twin; recall vs brute force is asserted in LlmOpsSpec). */
+  /** MinHash+LSH near-dup pairs over bigram shingles (rows-only:
+    * xxhash64 has no DuckDB twin; recall vs brute force is asserted
+    * in LlmOpsSpec). The corpus plants near-dups at bigram J≈0.9 over
+    * a ~0.03 background, so b=16/r=4 gives ~100% recall with a
+    * vanishing candidate rate. */
   private def qMinhash(s: SparkSession, dir: String): DataFrame =
     NearDup.minhashPairs(docs(s, dir), "doc_id", "text",
-      shingleSize = 1, bands = 16, rowsPerBand = 4, threshold = 0.8)
+      shingleSize = 2, bands = 16, rowsPerBand = 4, threshold = 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** SimHash near-dup pairs (rows-only, same rationale). */

@@ -40,8 +40,14 @@ object NearDup {
     * the signature element j is the min salted hash over shingles.
     * Pure array expressions — codegen'd, no UDF. */
   def minhashSignature(shingleSet: Column, numHashes: Int): Column =
+    minhashFromHashes(transform(shingleSet, s => xxhash64(s)), numHashes)
+
+  /** Signature from pre-hashed shingles: each string is hashed once
+    * and the per-index families re-hash (long, index) — far cheaper
+    * than re-hashing the string numHashes times. */
+  def minhashFromHashes(shingleHashes: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(shingleSet, s => xxhash64(concat(s, lit("#"), j)))))
+      j => array_min(transform(shingleHashes, h => xxhash64(h, j))))
 
   /** Candidate pairs via banded LSH over minhash signatures, each
     * verified with exact Jaccard over the shingle sets.
@@ -54,38 +60,51 @@ object NearDup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      shingleSize: Int = 3,
+      shingleSize: Int = 2,
       bands: Int = 16,
       rowsPerBand: Int = 4,
       threshold: Double = 0.5,
       maxBucketSize: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val withSig = docs
-      .select(col(idCol).as("doc"), TextFunctions.shingles(col(textCol), shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    // explode into (band, bandSignatureHash) bucket keys
+    // The repartitions are materialization barriers, not layout
+    // choices: Catalyst collapses adjacent projections, and a column
+    // referenced inside N lambda bodies is re-evaluated N times — the
+    // shingle expression would run once per hash index (64×) and the
+    // signature expression once per band (16×); measured as a ~50×
+    // slowdown at sf0.1. An exchange forces each array to materialize
+    // once. The shuffles carry one small array per doc — negligible at
+    // any scale, and at real scale signatures would be persisted
+    // anyway.
+    val withSh = shingleSets(docs, idCol, textCol, shingleSize)
+    val withSig = withSh
+      .select(col("doc"), transform(col("sh"), s => xxhash64(s)).as("shh"))
+      .repartition(col("doc")) // materialize shingle hashes (see above)
+      .withColumn("sig", minhashFromHashes(col("shh"), numHashes))
+      .repartition(col("doc"))
+    // explode into (band, bandSignatureHash) bucket keys — ids only;
+    // shingle arrays are re-joined AFTER candidate dedup so the wide
+    // payload never rides through the band join or the distinct
     val buckets = withSig.select(
-      col("doc"), col("sh"),
+      col("doc"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("band"),
           xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
             .as("sig")))).as("bucket"))
-      .select(col("doc"), col("sh"), col("bucket.band"), col("bucket.sig"))
+      .select(col("doc"), col("bucket.band"), col("bucket.sig"))
     // skew guard: drop degenerate buckets
     val capped = buckets
       .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("band"), col("sig"))))
       .filter(col("__bn") <= maxBucketSize)
       .drop("__bn")
-    val left = capped.select(col("band"), col("sig"),
-      col("doc").as("doc_a"), col("sh").as("sh_a"))
-    val right = capped.select(col("band"), col("sig"),
-      col("doc").as("doc_b"), col("sh").as("sh_b"))
-    val candidates = left.join(right, Seq("band", "sig"))
+    val candidates = capped.as("l")
+      .join(capped.as("r"), Seq("band", "sig"))
+      .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b")
       .dropDuplicates("doc_a", "doc_b")
-    verifyJaccard(candidates, threshold)
+    val withSets = candidates
+      .join(withSh.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(withSh.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+    verifyJaccard(withSets, threshold)
   }
 
   /** Exact Jaccard on shingle-set pair columns; keeps pairs ≥ t. */
@@ -97,6 +116,18 @@ object NearDup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
+  /** (doc, shingle-set) pairs with materialization barriers after the
+    * token and shingle stages — see the lambda-re-evaluation note in
+    * [[minhashPairs]]. */
+  private[dedup] def shingleSets(
+      docs: DataFrame, idCol: String, textCol: String, shingleSize: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .repartition(col("doc"))
+      .select(col("doc"), TextFunctions.shinglesFromTokens(col("toks"), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .repartition(col("doc"))
+
   /** Brute-force n-gram Jaccard pairs (the exact reference measure;
     * O(n²) — only for verification / small subsets). */
   def jaccardPairsBruteForce(
@@ -105,8 +136,7 @@ object NearDup {
       textCol: String,
       shingleSize: Int,
       threshold: Double): DataFrame = {
-    val base = docs.select(col(idCol).as("doc"),
-      TextFunctions.shingles(col(textCol), shingleSize).as("sh"))
+    val base = shingleSets(docs, idCol, textCol, shingleSize)
     val a = base.select(col("doc").as("doc_a"), col("sh").as("sh_a"))
     val b = base.select(col("doc").as("doc_b"), col("sh").as("sh_b"))
     verifyJaccard(

@@ -99,15 +99,24 @@ object TextFunctions {
         256),
       1, 16)
 
-  /** Word n-gram shingles (space-joined); n=1 degenerates to tokens. */
-  def shingles(text: Column, n: Int): Column = {
-    if (n == 1) array_distinct(tokens(text))
-    else {
-      val toks = tokens(text)
+  /** Word n-gram shingles (space-joined); n=1 degenerates to tokens.
+    *
+    * PERFORMANCE: the lambda body references `toks` once per shingle
+    * position, and Spark re-evaluates a non-trivial referenced
+    * expression inside each lambda element. Pass a MATERIALIZED token
+    * column (via [[shinglesFromTokens]] after an exchange/cache
+    * boundary) in hot paths; this convenience form is fine for
+    * single-pass per-row use. */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
+
+  /** Shingles from an (ideally materialized) token-array column. */
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
+    if (n == 1) array_distinct(toks)
+    else
       array_distinct(
         when(size(toks) < n, array().cast("array<string>")).otherwise(
           transform(sequence(lit(1), size(toks) - (n - 1)),
             i => concat_ws(" ", slice(toks, i, lit(n))))))
-    }
   }
 }

@@ -49,12 +49,12 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("minhash LSH: precision 1.0 and recall >= 0.9 vs brute force") {
-    val exact = NearDup.jaccardPairsBruteForce(docs, "doc_id", "text", 1, 0.8)
+    val exact = NearDup.jaccardPairsBruteForce(docs, "doc_id", "text", 2, 0.5)
       .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = NearDup.minhashPairs(docs, "doc_id", "text",
-      shingleSize = 1, bands = 16, rowsPerBand = 4, threshold = 0.8)
+      shingleSize = 2, bands = 16, rowsPerBand = 4, threshold = 0.5)
       .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(exact.nonEmpty, "fixture should contain near-dup pairs at J>=0.8")
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs at J>=0.5")
     // precision: every LSH pair is exact-verified, must be subset
     assert(lsh.subsetOf(exact))
     val recall = lsh.size.toDouble / exact.size
