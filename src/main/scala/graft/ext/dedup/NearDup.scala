@@ -107,12 +107,14 @@ object NearDup {
     verifyJaccard(withSets, threshold)
   }
 
-  /** Exact Jaccard on shingle-set pair columns; keeps pairs ≥ t. */
+  /** Exact Jaccard on shingle-set pair columns; keeps pairs ≥ t.
+    * |A∪B| is derived as |A|+|B|−|A∩B| so only the intersection is
+    * materialized (sets are already distinct). */
   private def verifyJaccard(pairs: DataFrame, threshold: Double): DataFrame =
     pairs
+      .withColumn("__i", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        col("__i") / (size(col("sh_a")) + size(col("sh_b")) - col("__i")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
@@ -151,8 +153,11 @@ object NearDup {
     * is materialized once in `hashesCol` so the 64 bit expressions
     * share it instead of re-tokenizing. */
   def withSimhash(df: DataFrame, textCol: String, out: String = "sim"): DataFrame = {
+    // exchange barrier: without it the 64 bit expressions each
+    // re-tokenize and re-hash (projection collapse; see minhashPairs)
     val hashed = df.withColumn("__hashes",
       transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)))
+      .repartition()
     val n = size(col("__hashes"))
     val bits = (0 until 64).map { b =>
       when(size(filter(col("__hashes"),
@@ -172,8 +177,11 @@ object NearDup {
       maxHamming: Int = 3,
       maxBucketSize: Int = 1000): DataFrame = {
     val chunks = 4
+    // barrier after sim: the chunk explode would otherwise re-evaluate
+    // the 64-bit majority-vote expression once per chunk
     val withSim = withSimhash(docs.select(col(idCol).as("doc"), col(textCol)), textCol)
       .select(col("doc"), col("sim"))
+      .repartition(col("doc"))
     val buckets = withSim.select(col("doc"), col("sim"),
       explode(array((0 until chunks).map(c =>
         struct(lit(c).as("chunk"),

@@ -37,7 +37,9 @@ object CosineKNN {
   def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / (norm(a) * norm(b)), 9)
 
-  /** Exact top-k neighbors for each query vector (excluding self). */
+  /** Exact top-k neighbors for each query vector (excluding self).
+    * Norms are computed once per side before the join instead of once
+    * per pair. */
   def bruteForceTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -45,11 +47,13 @@ object CosineKNN {
       vecCol: String,
       k: Int): DataFrame = {
     val q = broadcast(queries.select(
-      col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+      col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+      norm(col(vecCol)).as("nn"))
     val scored = c.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("qv"), col("nv")))
+      .withColumn("cosine", round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 9))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored
@@ -101,18 +105,20 @@ object CosineKNN {
       dim: Int = 64,
       probeBits: Int = 2): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+      norm(col(vecCol)).as("nn"))
       .withColumn("bucket", bucketOf(col("nv"), planes))
     val masks = probeMasks(numPlanes, probeBits)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
       .withColumn("bucket0", bucketOf(col("qv"), planes))
       .withColumn("bucket", explode(
         array(masks.map(m => col("bucket0").bitwiseXOR(lit(m))): _*)))
-      .select(col("query_id"), col("qv"), col("bucket"))
+      .select(col("query_id"), col("qv"), col("qn"), col("bucket"))
     val scored = c.join(q, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cosine", cosine(col("qv"), col("nv")))
+      .withColumn("cosine", round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 9))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored
@@ -131,13 +137,16 @@ object CosineKNN {
       numPlanes: Int = 8,
       dim: Int = 64): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
-    val base = corpus.select(col(idCol).as("doc"), col(vecCol).as("v"))
+    val base = corpus.select(col(idCol).as("doc"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("n"))
       .withColumn("bucket", bucketOf(col("v"), planes))
-    val a = base.select(col("bucket"), col("doc").as("doc_a"), col("v").as("va"))
-    val b = base.select(col("bucket"), col("doc").as("doc_b"), col("v").as("vb"))
+    val a = base.select(col("bucket"), col("doc").as("doc_a"),
+      col("v").as("va"), col("n").as("na"))
+    val b = base.select(col("bucket"), col("doc").as("doc_b"),
+      col("v").as("vb"), col("n").as("nb"))
     a.join(b, Seq("bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .withColumn("cosine", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 9))
       .filter(col("cosine") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("cosine"))
   }
