@@ -413,6 +413,86 @@ object AnalyticsQueries {
       |QUALIFY rank_in_cust <= 3
       |ORDER BY o_custkey, rank_in_cust""".stripMargin
 
+  // -------------------------------------------------------------- asof join
+
+  /** Point-in-time lookup: each purchase gets the user's most recent
+    * click at-or-before it (graft.operators.AsOfJoin — union-sort
+    * formulation, one shuffle; DuckDB's native ASOF JOIN is the
+    * oracle). Missing matches are pinned to sentinel values so both
+    * engines emit identical non-null columns. */
+  private def qAsOf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts",
+        $"event_id".as("last_click_id"), $"ts".as("last_click_ts"))
+    graft.operators.AsOfJoin(purchases, clicks, "user_id", "ts", "ts",
+      Seq("last_click_id", "last_click_ts"))
+      .select($"event_id", $"user_id", $"ts",
+        coalesce($"last_click_id", lit(-1L)).as("last_click_id"),
+        coalesce($"last_click_ts", lit("1970-01-01 00:00:00").cast("timestamp"))
+          .as("last_click_ts"))
+      .orderBy($"event_id")
+  }
+
+  private val qAsOfSql =
+    """SELECT p.event_id, p.user_id, p.ts,
+      |  COALESCE(c.event_id, -1) AS last_click_id,
+      |  COALESCE(c.ts, TIMESTAMP '1970-01-01 00:00:00') AS last_click_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND c.ts <= p.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  // ------------------------------------------------------------------ pivot
+
+  /** Pivot: per-user event-type counts as columns. The value set is
+    * declared (no extra distinct pass) — at scale an undeclared pivot
+    * is a hidden collect. */
+  private def qPivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val types = Seq("click", "view", "purchase", "error", "signup")
+    val pivoted = t(s, dir, "events")
+      .filter($"user_id" < 100)
+      .groupBy($"user_id")
+      .pivot("event_type", types)
+      .count()
+    types.foldLeft(pivoted) { (df, ty) =>
+      df.withColumn(s"n_$ty", coalesce(col(ty), lit(0L))).drop(ty)
+    }.orderBy($"user_id")
+  }
+
+  private val qPivotSql =
+    """SELECT user_id,
+      |  COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+      |  COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+      |  COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+      |  COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup
+      |FROM events WHERE user_id < 100
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ----------------------------------------------------- tumbling batch agg
+
+  /** Batch tumbling window: hourly counts+sums via date_trunc (the
+    * streaming twin lives in graft.streaming.StreamingEtl). */
+  private def qHourly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .orderBy($"hour", $"event_type")
+  }
+
+  private val qHourlySql =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY hour, event_type
+      |ORDER BY hour, event_type""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -428,7 +508,10 @@ object AnalyticsQueries {
     "q_sessionize"         -> (qSessions _),
     "q_json_props"         -> (qJson _),
     "q_click_not_purchase" -> (qSetOps _),
-    "q_top_orders_per_cust" -> (qTopPerGroup _))
+    "q_top_orders_per_cust" -> (qTopPerGroup _),
+    "q_asof_last_click"    -> (qAsOf _),
+    "q_pivot_user_events"  -> (qPivot _),
+    "q_hourly_tumbling"    -> (qHourly _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary"   -> q1Sql,
@@ -443,5 +526,8 @@ object AnalyticsQueries {
     "q_sessionize"         -> qSessionsSql,
     "q_json_props"         -> qJsonSql,
     "q_click_not_purchase" -> qSetOpsSql,
-    "q_top_orders_per_cust" -> qTopPerGroupSql)
+    "q_top_orders_per_cust" -> qTopPerGroupSql,
+    "q_asof_last_click"    -> qAsOfSql,
+    "q_pivot_user_events"  -> qPivotSql,
+    "q_hourly_tumbling"    -> qHourlySql)
 }
