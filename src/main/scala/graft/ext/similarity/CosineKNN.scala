@@ -26,10 +26,12 @@ import org.apache.spark.sql.functions._
   */
 object CosineKNN {
 
-  /** Left-to-right double dot product of two float arrays. */
+  /** Left-to-right double dot product of two float arrays — a native
+    * codegen expression (graft.functions.FloatVectorDot); numerically
+    * identical to the aggregate(zip_with(...)) formulation but stays
+    * inside WholeStageCodegen instead of interpreted HOF eval. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.FloatVectorDot.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
