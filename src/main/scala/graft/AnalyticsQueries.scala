@@ -493,6 +493,70 @@ object AnalyticsQueries {
       |FROM events GROUP BY hour, event_type
       |ORDER BY hour, event_type""".stripMargin
 
+  // ------------------------------------------------------- quantiles, argmax
+
+  /** Exact interpolated percentiles + arg-min/max per group. Spark's
+    * `percentile` and DuckDB's `quantile_cont` share the (n-1)·q
+    * interpolation definition; min_by/max_by tie-break is pinned by
+    * unique values in this corpus. */
+  private def qQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        min_by($"event_id", $"value").as("cheapest_event"),
+        max_by($"event_id", $"value").as("priciest_event"))
+      .orderBy($"event_type")
+  }
+
+  private val qQuantilesSql =
+    """SELECT event_type,
+      |  quantile_cont(value, 0.5) AS p50,
+      |  quantile_cont(value, 0.9) AS p90,
+      |  min_by(event_id, value) AS cheapest_event,
+      |  max_by(event_id, value) AS priciest_event
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------- string/array functions
+
+  /** Scalar-function coverage sweep: string ops, array construction,
+    * conditional logic — one row per customer, every expression
+    * deterministic and engine-portable. */
+  private def qScalarFns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .filter($"c_custkey" <= 50)
+      .select(
+        $"c_custkey",
+        upper($"c_name").as("name_upper"),
+        length($"c_name").cast("long").as("name_len"),
+        substring($"c_name", 1, 8).as("name_prefix"),
+        concat_ws("|", $"c_mktsegment", $"c_name").as("seg_name"),
+        regexp_replace($"c_name", "[0-9]", "#").as("name_masked"),
+        when($"c_acctbal" < 0, "overdrawn")
+          .when($"c_acctbal" < 5000, "standard")
+          .otherwise("premium").as("tier"),
+        round($"c_acctbal" / 1000.0, 2).as("bal_k"),
+        array_join(sort_array(split($"c_mktsegment", "")), "").as("seg_sorted"))
+      .orderBy($"c_custkey")
+  }
+
+  private val qScalarFnsSql =
+    """SELECT c_custkey,
+      |  upper(c_name) AS name_upper,
+      |  CAST(length(c_name) AS BIGINT) AS name_len,
+      |  substr(c_name, 1, 8) AS name_prefix,
+      |  concat_ws('|', c_mktsegment, c_name) AS seg_name,
+      |  regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+      |  CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+      |       WHEN c_acctbal < 5000 THEN 'standard'
+      |       ELSE 'premium' END AS tier,
+      |  round(c_acctbal / 1000.0, 2) AS bal_k,
+      |  array_to_string(list_sort(string_split_regex(c_mktsegment, '')), '') AS seg_sorted
+      |FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -511,7 +575,9 @@ object AnalyticsQueries {
     "q_top_orders_per_cust" -> (qTopPerGroup _),
     "q_asof_last_click"    -> (qAsOf _),
     "q_pivot_user_events"  -> (qPivot _),
-    "q_hourly_tumbling"    -> (qHourly _))
+    "q_hourly_tumbling"    -> (qHourly _),
+    "q_quantiles_argmax"   -> (qQuantiles _),
+    "q_scalar_functions"   -> (qScalarFns _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary"   -> q1Sql,
@@ -529,5 +595,7 @@ object AnalyticsQueries {
     "q_top_orders_per_cust" -> qTopPerGroupSql,
     "q_asof_last_click"    -> qAsOfSql,
     "q_pivot_user_events"  -> qPivotSql,
-    "q_hourly_tumbling"    -> qHourlySql)
+    "q_hourly_tumbling"    -> qHourlySql,
+    "q_quantiles_argmax"   -> qQuantilesSql,
+    "q_scalar_functions"   -> qScalarFnsSql)
 }

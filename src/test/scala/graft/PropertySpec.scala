@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.{Dedup, KeyGen}
+import graft.sinks.ParquetUpsertSink
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, TimestampType}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY.md §5.2): keygen determinism and
+  * format, cast totality, dedup idempotence, upsert idempotence.
+  * Uses scalacheck generators with fixed seeds sampled over several
+  * iterations (the scalatest-scalacheck bridge artifact is not on the
+  * offline classpath). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic sampled forAll: n draws from the generator. */
+  private def forSamples[A](gen: Gen[A], n: Int = 5)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      body(gen.apply(Gen.Parameters.default, Seed(42L + i))
+        .getOrElse(fail("generator exhausted")))
+    }
+
+  private val uuidRe =
+    "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$".r
+
+  test("keygen is deterministic, uuid-shaped, and injective-per-input on samples") {
+    val gen = Gen.listOfN(40, Gen.zip(Gen.alphaNumStr.suchThat(_.nonEmpty), Gen.choose(0L, 2_000_000_000_000L)))
+    forSamples(gen) { rows =>
+      {
+        val df = rows.toDF("id", "millis")
+          .withColumn("at", timestamp_millis($"millis"))
+        val keyed = KeyGen.withKey(df, Seq("id" -> StringType, "at" -> TimestampType))
+          .select($"id", $"millis", col(KeyGen.columnName).as("k"))
+        val out = keyed.collect()
+        // shape
+        assert(out.forall(r => uuidRe.matches(r.getString(2))))
+        // determinism: recompute → identical
+        val again = KeyGen.withKey(df, Seq("id" -> StringType, "at" -> TimestampType))
+          .select(col(KeyGen.columnName)).collect().map(_.getString(0))
+        assert(out.map(_.getString(2)).sameElements(again))
+        // equal inputs → equal keys
+        val byInput = out.groupBy(r => (r.getString(0), r.getLong(1)))
+        byInput.values.foreach(g => assert(g.map(_.getString(2)).distinct.length == 1))
+      }
+    }
+  }
+
+  test("cast coercion is total: arbitrary strings never throw, bad ones go null") {
+    val gen = Gen.listOfN(30, Gen.oneOf(
+      Gen.alphaNumStr, Gen.const("2022-11-24T10:00:00Z"), Gen.const(""),
+      Gen.const("not-a-date"), Gen.numStr))
+    forSamples(gen) { raws =>
+      {
+        val df = raws.toDF("s")
+        // must not throw, regardless of content (try_cast semantics)
+        val n = df.select(
+          $"s".try_cast("timestamp").as("ts"),
+          $"s".try_cast("double").as("d"),
+          $"s".try_cast("int").as("i")).collect()
+        assert(n.length == raws.length)
+      }
+    }
+  }
+
+  test("dedup is idempotent: f(f(x)) == f(x)") {
+    val gen = Gen.listOfN(60, Gen.zip(Gen.choose(0, 10), Gen.choose(0, 5)))
+    forSamples(gen) { rows =>
+      {
+        val df = rows.toDF("k", "v")
+        val once = Dedup(df, "k")
+        val twice = Dedup(once, "k")
+        assert(once.count() == twice.count())
+        assert(once.select($"k").distinct().count() == once.count())
+      }
+    }
+  }
+
+  test("upsert is idempotent: replaying a batch leaves the table unchanged") {
+    val rows = (1 to 20).map(i => (s"k${i % 7}", i))
+    val path = tmpDir("prop-upsert") + "/t"
+    val batch = rows.toDF("id", "v")
+    ParquetUpsertSink.upsert(spark, batch, path, "id", orderCol = Some("v"))
+    val state1 = spark.read.parquet(path).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    ParquetUpsertSink.upsert(spark, batch, path, "id", orderCol = Some("v"))
+    val state2 = spark.read.parquet(path).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(state1 == state2)
+    // last-write-wins within the batch by orderCol
+    assert(state1("k1") == rows.filter(_._1 == "k1").map(_._2).max)
+  }
+}
