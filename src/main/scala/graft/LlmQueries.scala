@@ -226,6 +226,69 @@ object LlmQueries {
       threshold = 0.3, numPlanes = 4, dim = 64)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  // -------------------------------------------- pii / repetition / sampling
+
+  /** PII scrub pass over synthetic contact-bearing text derived from
+    * documents (the corpus itself has no PII, so emails/phones are
+    * injected deterministically, then scrubbed — exercising the real
+    * operator on both engines). */
+  private def qPiiScrub(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("dirty",
+        concat(col("text"), lit(" contact: user"), col("doc_id"),
+          lit("@example.com or +1 (555) 010-"), col("doc_id")))
+      .select(col("doc_id"), TextFunctions.scrubPii(col("dirty")).as("clean"))
+      .orderBy(col("doc_id"))
+
+  private val qPiiScrubSql =
+    s"""SELECT doc_id,
+       |  regexp_replace(
+       |    regexp_replace(
+       |      text || ' contact: user' || doc_id || '@example.com or +1 (555) 010-' || doc_id,
+       |      '${TextFunctions.emailPattern}', '<EMAIL>', 'g'),
+       |    '${TextFunctions.phonePattern}', '<PHONE>', 'g') AS clean
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Most-repeated-bigram ratio (quality filter à la C4/Gopher). */
+  private def qRepetition(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .repartition(col("doc_id")) // materialize before array fan-out
+      .select(col("doc_id"),
+        TextFunctions.repetitionScore(col("toks")).as("rep_score"))
+      .orderBy(col("doc_id"))
+
+  private val qRepetitionSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(trim(text)) = 0 THEN []
+      |         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) < 2 THEN []
+      |         ELSE [array_to_string(toks[i:i+1], ' ')
+      |               FOR i IN generate_series(1, len(toks) - 1)] END AS grams
+      |  FROM t)
+      |SELECT doc_id,
+      |  CASE WHEN len(grams) = 0 THEN 0.0
+      |       ELSE CAST(list_max(list_transform(list_distinct(grams),
+      |              x -> len(list_filter(grams, y -> y = x)))) AS DOUBLE)
+      |            / len(grams) END AS rep_score
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  /** Deterministic md5-bucket corpus sampling (~16/256 ≈ 6%). */
+  private def qHashSample(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .filter(TextFunctions.hashSampleKeep(col("text"), 16))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+
+  private val qHashSampleSql =
+    """SELECT doc_id FROM documents
+      |WHERE substr(md5(text), 1, 2) < '10'
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ multimodal
 
   /** Multimodal metadata + stub feature extraction over the synthetic
@@ -256,6 +319,9 @@ object LlmQueries {
     "docs_jaccard_pairs"  -> (qJaccardPairs _),
     "docs_minhash_pairs"  -> (qMinhash _),
     "docs_simhash_pairs"  -> (qSimhash _),
+    "docs_pii_scrub"      -> (qPiiScrub _),
+    "docs_repetition"     -> (qRepetition _),
+    "docs_hash_sample"    -> (qHashSample _),
     "emb_knn_exact"       -> (qKnnExact _),
     "emb_knn_lsh"         -> (qKnnLsh _),
     "emb_neardup_pairs"   -> (qEmbNearDup _),
@@ -268,6 +334,9 @@ object LlmQueries {
     "docs_fingerprint"   -> qFingerprintSql,
     "docs_exact_dedup"   -> qExactDedupSql,
     "docs_jaccard_pairs" -> qJaccardPairsSql,
+    "docs_pii_scrub"     -> qPiiScrubSql,
+    "docs_repetition"    -> qRepetitionSql,
+    "docs_hash_sample"   -> qHashSampleSql,
     "emb_knn_exact"      -> qKnnExactSql,
     "multimodal_meta"    -> qMultimodalMetaSql)
 }

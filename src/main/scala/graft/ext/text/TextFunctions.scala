@@ -99,6 +99,36 @@ object TextFunctions {
         256),
       1, 16)
 
+  /** PII scrubbing: redact email addresses and phone-number-shaped
+    * digit runs. Engine-portable regexes (no \p classes, no
+    * lookaround) so the DuckDB oracle replicates byte-for-byte. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\+?[0-9][0-9 ()-]{6,}[0-9]"
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
+  /** Repetition score (C4/Gopher-style quality signal): frequency of
+    * the most repeated word bigram over the bigram count; 0 for docs
+    * shorter than a bigram. Computed with pure array expressions from
+    * a materialized token column. */
+  def repetitionScore(toks: Column): Column = {
+    val grams = when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", slice(toks, i, lit(2)))))
+    val top = array_max(transform(array_distinct(grams),
+      g => size(filter(grams, x => x === g))))
+    when(size(grams) === 0, lit(0.0))
+      .otherwise(top.cast("double") / size(grams).cast("double"))
+  }
+
+  /** Deterministic content-hash sampling predicate: keeps a ~keep/256
+    * fraction of rows by the first md5 byte — stable across engines,
+    * partitionings, and runs (unlike rand()-based sampling). */
+  def hashSampleKeep(text: Column, keepBytes: Int): Column =
+    substring(md5(text), 1, 2) < format_string("%02x", lit(keepBytes))
+
   /** Word n-gram shingles (space-joined); n=1 degenerates to tokens.
     *
     * PERFORMANCE: the lambda body references `toks` once per shingle
