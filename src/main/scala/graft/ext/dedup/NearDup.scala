@@ -66,21 +66,16 @@ object NearDup {
       threshold: Double = 0.5,
       maxBucketSize: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
-    // The repartitions are materialization barriers, not layout
-    // choices: Catalyst collapses adjacent projections, and a column
-    // referenced inside N lambda bodies is re-evaluated N times — the
-    // shingle expression would run once per hash index (64×) and the
-    // signature expression once per band (16×); measured as a ~50×
-    // slowdown at sf0.1. An exchange forces each array to materialize
-    // once. The shuffles carry one small array per doc — negligible at
-    // any scale, and at real scale signatures would be persisted
-    // anyway.
     val withSh = shingleSets(docs, idCol, textCol, shingleSize)
+    // cache points between the lambda fan-outs: shh is referenced by
+    // all 64 hash families, sig by all 16 band slices (see the
+    // re-evaluation note in shingleSets)
     val withSig = withSh
       .select(col("doc"), transform(col("sh"), s => xxhash64(s)).as("shh"))
-      .repartition(col("doc")) // materialize shingle hashes (see above)
+      .cache()
       .withColumn("sig", minhashFromHashes(col("shh"), numHashes))
-      .repartition(col("doc"))
+      .select(col("doc"), col("sig"))
+      .cache()
     // explode into (band, bandSignatureHash) bucket keys — ids only;
     // shingle arrays are re-joined AFTER candidate dedup so the wide
     // payload never rides through the band join or the distinct
@@ -122,13 +117,28 @@ object NearDup {
     * token and shingle stages — see the lambda-re-evaluation note in
     * [[minhashPairs]]. */
   private[dedup] def shingleSets(
-      docs: DataFrame, idCol: String, textCol: String, shingleSize: Int): DataFrame =
+      docs: DataFrame, idCol: String, textCol: String, shingleSize: Int): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
     docs
-      .select(col(idCol).as("doc"), TextFunctions.tokens(col(textCol)).as("toks"))
-      .repartition(col("doc"))
-      .select(col("doc"), TextFunctions.shinglesFromTokens(col("toks"), shingleSize).as("sh"))
+      // spread the raw rows first: a single-file scan is one partition
+      // and the tokenize work would otherwise run on one task. The
+      // explicit count stops AQE coalescing this byte-small but
+      // CPU-heavy shuffle back down to one partition.
+      .repartition(par, col(idCol))
+      .select(col(idCol).as("doc"),
+        TextFunctions.shinglesFromTokens(
+          TextFunctions.tokens(col(textCol)), shingleSize).as("sh"))
+      // cache: the shingle frame is consumed by several downstream
+      // subplans (signatures + both verification joins); without a
+      // materialization point Catalyst collapses the projection into
+      // each consumer and the whole chain re-executes per consumer.
+      // Same pattern MLlib's LSH uses. The emptiness filter sits
+      // ABOVE the cache: below it, filter pushdown would drag the
+      // whole shingle expression into the pre-exchange (single-task)
+      // scan stage just to evaluate the predicate.
+      .cache()
       .filter(size(col("sh")) > 0)
-      .repartition(col("doc"))
+  }
 
   /** Brute-force n-gram Jaccard pairs (the exact reference measure;
     * O(n²) — only for verification / small subsets). */
@@ -153,11 +163,15 @@ object NearDup {
     * is materialized once in `hashesCol` so the 64 bit expressions
     * share it instead of re-tokenizing. */
   def withSimhash(df: DataFrame, textCol: String, out: String = "sim"): DataFrame = {
-    // exchange barrier: without it the 64 bit expressions each
+    // spread the input first (single-file scans are 1 partition), then
+    // barrier after __hashes: without it the 64 bit expressions each
     // re-tokenize and re-hash (projection collapse; see minhashPairs)
-    val hashed = df.withColumn("__hashes",
-      transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)))
-      .repartition()
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val hashed = df
+      .repartition(par)
+      .withColumn("__hashes",
+        transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)))
+      .cache()
     val n = size(col("__hashes"))
     val bits = (0 until 64).map { b =>
       when(size(filter(col("__hashes"),
@@ -181,7 +195,7 @@ object NearDup {
     // the 64-bit majority-vote expression once per chunk
     val withSim = withSimhash(docs.select(col(idCol).as("doc"), col(textCol)), textCol)
       .select(col("doc"), col("sim"))
-      .repartition(col("doc"))
+      .cache()
     val buckets = withSim.select(col("doc"), col("sim"),
       explode(array((0 until chunks).map(c =>
         struct(lit(c).as("chunk"),

@@ -140,13 +140,24 @@ object TextFunctions {
   def shingles(text: Column, n: Int): Column =
     shinglesFromTokens(tokens(text), n)
 
-  /** Shingles from an (ideally materialized) token-array column. */
+  /** Shingles from a token-array column, built with iterated
+    * `zip_with` against shifted copies: the token array is referenced
+    * O(n) times total, versus once per position with the naive
+    * `transform(sequence(...), i => slice(toks, i, n))` — which
+    * Catalyst re-evaluates per element even across repartition
+    * boundaries (projections are pushed through exchanges). */
   def shinglesFromTokens(toks: Column, n: Int): Column = {
     if (n == 1) array_distinct(toks)
-    else
+    else {
+      val grams = (1 until n).foldLeft(toks) { (acc, k) =>
+        // concat_ws skips the null padding zip_with adds at the tail;
+        // those short trailing grams are sliced off below
+        zip_with(acc, slice(toks, lit(k + 1), size(toks)),
+          (a, b) => concat_ws(" ", a, b))
+      }
       array_distinct(
-        when(size(toks) < n, array().cast("array<string>")).otherwise(
-          transform(sequence(lit(1), size(toks) - (n - 1)),
-            i => concat_ws(" ", slice(toks, i, lit(n))))))
+        when(size(toks) < n, array().cast("array<string>"))
+          .otherwise(slice(grams, lit(1), size(toks) - (n - 1))))
+    }
   }
 }
