@@ -557,6 +557,28 @@ object AnalyticsQueries {
       |  array_to_string(list_sort(string_split_regex(c_mktsegment, '')), '') AS seg_sorted
       |FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey""".stripMargin
 
+  // ----------------------------------------------------------- array aggs
+
+  /** Array aggregation: per-type sorted distinct user list (sorted so
+    * the collect order — nondeterministic in any distributed engine —
+    * can't leak into the result). */
+  private def qArrayAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .filter($"user_id" < 30)
+      .groupBy($"event_type")
+      .agg(sort_array(collect_set($"user_id")).as("users"))
+      .select($"event_type", $"users", size($"users").cast("long").as("n_users"))
+      .orderBy($"event_type")
+  }
+
+  private val qArrayAggSql =
+    """SELECT event_type,
+      |  list_sort(list(DISTINCT user_id)) AS users,
+      |  CAST(len(list_sort(list(DISTINCT user_id))) AS BIGINT) AS n_users
+      |FROM events WHERE user_id < 30
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -577,7 +599,8 @@ object AnalyticsQueries {
     "q_pivot_user_events"  -> (qPivot _),
     "q_hourly_tumbling"    -> (qHourly _),
     "q_quantiles_argmax"   -> (qQuantiles _),
-    "q_scalar_functions"   -> (qScalarFns _))
+    "q_scalar_functions"   -> (qScalarFns _),
+    "q_array_agg"          -> (qArrayAgg _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary"   -> q1Sql,
@@ -597,5 +620,6 @@ object AnalyticsQueries {
     "q_pivot_user_events"  -> qPivotSql,
     "q_hourly_tumbling"    -> qHourlySql,
     "q_quantiles_argmax"   -> qQuantilesSql,
-    "q_scalar_functions"   -> qScalarFnsSql)
+    "q_scalar_functions"   -> qScalarFnsSql,
+    "q_array_agg"          -> qArrayAggSql)
 }
