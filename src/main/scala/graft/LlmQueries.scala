@@ -289,6 +289,28 @@ object LlmQueries {
       |WHERE substr(md5(text), 1, 2) < '10'
       |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- profiling
+
+  /** One-pass data profile of the events table (graft.ext.profile).
+    * Single scan, single aggregation for all columns. */
+  private def qProfile(s: SparkSession, dir: String): DataFrame =
+    graft.ext.profile.DataProfiler
+      .profile(Tables(s, dir, "events"),
+        Seq("event_id", "user_id", "event_type", "value"))
+      .orderBy(col("column"))
+
+  private val qProfileSql = {
+    def one(c: String) =
+      s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) AS min_value,
+         |  CAST(MAX($c) AS VARCHAR) AS max_value
+         |FROM events""".stripMargin
+    Seq("event_id", "user_id", "event_type", "value").map(one)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+  }
+
   // ------------------------------------------------------------ multimodal
 
   /** Multimodal metadata + stub feature extraction over the synthetic
@@ -322,6 +344,7 @@ object LlmQueries {
     "docs_pii_scrub"      -> (qPiiScrub _),
     "docs_repetition"     -> (qRepetition _),
     "docs_hash_sample"    -> (qHashSample _),
+    "events_profile"      -> (qProfile _),
     "emb_knn_exact"       -> (qKnnExact _),
     "emb_knn_lsh"         -> (qKnnLsh _),
     "emb_neardup_pairs"   -> (qEmbNearDup _),
@@ -337,6 +360,7 @@ object LlmQueries {
     "docs_pii_scrub"     -> qPiiScrubSql,
     "docs_repetition"    -> qRepetitionSql,
     "docs_hash_sample"   -> qHashSampleSql,
+    "events_profile"     -> qProfileSql,
     "emb_knn_exact"      -> qKnnExactSql,
     "multimodal_meta"    -> qMultimodalMetaSql)
 }

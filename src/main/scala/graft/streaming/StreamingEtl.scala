@@ -79,6 +79,18 @@ object StreamingEtl {
         col("on").as("entity"),
         col("n_events"))
 
+  /** Streaming corpus dedup: fingerprint each incoming document and
+    * keep only first-seen content — the streaming twin of
+    * NearDup.exact for continuous ingestion pipelines. Without a
+    * watermark the dedup state grows with distinct content; bound it
+    * with `withWatermark` + `dropDuplicatesWithinWatermark` when an
+    * event-time column exists. */
+  def dedupDocStream(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("fingerprint",
+        graft.ext.text.TextFunctions.fingerprint(col(textCol)))
+      .dropDuplicates("fingerprint")
+
   // ------------------------------------------------- stateful sessionization
 
   case class SessionInput(userId: Long, ts: java.sql.Timestamp, value: Double)

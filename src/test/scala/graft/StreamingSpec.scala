@@ -66,6 +66,26 @@ class StreamingSpec extends SparkSpec {
       ("2022-11-24 10:00:00.0", "operating_period") -> 1L))
   }
 
+  test("streaming document dedup keeps first-seen content across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingEtl.dedupDocStream(
+        input.toDS().toDF("doc_id", "text"), "text")
+      .writeStream.format("memory").queryName("docdedup")
+      .outputMode(OutputMode.Update).start()
+    input.addData((1L, "alpha beta"), (2L, "ALPHA   beta"), (3L, "gamma"))
+    q.processAllAvailable()
+    // normalization collapses 1 and 2
+    assert(spark.table("docdedup").count() == 2)
+    input.addData((4L, "alpha beta"), (5L, "delta"))
+    q.processAllAvailable()
+    // cross-batch state: 4 is suppressed, 5 admitted
+    val ids = spark.table("docdedup").select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L, 5L))
+    q.stop()
+  }
+
   test("stateful sessionization emits closed sessions, keeps open state") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamingEtl.SessionInput]
