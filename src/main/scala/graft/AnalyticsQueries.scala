@@ -557,6 +557,38 @@ object AnalyticsQueries {
       |  array_to_string(list_sort(string_split_regex(c_mktsegment, '')), '') AS seg_sorted
       |FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey""".stripMargin
 
+  // -------------------------------------------------- correlated subquery
+
+  /** TPC-H Q17-style small-quantity revenue: the correlated per-part
+    * average decorrelates into a groupBy + shuffle join on partkey;
+    * the part filter is broadcast. Threshold arithmetic uses the
+    * decimal-exact average so both engines compare against the
+    * identical double. */
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+    val partFiltered = t(s, dir, "part")
+      .filter($"p_brand" === "Brand#23").select($"p_partkey")
+    val avgQty = li.groupBy($"l_partkey".as("ap_partkey"))
+      .agg((dsum($"l_quantity") / count(lit(1))).as("avg_qty"))
+    li.join(broadcast(partFiltered), $"l_partkey" === $"p_partkey")
+      .join(avgQty, $"l_partkey" === $"ap_partkey")
+      .filter($"l_quantity" < lit(0.2) * $"avg_qty")
+      .agg((dsum($"l_extendedprice") / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_small_lines"))
+  }
+
+  private val q17Sql =
+    """SELECT
+      |  CAST(SUM(CAST(l1.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0 AS avg_yearly,
+      |  COUNT(*) AS n_small_lines
+      |FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+      |WHERE p_brand = 'Brand#23'
+      |  AND l1.l_quantity < (
+      |    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+      |    FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin
+
   // ----------------------------------------------------------- array aggs
 
   /** Array aggregation: per-type sorted distinct user list (sorted so
@@ -600,7 +632,8 @@ object AnalyticsQueries {
     "q_hourly_tumbling"    -> (qHourly _),
     "q_quantiles_argmax"   -> (qQuantiles _),
     "q_scalar_functions"   -> (qScalarFns _),
-    "q_array_agg"          -> (qArrayAgg _))
+    "q_array_agg"          -> (qArrayAgg _),
+    "q17_small_qty_revenue" -> (q17 _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary"   -> q1Sql,
@@ -621,5 +654,6 @@ object AnalyticsQueries {
     "q_hourly_tumbling"    -> qHourlySql,
     "q_quantiles_argmax"   -> qQuantilesSql,
     "q_scalar_functions"   -> qScalarFnsSql,
-    "q_array_agg"          -> qArrayAggSql)
+    "q_array_agg"          -> qArrayAggSql,
+    "q17_small_qty_revenue" -> q17Sql)
 }

@@ -91,6 +91,41 @@ object StreamingEtl {
         graft.ext.text.TextFunctions.fingerprint(col(textCol)))
       .dropDuplicates("fingerprint")
 
+  /** Streaming upsert sink: every micro-batch MERGEs into a keyed
+    * parquet table via foreachBatch + ParquetUpsertSink — the
+    * streaming twin of the reference's ON CONFLICT loader, giving
+    * last-write-wins per key ACROSS batches (dropDuplicates only
+    * dedups within state). Returns the started query. */
+  def upsertStream(
+      stream: DataFrame,
+      tablePath: String,
+      key: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sinks.ParquetUpsertSink.upsert(
+          batch.sparkSession, batch.toDF(), tablePath, key)
+      }
+      .start()
+
+  /** Watermarked stream-stream join: each purchase matched to clicks
+    * from the same user within the preceding hour. Both sides carry
+    * watermarks so join state is bounded and late rows are dropped —
+    * the canonical attribution-join topology. */
+  def purchaseAttribution(
+      purchases: DataFrame, // user_id, ts, purchase_id
+      clicks: DataFrame,    // user_id, ts, click_id
+      watermark: String = "2 hours"): DataFrame = {
+    val p = purchases.withWatermark("ts", watermark).as("p")
+    val c = clicks.withColumnRenamed("ts", "click_ts")
+      .withWatermark("click_ts", watermark).as("c")
+    p.join(c,
+      expr("""p.user_id = c.user_id AND
+              click_ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts"""))
+  }
+
   // ------------------------------------------------- stateful sessionization
 
   case class SessionInput(userId: Long, ts: java.sql.Timestamp, value: Double)

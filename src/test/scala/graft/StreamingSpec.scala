@@ -86,6 +86,43 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("foreachBatch upsert sink is last-write-wins across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("streamupsert")
+    val input = MemoryStream[(String, Int)]
+    val q = StreamingEtl.upsertStream(
+      input.toDS().toDF("id", "v"), s"$root/t", "id", s"$root/ckpt")
+    input.addData(("k1", 1), ("k2", 1))
+    q.processAllAvailable()
+    input.addData(("k2", 2), ("k3", 2)) // k2 updated across batches
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(s"$root/t").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("k1" -> 1, "k2" -> 2, "k3" -> 2))
+  }
+
+  test("watermarked stream-stream join attributes purchases to prior clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val joined = StreamingEtl.purchaseAttribution(
+      purchases.toDS().toDF("user_id", "ts", "purchase_id"),
+      clicks.toDS().toDF("user_id", "ts", "click_id"))
+    val q = joined.select($"purchase_id", $"click_id")
+      .writeStream.format("memory").queryName("attribution")
+      .outputMode(OutputMode.Append).start()
+    clicks.addData((1L, ts(0), "c-in-window"), (1L, ts(-120), "c-too-old"),
+      (2L, ts(5), "c-other-user"))
+    purchases.addData((1L, ts(30), "p1"))
+    q.processAllAvailable()
+    val got = spark.table("attribution").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("p1", "c-in-window")))
+    q.stop()
+  }
+
   test("stateful sessionization emits closed sessions, keeps open state") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamingEtl.SessionInput]
