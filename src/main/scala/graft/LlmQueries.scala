@@ -289,6 +289,20 @@ object LlmQueries {
       |WHERE substr(md5(text), 1, 2) < '10'
       |ORDER BY doc_id""".stripMargin
 
+  /** Full-stack integration (rows-only): synthetic media → stub
+    * feature extraction → exact cosine KNN over the feature vectors.
+    * Demonstrates that the multimodal feature output plugs straight
+    * into the similarity-search operators. */
+  private def qMultimodalKnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feats = Multimodal
+      .extractFeatures(Multimodal.syntheticCorpus(s, docs(s, dir)))
+      .select($"id".as("vec_id"), $"features".as("embedding"))
+    CosineKNN.bruteForceTopK(feats, feats.filter($"vec_id" < 5),
+      "vec_id", "embedding", k = 3)
+      .orderBy($"query_id", $"rank")
+  }
+
   // -------------------------------------------------------------- profiling
 
   /** One-pass data profile of the events table (graft.ext.profile).
@@ -348,6 +362,7 @@ object LlmQueries {
     "emb_knn_exact"       -> (qKnnExact _),
     "emb_knn_lsh"         -> (qKnnLsh _),
     "emb_neardup_pairs"   -> (qEmbNearDup _),
+    "multimodal_knn"      -> (qMultimodalKnn _),
     "multimodal_meta"     -> (qMultimodalMeta _))
 
   val oracles: Map[String, String] = Map(
