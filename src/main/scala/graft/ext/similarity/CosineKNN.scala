@@ -74,7 +74,7 @@ object CosineKNN {
   /** Sign-bucket of a vector under the hyperplane set. */
   def bucketOf(vec: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit): _*)
+      val planeLit = array(p.toIndexedSeq.map(lit): _*)
       when(dot(vec, planeLit) >= 0, shiftleft(lit(1L), i)).otherwise(0L)
     }.reduce(_ + _)
 

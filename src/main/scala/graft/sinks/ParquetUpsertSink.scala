@@ -82,7 +82,7 @@ object ParquetUpsertSink {
       val touched = incoming.select(partitionCol).distinct().collect().map(_.get(0))
       val existing = spark.read.parquet(tablePath)
         .filter(col(partitionCol).isInCollection(touched.toSeq))
-      val merged = merge(existing.select(incoming.columns.map(col): _*), incoming, key)
+      val merged = merge(existing.select(incoming.columns.toIndexedSeq.map(col): _*), incoming, key)
       merged.write
         .partitionBy(partitionCol)
         .option("partitionOverwriteMode", "dynamic")
