@@ -557,6 +557,37 @@ object AnalyticsQueries {
       |  array_to_string(list_sort(string_split_regex(c_mktsegment, '')), '') AS seg_sorted
       |FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey""".stripMargin
 
+  // ------------------------------------------------- min-per-group join
+
+  /** TPC-H Q2-flavored: per part, the supplier with the lowest total
+    * lineitem revenue (argmin inside a group over a join) — the
+    * nested-agg + window shape. One shuffle for the (part,supp) agg,
+    * one for the per-part window. */
+  private def q2min(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perSupp = t(s, dir, "lineitem")
+      .filter($"l_partkey" <= 50)
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("supp_revenue"))
+    val w = Window.partitionBy($"l_partkey")
+      .orderBy($"supp_revenue", $"l_suppkey")
+    perSupp
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"l_partkey", $"l_suppkey".as("cheapest_supp"), $"supp_revenue")
+      .orderBy($"l_partkey")
+  }
+
+  private val q2minSql =
+    """WITH r AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS supp_revenue
+      |  FROM lineitem WHERE l_partkey <= 50
+      |  GROUP BY l_partkey, l_suppkey)
+      |SELECT l_partkey, l_suppkey AS cheapest_supp, supp_revenue FROM r
+      |QUALIFY row_number() OVER (PARTITION BY l_partkey ORDER BY supp_revenue, l_suppkey) = 1
+      |ORDER BY l_partkey""".stripMargin
+
   // -------------------------------------------------- correlated subquery
 
   /** TPC-H Q17-style small-quantity revenue: the correlated per-part
@@ -633,7 +664,8 @@ object AnalyticsQueries {
     "q_quantiles_argmax"   -> (qQuantiles _),
     "q_scalar_functions"   -> (qScalarFns _),
     "q_array_agg"          -> (qArrayAgg _),
-    "q17_small_qty_revenue" -> (q17 _))
+    "q17_small_qty_revenue" -> (q17 _),
+    "q2_cheapest_supplier"  -> (q2min _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary"   -> q1Sql,
@@ -655,5 +687,6 @@ object AnalyticsQueries {
     "q_quantiles_argmax"   -> qQuantilesSql,
     "q_scalar_functions"   -> qScalarFnsSql,
     "q_array_agg"          -> qArrayAggSql,
-    "q17_small_qty_revenue" -> q17Sql)
+    "q17_small_qty_revenue" -> q17Sql,
+    "q2_cheapest_supplier"  -> q2minSql)
 }
