@@ -597,14 +597,19 @@ object AnalyticsQueries {
     * identical double. */
   private def q17(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val li = t(s, dir, "lineitem")
-      .select($"l_partkey", $"l_quantity", $"l_extendedprice")
     val partFiltered = t(s, dir, "part")
       .filter($"p_brand" === "Brand#23").select($"p_partkey")
-    val avgQty = li.groupBy($"l_partkey".as("ap_partkey"))
+    // restrict lineitem to the brand's parts BEFORE the per-part
+    // average: the correlated average only matters for those parts,
+    // so the aggregation shrinks from all parts to the brand's
+    val relevant = t(s, dir, "lineitem")
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+      .join(broadcast(partFiltered), $"l_partkey" === $"p_partkey")
+    val avgQty = relevant.groupBy($"l_partkey".as("ap_partkey"))
       .agg((dsum($"l_quantity") / count(lit(1))).as("avg_qty"))
-    li.join(broadcast(partFiltered), $"l_partkey" === $"p_partkey")
-      .join(avgQty, $"l_partkey" === $"ap_partkey")
+    // per-part averages for one brand are tiny → broadcast: the whole
+    // query runs with no shuffle join at all
+    relevant.join(broadcast(avgQty), $"l_partkey" === $"ap_partkey")
       .filter($"l_quantity" < lit(0.2) * $"avg_qty")
       .agg((dsum($"l_extendedprice") / lit(7.0)).as("avg_yearly"),
         count(lit(1)).as("n_small_lines"))
