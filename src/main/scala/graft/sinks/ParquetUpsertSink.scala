@@ -47,17 +47,21 @@ object ParquetUpsertSink {
       batch: DataFrame,
       tablePath: String,
       key: String,
-      orderCol: Option[String] = None): Unit = {
+      orderCol: Option[String] = None,
+      outputFiles: Int = 8): Unit = {
+    // modest file counts: entity tables are row-few relative to the
+    // event stream, and per-file FS metadata work dominates rewrite
+    // cost at small scale (outputFiles stays a knob for big tables)
     val incoming = dedupBatch(batch, key, orderCol)
     if (!exists(spark, tablePath)) {
-      incoming.write.mode("overwrite").parquet(tablePath)
+      incoming.coalesce(outputFiles).write.mode("overwrite").parquet(tablePath)
       return
     }
     val existing = spark.read.parquet(tablePath)
     val merged = merge(existing, incoming, key)
     // can't overwrite a path while reading it: stage + atomic-ish swap
     val tmp = tablePath.stripSuffix("/") + "__staging"
-    merged.write.mode("overwrite").parquet(tmp)
+    merged.coalesce(outputFiles).write.mode("overwrite").parquet(tmp)
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(tablePath), true)
     fs.rename(new Path(tmp), new Path(tablePath))
