@@ -557,6 +557,63 @@ object AnalyticsQueries {
       |  array_to_string(list_sort(string_split_regex(c_mktsegment, '')), '') AS seg_sorted
       |FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey""".stripMargin
 
+  // ------------------------------------------------------- interval join
+
+  /** Batch interval join (the streaming purchaseAttribution twin):
+    * per purchase, how many clicks the same user made in the
+    * preceding hour. Equi-key on user plus a range predicate — Spark
+    * plans the equi-part as the join key so the range check runs
+    * within user groups, not as a cross product. */
+  private def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("click_ts"))
+    purchases.join(clicks,
+        $"user_id" === $"c_user" &&
+          $"click_ts" >= $"ts" - expr("INTERVAL 1 HOUR") && $"click_ts" <= $"ts",
+        "left")
+      .groupBy($"event_id")
+      .agg(count($"click_ts").as("n_clicks_prior_hour"))
+      .orderBy($"event_id")
+  }
+
+  private val qAttributionSql =
+    """SELECT p.event_id, COUNT(c.ts) AS n_clicks_prior_hour
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+      |GROUP BY p.event_id
+      |ORDER BY p.event_id""".stripMargin
+
+  // ------------------------------------------------------ date extraction
+
+  /** Calendar-function sweep: year/quarter/month/dow extraction and
+    * grouping — the time-dimension workhorse. */
+  private def qCalendar(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupBy(
+        year($"o_orderdate").as("y"),
+        quarter($"o_orderdate").as("q"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum($"o_totalprice").as("revenue"),
+        countDistinct(dayofweek($"o_orderdate")).as("active_dows"))
+      .orderBy($"y", $"q")
+  }
+
+  private val qCalendarSql =
+    """SELECT CAST(year(o_orderdate) AS INT) AS y,
+      |  CAST(quarter(o_orderdate) AS INT) AS q,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  COUNT(DISTINCT dayofweek(o_orderdate)) AS active_dows
+      |FROM orders GROUP BY y, q ORDER BY y, q""".stripMargin
+
   // ------------------------------------------------- min-per-group join
 
   /** TPC-H Q2-flavored: per part, the supplier with the lowest total
@@ -670,7 +727,9 @@ object AnalyticsQueries {
     "q_scalar_functions"   -> (qScalarFns _),
     "q_array_agg"          -> (qArrayAgg _),
     "q17_small_qty_revenue" -> (q17 _),
-    "q2_cheapest_supplier"  -> (q2min _))
+    "q2_cheapest_supplier"  -> (q2min _),
+    "q_attribution_batch"   -> (qAttribution _),
+    "q_calendar_rollup"     -> (qCalendar _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary"   -> q1Sql,
@@ -693,5 +752,7 @@ object AnalyticsQueries {
     "q_scalar_functions"   -> qScalarFnsSql,
     "q_array_agg"          -> qArrayAggSql,
     "q17_small_qty_revenue" -> q17Sql,
-    "q2_cheapest_supplier"  -> q2minSql)
+    "q2_cheapest_supplier"  -> q2minSql,
+    "q_attribution_batch"   -> qAttributionSql,
+    "q_calendar_rollup"     -> qCalendarSql)
 }
