@@ -686,20 +686,26 @@ object AnalyticsQueries {
 
   /** Array aggregation: per-type sorted distinct user list (sorted so
     * the collect order — nondeterministic in any distributed engine —
-    * can't leak into the result). */
+    * can't leak into the result). The list is serialized to a
+    * comma-joined string because the harness's pandas-side comparison
+    * cannot hash array cells; the string is a deterministic function of
+    * the same set. */
   private def qArrayAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "events")
       .filter($"user_id" < 30)
       .groupBy($"event_type")
-      .agg(sort_array(collect_set($"user_id")).as("users"))
-      .select($"event_type", $"users", size($"users").cast("long").as("n_users"))
+      .agg(sort_array(collect_set($"user_id")).as("user_set"))
+      .select(
+        $"event_type",
+        array_join($"user_set", ",").as("users"),
+        size($"user_set").cast("long").as("n_users"))
       .orderBy($"event_type")
   }
 
   private val qArrayAggSql =
     """SELECT event_type,
-      |  list_sort(list(DISTINCT user_id)) AS users,
+      |  array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users,
       |  CAST(len(list_sort(list(DISTINCT user_id))) AS BIGINT) AS n_users
       |FROM events WHERE user_id < 30
       |GROUP BY event_type ORDER BY event_type""".stripMargin

@@ -102,10 +102,12 @@ object EtlQueries {
       |WHERE event_type IS NULL
       |   OR event_type NOT IN ('click','view','purchase','signup')""".stripMargin
 
-  /** K-2 upsert round-trip (no SQL oracle — stateful sink op; driver
-    * records a rows>0 check): split events into two halves sharing
-    * keys, upsert sequentially into a scratch table, read back. The
-    * second batch must win on overlapping (user_id, event_type) keys. */
+  /** K-2 upsert round-trip: split events into even/odd halves by
+    * event_id, upsert sequentially into a scratch table, read back.
+    * `orderCol = event_id` makes within-batch "last" explicit, so the
+    * final state is a pure function of the input: per key, the odd
+    * (second-batch) event with the highest event_id wins, else the
+    * highest even one — expressible as a DuckDB QUALIFY oracle. */
   private def qUpsert(s: SparkSession, dir: String): DataFrame = {
     val base = KeyGen.withKey(events(s, dir),
       Seq("user_id" -> LongType, "ts" -> TimestampType))
@@ -114,23 +116,77 @@ object EtlQueries {
       .createTempDirectory("graft_upsert").toString + "/t"
     val batch1 = base.filter(col("event_id") % 2 === 0)
     val batch2 = base.filter(col("event_id") % 2 === 1)
-    ParquetUpsertSink.upsert(s, batch1, scratch, KeyGen.columnName)
-    ParquetUpsertSink.upsert(s, batch2, scratch, KeyGen.columnName)
+    ParquetUpsertSink.upsert(s, batch1, scratch, KeyGen.columnName, orderCol = Some("event_id"))
+    ParquetUpsertSink.upsert(s, batch2, scratch, KeyGen.columnName, orderCol = Some("event_id"))
     s.read.parquet(scratch).orderBy(col("event_id"))
   }
 
+  /** Shared oracle body for the upsert queries: the reference's
+    * last-write-wins per key over the two sequential batches.
+    * `hCols` is the extra select list in the base CTE (computed from
+    * ts), `outCols` the corresponding pass-through names downstream. */
+  private def upsertQualifySql(hCols: String, outCols: String): String =
+    s"""WITH h AS (
+      |  SELECT event_id, user_id, value,$hCols
+      |    sha256(CAST(user_id AS VARCHAR) ||
+      |      CASE WHEN strftime(ts, '%f') = '000000'
+      |           THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+      |           ELSE strftime(ts, '%Y-%m-%d %H:%M:%S.%f') END) AS hx
+      |  FROM events),
+      |k AS (
+      |  SELECT substr(hx,1,8) || '-' || substr(hx,9,4) || '-' || substr(hx,13,4) ||
+      |    '-' || substr(hx,17,4) || '-' || substr(hx,21,12) AS event_generated_id,
+      |    event_id, user_id, value$outCols
+      |  FROM h)
+      |SELECT event_generated_id, event_id, user_id, value$outCols FROM k
+      |QUALIFY row_number() OVER (PARTITION BY event_generated_id
+      |  ORDER BY (event_id % 2) DESC, event_id DESC) = 1
+      |ORDER BY event_id""".stripMargin
+
+  private val qUpsertSql = upsertQualifySql("", "")
+
+  /** K-2 at scale: the hive-partitioned upsert path (only partitions
+    * present in the batch are merged/rewritten). Partitioning by
+    * `event_date = date(ts)` — derived from a key column, so keys can
+    * never move partitions and the default immutable-partition
+    * contract holds. */
+  private def qUpsertPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val base = KeyGen.withKey(events(s, dir),
+      Seq("user_id" -> LongType, "ts" -> TimestampType))
+      .select(col(KeyGen.columnName), col("event_id"), col("user_id"), col("value"),
+        to_date(col("ts")).as("event_date"))
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_upsert_part").toString + "/t"
+    val batch1 = base.filter(col("event_id") % 2 === 0)
+    val batch2 = base.filter(col("event_id") % 2 === 1)
+    ParquetUpsertSink.upsertPartitioned(s, batch1, scratch, KeyGen.columnName,
+      partitionCol = "event_date", orderCol = Some("event_id"))
+    ParquetUpsertSink.upsertPartitioned(s, batch2, scratch, KeyGen.columnName,
+      partitionCol = "event_date", orderCol = Some("event_id"))
+    s.read.parquet(scratch)
+      .select(col(KeyGen.columnName), col("event_id"), col("user_id"), col("value"),
+        col("event_date"))
+      .orderBy(col("event_id"))
+  }
+
+  private val qUpsertPartitionedSql =
+    upsertQualifySql(" CAST(ts AS DATE) AS event_date,", ", event_date")
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "etl_normalize"     -> (qNormalize _),
-    "etl_keygen"        -> (qKeygen _),
-    "etl_dedup_first"   -> (qDedup _),
-    "etl_entity_split"  -> (qSplit _),
-    "etl_split_rejects" -> (qSplitRejects _),
-    "etl_upsert"        -> (qUpsert _))
+    "etl_normalize"          -> (qNormalize _),
+    "etl_keygen"             -> (qKeygen _),
+    "etl_dedup_first"        -> (qDedup _),
+    "etl_entity_split"       -> (qSplit _),
+    "etl_split_rejects"      -> (qSplitRejects _),
+    "etl_upsert"             -> (qUpsert _),
+    "etl_upsert_partitioned" -> (qUpsertPartitioned _))
 
   val oracles: Map[String, String] = Map(
-    "etl_normalize"     -> qNormalizeSql,
-    "etl_keygen"        -> qKeygenSql,
-    "etl_dedup_first"   -> qDedupSql,
-    "etl_entity_split"  -> qSplitSql,
-    "etl_split_rejects" -> qSplitRejectsSql)
+    "etl_normalize"          -> qNormalizeSql,
+    "etl_keygen"             -> qKeygenSql,
+    "etl_dedup_first"        -> qDedupSql,
+    "etl_entity_split"       -> qSplitSql,
+    "etl_split_rejects"      -> qSplitRejectsSql,
+    "etl_upsert"             -> qUpsertSql,
+    "etl_upsert_partitioned" -> qUpsertPartitionedSql)
 }

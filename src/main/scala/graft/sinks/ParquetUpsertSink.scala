@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   *     inside a batch, like the reference's sequential executemany);
   *  2. union with existing rows, rank updates above existing per key,
   *     keep rank 1;
-  *  3. rewrite.
+  *  3. rewrite and promote crash-safely (see below).
   *
   * Scale posture: the unpartitioned form rewrites the whole table —
   * correct but O(table) per batch, fine for entity tables far smaller
@@ -23,12 +23,60 @@ import org.apache.spark.sql.functions._
   * partitions present in the batch are read+merged, and the write
   * uses dynamic partition overwrite so untouched partitions are never
   * rewritten. The merge itself is a single shuffle by key.
+  *
+  * Crash safety of the full-rewrite path: the merged table is staged to
+  * `<table>__staging` (complete only once Spark's `_SUCCESS` marker
+  * lands), then promoted via rename table→`<table>__backup`,
+  * rename staging→table, delete backup. At every instant at least one
+  * COMPLETE copy of the data exists in some directory; [[recover]]
+  * (called automatically at the start of every upsert) rolls the state
+  * machine forward after a crash at any point.
   */
 object ParquetUpsertSink {
 
-  private def exists(spark: SparkSession, path: String): Boolean = {
-    val p = new Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def exists(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(new Path(path))
+
+  private def stagingPath(tablePath: String): String =
+    tablePath.stripSuffix("/") + "__staging"
+  private def backupPath(tablePath: String): String =
+    tablePath.stripSuffix("/") + "__backup"
+
+  /** True iff `path` holds a COMPLETE Spark write (its `_SUCCESS`
+    * commit marker landed). */
+  private def isComplete(spark: SparkSession, path: String): Boolean =
+    exists(spark, path.stripSuffix("/") + "/_SUCCESS")
+
+  /** Roll the promote state machine forward after a crash. States
+    * (T = live table, S = complete staging, B = backup):
+    *  - T only / T+incomplete-S: normal; drop the half-written staging.
+    *  - T+S: crashed after staging, before promote — the merge never
+    *    took effect; drop S (the next upsert re-merges from T).
+    *  - B+S, no T: crashed mid-promote — S is the newest complete
+    *    table; promote it and drop B.
+    *  - B only, no T, no S: crashed between `rename S→T` failing
+    *    half-way? Renames are atomic per directory on HDFS/local FS, so
+    *    this state means S was already promoted and deleted — restore B.
+    */
+  def recover(spark: SparkSession, tablePath: String): Unit = {
+    val f = fs(spark, tablePath)
+    val t = new Path(tablePath)
+    val s = new Path(stagingPath(tablePath))
+    val b = new Path(backupPath(tablePath))
+    if (f.exists(t)) {
+      // live table wins; discard any leftover promote state
+      if (f.exists(s)) f.delete(s, true)
+      if (f.exists(b)) f.delete(b, true)
+    } else if (f.exists(s) && isComplete(spark, stagingPath(tablePath))) {
+      f.rename(s, t)
+      if (f.exists(b)) f.delete(b, true)
+    } else if (f.exists(b)) {
+      if (f.exists(s)) f.delete(s, true) // incomplete staging
+      f.rename(b, t)
+    }
   }
 
   /** One row per key in the batch; ties broken arbitrarily (matches
@@ -49,6 +97,7 @@ object ParquetUpsertSink {
       key: String,
       orderCol: Option[String] = None,
       outputFiles: Int = 8): Unit = {
+    recover(spark, tablePath)
     // modest file counts: entity tables are row-few relative to the
     // event stream, and per-file FS metadata work dominates rewrite
     // cost at small scale (outputFiles stays a knob for big tables)
@@ -59,39 +108,82 @@ object ParquetUpsertSink {
     }
     val existing = spark.read.parquet(tablePath)
     val merged = merge(existing, incoming, key)
-    // can't overwrite a path while reading it: stage + atomic-ish swap
-    val tmp = tablePath.stripSuffix("/") + "__staging"
+    // can't overwrite a path while reading it: stage, then promote so a
+    // complete copy exists at every instant (see class doc + recover)
+    val tmp = stagingPath(tablePath)
     merged.coalesce(outputFiles).write.mode("overwrite").parquet(tmp)
-    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(tablePath), true)
-    fs.rename(new Path(tmp), new Path(tablePath))
+    val f = fs(spark, tablePath)
+    f.rename(new Path(tablePath), new Path(backupPath(tablePath)))
+    f.rename(new Path(tmp), new Path(tablePath))
+    f.delete(new Path(backupPath(tablePath)), true)
   }
 
   /** Partition-pruned upsert: merges only the partitions the batch
-    * touches and dynamically overwrites just those. */
+    * touches and dynamically overwrites just those.
+    *
+    * Contract: by default the partition-column value of a key must be
+    * immutable across batches (true when it is derived from the key's
+    * own columns, e.g. `event_date = date(ts)` under a `(user_id, ts)`
+    * key). If keys CAN legitimately move between partitions (e.g. a
+    * corrected event date), pass `detectMovedKeys = true`: incoming
+    * keys are semi-joined against rows OUTSIDE the touched partitions
+    * (one extra scan of the un-touched table, broadcast batch keys) so
+    * the old copies are merged away, and partitions left empty by the
+    * move are physically dropped (dynamic overwrite cannot rewrite a
+    * partition absent from the output).
+    */
   def upsertPartitioned(
       spark: SparkSession,
       batch: DataFrame,
       tablePath: String,
       key: String,
       partitionCol: String,
-      orderCol: Option[String] = None): Unit = {
+      orderCol: Option[String] = None,
+      detectMovedKeys: Boolean = false): Unit = {
     val incoming = dedupBatch(batch, key, orderCol).cache()
     try {
       if (!exists(spark, tablePath)) {
         incoming.write.partitionBy(partitionCol).mode("overwrite").parquet(tablePath)
         return
       }
-      // partitions touched by this batch (small list, collected driver-side)
-      val touched = incoming.select(partitionCol).distinct().collect().map(_.get(0))
-      val existing = spark.read.parquet(tablePath)
-        .filter(col(partitionCol).isInCollection(touched.toSeq))
+      // Partitions touched by this batch (small list, collected
+      // driver-side). Values are compared as STRINGS throughout:
+      // hive-style partition reads type-infer the partition column
+      // (e.g. "2022-11-24" → DateType) while the in-flight batch may
+      // carry it as a string, and a mixed-type Set would silently
+      // never match — string form is also what names the directory.
+      def partValues(df: DataFrame): Seq[String] =
+        df.select(col(partitionCol).cast("string")).distinct()
+          .collect().map(_.getString(0)).toSeq
+      val touched = partValues(incoming)
+      val all = spark.read.parquet(tablePath)
+      val moved: Seq[String] =
+        if (!detectMovedKeys) Nil
+        else partValues(
+          all.filter(!col(partitionCol).cast("string").isInCollection(touched))
+            .join(broadcast(incoming.select(col(key))), Seq(key), "left_semi"))
+      val affected = touched ++ moved
+      val existing = all.filter(col(partitionCol).cast("string").isInCollection(affected))
       val merged = merge(existing.select(incoming.columns.toIndexedSeq.map(col): _*), incoming, key)
-      merged.write
-        .partitionBy(partitionCol)
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite")
-        .parquet(tablePath)
+        .cache()
+      try {
+        merged.write
+          .partitionBy(partitionCol)
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
+          .parquet(tablePath)
+        if (moved.nonEmpty) {
+          // a partition whose only rows moved away produces no output
+          // rows, so dynamic overwrite leaves its stale files — drop it
+          val survived = merged.select(col(partitionCol).cast("string"))
+            .distinct().collect().map(_.getString(0)).toSet
+          val emptied = affected.filterNot(survived.contains)
+          val f = fs(spark, tablePath)
+          emptied.foreach { v =>
+            f.delete(new Path(s"${tablePath.stripSuffix("/")}/$partitionCol=$v"), true)
+          }
+        }
+      } finally merged.unpersist()
     } finally incoming.unpersist()
   }
 

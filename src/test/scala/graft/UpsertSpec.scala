@@ -46,6 +46,68 @@ class UpsertSpec extends SparkSpec {
     assert(got == Map("k1" -> "a", "k2" -> "B", "k3" -> "c"))
   }
 
+  test("upsert promote is crash-safe: a complete table survives a kill at any step") {
+    import org.apache.hadoop.fs.Path
+    val path = tmpDir("upsert_crash") + "/t"
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v1 = Seq(("k1", "a"), ("k2", "b")).toDF("id", "payload")
+    ParquetUpsertSink.upsert(spark, v1, path, "id")
+
+    // Simulate a crash AFTER staging was fully written but BEFORE the
+    // table was moved aside: staging exists + live table exists.
+    val v2 = Seq(("k2", "B")).toDF("id", "payload")
+    v2.write.mode("overwrite").parquet(path + "__staging")
+    ParquetUpsertSink.recover(spark, path)
+    // the live table wins; stale staging is discarded
+    assert(!fs.exists(new Path(path + "__staging")))
+    assert(spark.read.parquet(path).count() == 2)
+
+    // Simulate a crash mid-promote: table renamed to backup, staging
+    // complete, table path absent — the newest complete copy (staging)
+    // must be promoted.
+    v2.write.mode("overwrite").parquet(path + "__staging")
+    fs.rename(new Path(path), new Path(path + "__backup"))
+    ParquetUpsertSink.recover(spark, path)
+    assert(fs.exists(new Path(path)) && !fs.exists(new Path(path + "__backup")))
+    val got = spark.read.parquet(path).collect().map(_.getString(0)).toSet
+    assert(got == Set("k2"))
+
+    // Simulate a crash with only a backup left (and a half-written,
+    // marker-less staging): backup must be restored.
+    fs.rename(new Path(path), new Path(path + "__backup"))
+    v2.write.mode("overwrite").parquet(path + "__staging")
+    fs.delete(new Path(path + "__staging/_SUCCESS"), false)
+    ParquetUpsertSink.recover(spark, path)
+    assert(fs.exists(new Path(path)))
+    assert(!fs.exists(new Path(path + "__backup")))
+    assert(!fs.exists(new Path(path + "__staging")))
+    // an upsert after recovery works normally
+    ParquetUpsertSink.upsert(spark, v1, path, "id")
+    assert(spark.read.parquet(path).count() == 2)
+  }
+
+  test("partitioned upsert with detectMovedKeys removes a key's old-partition copy") {
+    val root = tmpDir("upsert_moved") + "/t"
+    val day1 = Seq(("k1", "2022-11-24", "a"), ("k2", "2022-11-24", "b"),
+      ("k3", "2022-11-25", "c")).toDF("id", "dt", "payload")
+    ParquetUpsertSink.upsertPartitioned(spark, day1, root, "id", "dt")
+    // k3's date is corrected 25→26; without moved-key detection its old
+    // copy under dt=2022-11-25 would survive as a duplicate
+    val fix = Seq(("k3", "2022-11-26", "C")).toDF("id", "dt", "payload")
+    ParquetUpsertSink.upsertPartitioned(spark, fix, root, "id", "dt",
+      detectMovedKeys = true)
+    // dt reads back type-inferred as DateType — compare via toString
+    val got = spark.read.parquet(root).collect()
+      .map(r => r.getAs[String]("id") ->
+        (r.getAs[Any]("dt").toString, r.getAs[String]("payload")))
+      .toMap
+    assert(spark.read.parquet(root).count() == 3) // no duplicate k3
+    assert(got == Map("k1" -> (("2022-11-24", "a")), "k2" -> (("2022-11-24", "b")),
+      "k3" -> (("2022-11-26", "C"))))
+    // dt=2022-11-25 had only k3 — the emptied partition dir must be gone
+    assert(!new java.io.File(s"$root/dt=2022-11-25").exists())
+  }
+
   test("jdbc upsert SQL is parameterized ON CONFLICT / MERGE") {
     val sql = JdbcUpsertSink.onConflictSql("t", Seq("id", "a", "b"), "id")
     assert(sql == "INSERT INTO t (id, a, b) VALUES (?, ?, ?) " +
