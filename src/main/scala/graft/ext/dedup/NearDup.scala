@@ -158,27 +158,28 @@ object NearDup {
   // --------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of
-    * token xxhash64s. The bit loop is unrolled at plan-build time
-    * (bit positions are compile-time Ints), and the token-hash array
-    * is materialized once in `hashesCol` so the 64 bit expressions
-    * share it instead of re-tokenizing. */
+    * token xxhash64s, computed by the one-pass codegen'd
+    * [[graft.functions.SimHash64]] expression (single primitive loop;
+    * no per-bit array passes, no cache barrier needed because the
+    * token-hash array is referenced exactly once). */
   def withSimhash(df: DataFrame, textCol: String, out: String = "sim"): DataFrame = {
-    // spread the input first (single-file scans are 1 partition), then
-    // barrier after __hashes: without it the 64 bit expressions each
-    // re-tokenize and re-hash (projection collapse; see minhashPairs)
+    // spread the input first: single-file scans are 1 partition and
+    // the tokenize+hash work would otherwise run on one task
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val hashed = df
-      .repartition(par)
-      .withColumn("__hashes",
-        transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)))
-      .cache()
-    val n = size(col("__hashes"))
-    val bits = (0 until 64).map { b =>
-      when(size(filter(col("__hashes"),
+    df.repartition(par)
+      .withColumn(out, graft.functions.SimHash64.simhash(
+        transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t))))
+  }
+
+  /** The 64-expression HOF formulation SimHash64 replaced — kept only
+    * as the parity oracle for SimHashSpec. */
+  private[graft] def simhashReferenceChain(hashes: Column): Column = {
+    val n = size(hashes)
+    (0 until 64).map { b =>
+      when(size(filter(hashes,
         h => shiftright(h, b).bitwiseAND(1) === 1)) * 2 >= n,
         lit(1L << b)).otherwise(0L)
-    }
-    hashed.withColumn(out, bits.reduce(_ + _)).drop("__hashes")
+    }.reduce(_ + _)
   }
 
   /** SimHash near-dup pairs: candidates via 4×16-bit chunk equality

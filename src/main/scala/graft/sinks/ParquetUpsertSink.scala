@@ -142,8 +142,15 @@ object ParquetUpsertSink {
       detectMovedKeys: Boolean = false): Unit = {
     val incoming = dedupBatch(batch, key, orderCol).cache()
     try {
+      // co-locate each hive partition's rows in one task before the
+      // write: otherwise every shuffle task appends a file to every
+      // partition dir (tasks × partitions small files — FS metadata
+      // cost dominates the merge at scale)
+      def onePilePerPartition(df: DataFrame): DataFrame =
+        df.repartition(col(partitionCol))
       if (!exists(spark, tablePath)) {
-        incoming.write.partitionBy(partitionCol).mode("overwrite").parquet(tablePath)
+        onePilePerPartition(incoming)
+          .write.partitionBy(partitionCol).mode("overwrite").parquet(tablePath)
         return
       }
       // Partitions touched by this batch (small list, collected
@@ -167,7 +174,7 @@ object ParquetUpsertSink {
       val merged = merge(existing.select(incoming.columns.toIndexedSeq.map(col): _*), incoming, key)
         .cache()
       try {
-        merged.write
+        onePilePerPartition(merged).write
           .partitionBy(partitionCol)
           .option("partitionOverwriteMode", "dynamic")
           .mode("overwrite")
