@@ -1,7 +1,6 @@
 package graft.ext.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate/exact nearest-neighbor search over an embedding column
@@ -56,13 +55,25 @@ object CosineKNN {
     val scored = c.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 9))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    rankTopK(scored, k)
   }
+
+  /** Rank scored candidates per query, keeping the k best by
+    * (cosine desc, neighbor_id asc) — identical output to
+    * `row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC,
+    * neighbor_id) <= k`, but via the bounded [[graft.functions.TopKByScore]]
+    * aggregate: each map task retains at most k candidates per query,
+    * so the shuffle carries O(k) rows per (task, query) instead of the
+    * full scored set, and no per-query full-width reducer sort exists.
+    * At corpus scale the window form lands EVERY query's entire
+    * candidate list on one reducer; this keeps the ranking a partial
+    * aggregation (ObjectHashAggregate — PlanShapeSpec pins it). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore.topk(col("cosine"), col("neighbor_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("neighbor_id"), col("col.score").as("cosine"))
 
   /** Deterministic pseudo-random hyperplanes (seeded; driver-side
     * constants folded into the plan as array literals). */
@@ -121,12 +132,7 @@ object CosineKNN {
       .filter(col("neighbor_id") =!= col("query_id"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine", round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 9))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    rankTopK(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold —
