@@ -108,13 +108,57 @@ class UpsertSpec extends SparkSpec {
     assert(!new java.io.File(s"$root/dt=2022-11-25").exists())
   }
 
-  test("jdbc upsert SQL is parameterized ON CONFLICT / MERGE") {
+  test("live jdbc update-insert upsert against embedded Derby is last-write-wins") {
+    val url = "jdbc:derby:memory:graft_rowmerge;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    // column names quoted to match the generated SQL's quoting (and
+    // Spark's own JDBC identifier behavior) — see JdbcUpsertSink.q
+    conn.createStatement().execute(
+      """CREATE TABLE users ("id" BIGINT PRIMARY KEY, "name" VARCHAR(64), "score" INT)""")
+    conn.close()
+    val types = Map("id" -> "BIGINT", "name" -> "VARCHAR(64)", "score" -> "INT")
+    val b1 = Seq((1L, "ann", 10), (2L, "bo", 20)).toDF("id", "name", "score")
+    JdbcUpsertSink.upsertViaUpdateInsert(b1, url, "users", "id", types, maxConnections = 2)
+    // batch 2 updates id=2, inserts id=3
+    val b2 = Seq((2L, "bo2", 25), (3L, "cy", 30)).toDF("id", "name", "score")
+    JdbcUpsertSink.upsertViaUpdateInsert(b2, url, "users", "id", types, maxConnections = 2)
+    val got = spark.read.jdbc(url, "users", new java.util.Properties())
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(got == Map(1L -> ("ann", 10), 2L -> ("bo2", 25), 3L -> ("cy", 30)))
+    // replaying batch 2 is idempotent
+    JdbcUpsertSink.upsertViaUpdateInsert(b2, url, "users", "id", types, maxConnections = 2)
+    assert(spark.read.jdbc(url, "users", new java.util.Properties()).count() == 3)
+  }
+
+  test("live jdbc staged-merge upsert against embedded Derby is last-write-wins") {
+    val url = "jdbc:derby:memory:graft_merge;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      """CREATE TABLE items ("id" BIGINT PRIMARY KEY, "payload" VARCHAR(64))""")
+    conn.close()
+    val b1 = Seq((1L, "a"), (2L, "b")).toDF("id", "payload")
+    JdbcUpsertSink.upsertViaMerge(b1, url, "items", "id", numPartitions = 2)
+    val b2 = Seq((2L, "B"), (3L, "c")).toDF("id", "payload")
+    JdbcUpsertSink.upsertViaMerge(b2, url, "items", "id", numPartitions = 2)
+    val got = spark.read.jdbc(url, "items", new java.util.Properties())
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "B", 3L -> "c"))
+  }
+
+  test("jdbc upsert SQL is parameterized ON CONFLICT / MERGE / UPDATE-INSERT") {
     val sql = JdbcUpsertSink.onConflictSql("t", Seq("id", "a", "b"), "id")
-    assert(sql == "INSERT INTO t (id, a, b) VALUES (?, ?, ?) " +
-      "ON CONFLICT (id) DO UPDATE SET a = EXCLUDED.a, b = EXCLUDED.b")
+    assert(sql == """INSERT INTO t ("id", "a", "b") VALUES (?, ?, ?) """ +
+      """ON CONFLICT ("id") DO UPDATE SET "a" = EXCLUDED."a", "b" = EXCLUDED."b"""")
     val merge = JdbcUpsertSink.mergeSql("t", "t_staging", Seq("id", "a"), "id")
-    assert(merge.contains("MERGE INTO t t USING t_staging s ON t.id = s.id"))
-    assert(merge.contains("WHEN MATCHED THEN UPDATE SET a = s.a"))
-    assert(merge.contains("WHEN NOT MATCHED THEN INSERT (id, a) VALUES (s.id, s.a)"))
+    assert(merge.contains("""MERGE INTO t t USING t_staging s ON t."id" = s."id""""))
+    assert(merge.contains("""WHEN MATCHED THEN UPDATE SET "a" = s."a""""))
+    assert(merge.contains("""WHEN NOT MATCHED THEN INSERT ("id", "a") VALUES (s."id", s."a")"""))
+    val upd = JdbcUpsertSink.updateSql("t", Seq("id", "a", "b"), "id")
+    assert(upd == """UPDATE t SET "a" = ?, "b" = ? WHERE "id" = ?""")
+    val ins = JdbcUpsertSink.insertIfAbsentSql(
+      "t", Seq("id" -> "BIGINT", "a" -> "INT"), "id")
+    assert(ins == """INSERT INTO t ("id", "a") SELECT s."id", s."a" """ +
+      """FROM (VALUES (CAST(? AS BIGINT), CAST(? AS INT))) AS s ("id", "a") """ +
+      """WHERE NOT EXISTS (SELECT 1 FROM t t WHERE t."id" = s."id")""")
   }
 }
