@@ -24,13 +24,17 @@ object NearDup {
   // ----------------------------------------------------------- exact dedup
 
   /** Exact dedup on the normalized-content fingerprint; keeps the
-    * lowest id per group. One hash-shuffle, map-side combine. */
+    * lowest-id row per group via `min_by` — a declarative aggregate
+    * with map-side partial combine (each task reduces its groups to
+    * one candidate row before the shuffle), unlike the row_number
+    * window form this replaces, which shuffled every row and sorted
+    * whole groups on the reducers. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(col("fingerprint")).orderBy(col(idCol))
-    docs.withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val withFp = docs.withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
+    withFp
+      .groupBy(col("fingerprint"))
+      .agg(min_by(struct(withFp.columns.map(col): _*), col(idCol)).as("__r"))
+      .select(col("__r.*"))
   }
 
   // -------------------------------------------------------------- minhash

@@ -57,8 +57,12 @@ object HandlerJob {
       val byEntity = EntitySplit(staged, "on", schemas.map(_.entity))
       val outcomes = schemas.map { schema =>
         val entity = schema.entity
+        // cache: the audit count and the upsert both consume the
+        // pipeline — without a materialization point the whole
+        // normalize→keygen→dedup chain (shuffle included) would
+        // execute twice per entity
+        val ready = entityPipeline(byEntity(entity), schema).cache()
         try {
-          val ready = entityPipeline(byEntity(entity), schema)
           val n = ready.count()
           ParquetUpsertSink.upsert(
             spark, ready, s"$warehouseDir/${schema.targetTable}", KeyGen.columnName)
@@ -68,11 +72,13 @@ object HandlerJob {
           entity -> Right(n)
         } catch {
           case e: Throwable =>
+            // full stack trace, matching the reference's traceback
+            // capture (src/helper/postgres.py:45-63)
             store.recordHandler(HandlerExecution(
               workflowId, executionId, Timestamp.from(now), stagedPath,
-              schema.targetTable, 0L, Some(e.toString)))
+              schema.targetTable, 0L, Some(Stacks.render(e))))
             entity -> Left(e.toString)
-        }
+        } finally ready.unpersist()
       }
       Result(
         outcomes.collect { case (e, Right(n)) => e -> n }.toMap,

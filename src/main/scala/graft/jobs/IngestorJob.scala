@@ -66,7 +66,7 @@ object IngestorJob {
       case e: Throwable =>
         store.recordIngestor(IngestorExecution(
           workflowId, executionId, Timestamp.from(now), Timestamp.from(hour),
-          0, None, Some(e.toString)))
+          0, None, Some(Stacks.render(e))))
         throw e
     }
   }
