@@ -39,7 +39,11 @@ object Bench {
       val err =
         try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable => Some(e.toString.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // barrier caches from LSH/dedup queries must not accumulate
+      // across the run (cleanup cost sits outside the timed window)
+      spark.catalog.clearCache()
+      (name, elapsed, err)
     }
     val qs = results.map { case (k, v, err) =>
       "\"" + k + "\":" + (if (err.isDefined) "null" else v.toString)

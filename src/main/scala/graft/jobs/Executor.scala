@@ -57,8 +57,12 @@ object Executor {
   }
 
   def run(spark: SparkSession, args: Args): Unit = {
-    val store = new FileMonitorStore(spark, s"${args.root}/monitor")
+    val store = new FileMonitorStore(spark, s"${args.root}/monitor",
+      warehouseDir = Some(s"${args.root}/tables"))
     val schemas = EntitySchema.reference
+    // bootstrap = applying the reference's migrations/init.sql; the
+    // handler's precheck then verifies the tables genuinely exist
+    store.migrate(schemas.map(_.targetTable))
     val source = graft.jobs.Pipelines.unionSourceStruct(schemas)
     val wfId = args.workflow.getOrElse(UUID.randomUUID().toString)
     if (args.step == "all" || args.step == "ingestor")

@@ -53,8 +53,18 @@ trait MonitorStore {
 /** Parquet-backed monitor store. The monitor tables are tiny (one row
   * per run) so every read is a driver-cheap scan; appends are
   * single-row parquet appends.
+  *
+  * Table precheck: with a `warehouseDir`, [[targetTableExists]] is the
+  * file-warehouse twin of the reference's `information_schema.tables`
+  * lookup (`src/helper/postgres.py:131-155`) — a table exists iff its
+  * directory does. [[migrate]] is the twin of `migrations/init.sql`:
+  * it creates the (empty) table directories, after which prechecks
+  * pass and the first upsert writes the initial data. Without a
+  * `warehouseDir` the store falls back to a static declared-table set
+  * (schema-registry mode, used by tests that never touch a warehouse).
   */
 class FileMonitorStore(spark: SparkSession, dir: String,
+    warehouseDir: Option[String] = None,
     knownTables: Set[String] = Set("vehicle_location", "operating_periods"))
   extends MonitorStore {
 
@@ -99,7 +109,20 @@ class FileMonitorStore(spark: SparkSession, dir: String,
     Seq(row).toDS().write.mode("append").parquet(handlerPath)
 
   override def targetTableExists(table: String): Boolean =
-    knownTables.contains(table)
+    warehouseDir match {
+      case Some(w) => exists(s"$w/$table")
+      case None    => knownTables.contains(table)
+    }
+
+  /** Create the (empty) target-table directories — the file-warehouse
+    * twin of applying the reference's `migrations/init.sql`. Idempotent. */
+  def migrate(tables: Seq[String]): Unit =
+    warehouseDir.foreach { w =>
+      tables.foreach { t =>
+        val p = new Path(s"$w/$t")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+      }
+    }
 
   def ingestorRows(): Seq[Row] =
     if (exists(ingestorPath)) spark.read.parquet(ingestorPath).collect().toSeq else Seq.empty

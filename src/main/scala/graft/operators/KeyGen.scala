@@ -26,7 +26,10 @@ object KeyGen {
 
   val columnName = "event_generated_id"
 
-  /** Pandas-`str()`-compatible rendering of one key column. */
+  /** Pandas-`str()`-compatible rendering of one key column. Null
+    * temporals render "None", not "NaT": the reference replaces
+    * `pd.NaT` with `None` before `str()` (`helper.py`'s
+    * `replace({pd.NaT: None})`), so `None` is what its key hash sees. */
   def canonicalString(c: Column, dt: DataType): Column = dt match {
     case TimestampType =>
       // pandas: "2022-11-24 10:00:00" for whole seconds,
@@ -35,8 +38,8 @@ object KeyGen {
       val micro = date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
       val rendered = when(date_format(c, "SSSSSS") === "000000", whole)
         .otherwise(micro)
-      coalesce(rendered, lit("NaT"))
-    case DateType => coalesce(c.cast("string"), lit("NaT"))
+      coalesce(rendered, lit("None"))
+    case DateType => coalesce(c.cast("string"), lit("None"))
     case _        => coalesce(c.cast("string"), lit("None"))
   }
 

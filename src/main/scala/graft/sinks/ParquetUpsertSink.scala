@@ -40,6 +40,20 @@ object ParquetUpsertSink {
   private def exists(spark: SparkSession, path: String): Boolean =
     fs(spark, path).exists(new Path(path))
 
+  /** True iff the table path holds actual data files. A bare empty
+    * directory — what [[graft.meta.FileMonitorStore.migrate]] creates —
+    * is a valid PRE-EXISTING but EMPTY table: the upsert then takes
+    * the fresh-write path instead of trying to read a schema from
+    * nothing. */
+  private def hasData(spark: SparkSession, path: String): Boolean = {
+    val f = fs(spark, path)
+    val p = new Path(path)
+    f.exists(p) && f.listStatus(p).exists { s =>
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
   private def stagingPath(tablePath: String): String =
     tablePath.stripSuffix("/") + "__staging"
   private def backupPath(tablePath: String): String =
@@ -102,7 +116,7 @@ object ParquetUpsertSink {
     // event stream, and per-file FS metadata work dominates rewrite
     // cost at small scale (outputFiles stays a knob for big tables)
     val incoming = dedupBatch(batch, key, orderCol)
-    if (!exists(spark, tablePath)) {
+    if (!hasData(spark, tablePath)) {
       incoming.coalesce(outputFiles).write.mode("overwrite").parquet(tablePath)
       return
     }
@@ -148,7 +162,7 @@ object ParquetUpsertSink {
       // cost dominates the merge at scale)
       def onePilePerPartition(df: DataFrame): DataFrame =
         df.repartition(col(partitionCol))
-      if (!exists(spark, tablePath)) {
+      if (!hasData(spark, tablePath)) {
         onePilePerPartition(incoming)
           .write.partitionBy(partitionCol).mode("overwrite").parquet(tablePath)
         return

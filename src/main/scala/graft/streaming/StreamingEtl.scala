@@ -135,36 +135,62 @@ object StreamingEtl {
 
   /** Gap-based sessionization with explicit state
     * (`flatMapGroupsWithState`): emits a session when the gap between
-    * consecutive events exceeds `gapMs`, or on state timeout. State is
-    * per-user and sharded by the streaming state store — the custom-
-    * state primitive the DataFrame window version cannot express
-    * incrementally. */
+    * consecutive events exceeds `gapMs`, or on EVENT-TIME state
+    * timeout — once the watermark passes a user's last event + gap,
+    * their open session is flushed and the state REMOVED, so state
+    * stays bounded by currently-active users instead of growing with
+    * every user ever seen. (Event-time, not processing-time: the flush
+    * condition is the same gap the in-batch check uses, it needs no
+    * continuous empty-batch triggering, and it is deterministic under
+    * replay.) State is per-user and sharded by the streaming state
+    * store — the custom-state primitive the DataFrame window version
+    * cannot express incrementally.
+    *
+    * @param watermark max event lateness before the flush clock
+    *                  advances (also bounds how late a session-
+    *                  extending event may arrive) */
   def sessionize(
       events: Dataset[SessionInput],
-      gapMs: Long = 30 * 60 * 1000L): Dataset[SessionOutput] = {
+      gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "10 minutes"): Dataset[SessionOutput] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermark)
       .groupByKey(_.userId)
       .flatMapGroupsWithState[SessionState, SessionOutput](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[SessionInput], state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
-          var st = state.getOption.orNull
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOutput]
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            st match {
-              case null =>
-                st = SessionState(t, t, 1, e.value)
-              case s if t - s.last > gapMs =>
-                out += SessionOutput(userId, s.n, s.sum, s.start, s.last)
-                st = SessionState(t, t, 1, e.value)
-              case s =>
-                st = SessionState(s.start, t, s.n + 1, s.sum + e.value)
+          if (state.hasTimedOut) {
+            // watermark passed last+gap: flush the open session
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOutput(userId, s.n, s.sum, s.start, s.last))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var st = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOutput]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              st match {
+                case null =>
+                  st = SessionState(t, t, 1, e.value)
+                case s if t - s.last > gapMs =>
+                  out += SessionOutput(userId, s.n, s.sum, s.start, s.last)
+                  st = SessionState(t, t, 1, e.value)
+                case s =>
+                  st = SessionState(s.start, t, s.n + 1, s.sum + e.value)
+              }
             }
+            if (st != null) {
+              state.update(st)
+              // flush once the watermark clears last+gap; clamp above
+              // the current watermark (required by the API when a
+              // late-arriving batch would otherwise set it in the past)
+              state.setTimeoutTimestamp(
+                math.max(st.last + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
           }
-          if (st != null) state.update(st)
-          out.iterator
       }
   }
 }

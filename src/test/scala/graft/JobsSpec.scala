@@ -26,8 +26,10 @@ class JobsSpec extends SparkSpec {
   test("two-run incremental pipeline with cursor advance and upsert") {
     val root = tmpDir("e2e")
     val landing = s"$root/landing"; Files.createDirectories(Paths.get(landing))
-    val store = new FileMonitorStore(spark, s"$root/monitor")
+    val store = new FileMonitorStore(spark, s"$root/monitor",
+      warehouseDir = Some(s"$root/tables"))
     val schemas = EntitySchema.reference
+    store.migrate(schemas.map(_.targetTable))
     val source = Pipelines.unionSourceStruct(schemas)
 
     // hour 10: one vehicle + one operating period + a file in hour 11 (must be ignored)
@@ -67,6 +69,23 @@ class JobsSpec extends SparkSpec {
   test("handler with no staged file is a clean no-op") {
     val root = tmpDir("noop")
     val store = new FileMonitorStore(spark, s"$root/monitor")
+    val res = HandlerJob.run(spark, store, s"$root/tables",
+      EntitySchema.reference, UUID.randomUUID().toString)
+    assert(res.recordsInserted.isEmpty && res.failures.isEmpty)
+  }
+
+  test("precheck fails on a genuinely missing warehouse table, passes after migrate") {
+    val root = tmpDir("precheck")
+    val store = new FileMonitorStore(spark, s"$root/monitor",
+      warehouseDir = Some(s"$root/tables"))
+    // nothing migrated: the dynamic information_schema-twin must refuse
+    val ex = intercept[IllegalArgumentException] {
+      HandlerJob.run(spark, store, s"$root/tables",
+        EntitySchema.reference, UUID.randomUUID().toString)
+    }
+    assert(ex.getMessage.contains("missing target tables"))
+    store.migrate(EntitySchema.reference.map(_.targetTable))
+    // after migration the same run is a clean no-op (no staged file)
     val res = HandlerJob.run(spark, store, s"$root/tables",
       EntitySchema.reference, UUID.randomUUID().toString)
     assert(res.recordsInserted.isEmpty && res.failures.isEmpty)

@@ -86,12 +86,15 @@ class PipelineSpec extends SparkSpec {
     assert(got == expectedKey("v-1", "2022-11-24 10:02:11"))
   }
 
-  test("keygen renders null key columns like pandas str()") {
+  test("keygen renders null key timestamps as None (post-NaT-replace str())") {
+    // the reference replaces pd.NaT with None BEFORE str()
+    // (helper.py replace({pd.NaT: None})), so the hashed rendering of a
+    // null key timestamp is "None", never "NaT"
     val (good, _) = JsonLinesSource.goodAndBad(rawFixture)
     val out = HandlerJob.entityPipeline(good, vehicleSchema)
     val got = out.filter(out("vehicle_id") === "v-3")
       .select(KeyGen.columnName).collect().head.getString(0)
-    assert(got == expectedKey("v-3", "NaT"))
+    assert(got == expectedKey("v-3", "None"))
   }
 
   test("keygen keeps sub-second timestamps in microsecond form") {

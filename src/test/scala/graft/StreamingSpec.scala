@@ -143,6 +143,17 @@ class StreamingSpec extends SparkSpec {
     val closed = spark.table("sessions").as[StreamingEtl.SessionOutput].collect()
     assert(closed.length == 1)
     assert(closed.head.nEvents == 2 && closed.head.sumValue == 3.0)
+
+    // event-time timeout: another user's far-future events advance the
+    // watermark past user 1's last+gap (+10min watermark slack), so the
+    // idle user's OPEN session flushes and their state is dropped
+    input.addData(StreamingEtl.SessionInput(2, ts(300), 1.0))
+    q.processAllAvailable() // watermark recomputed from this batch...
+    input.addData(StreamingEtl.SessionInput(2, ts(301), 1.0))
+    q.processAllAvailable() // ...and applied (timeouts fire) in the next
+    val all = spark.table("sessions").as[StreamingEtl.SessionOutput].collect()
+    val flushed = all.filter(s => s.userId == 1 && s.nEvents == 1)
+    assert(flushed.length == 1 && flushed.head.sumValue == 5.0)
     q.stop()
   }
 }
