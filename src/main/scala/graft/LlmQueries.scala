@@ -164,20 +164,98 @@ object LlmQueries {
 
   // ----------------------------------------- minhash / simhash (LSH paths)
 
-  /** MinHash+LSH near-dup pairs over bigram shingles (rows-only:
-    * xxhash64 has no DuckDB twin; recall vs brute force is asserted
-    * in LlmOpsSpec). The corpus plants near-dups at bigram J≈0.9 over
-    * a ~0.03 background, so b=16/r=4 gives ~100% recall with a
+  /** MinHash+LSH near-dup pairs over bigram shingles. Fully
+    * oracle-checked: the polynomial hash family (see
+    * [[graft.functions.PolyHash]]) is replayed in DuckDB, so the
+    * oracle reproduces signatures → banding → candidates → exact
+    * Jaccard verbatim. The corpus plants near-dups at bigram J≈0.9
+    * over a ~0.03 background, so b=16/r=4 gives ~100% recall with a
     * vanishing candidate rate. */
   private def qMinhash(s: SparkSession, dir: String): DataFrame =
     NearDup.minhashPairs(docs(s, dir), "doc_id", "text",
       shingleSize = 2, bands = 16, rowsPerBand = 4, threshold = 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** SimHash near-dup pairs (rows-only, same rationale). */
+  import graft.functions.PolyHash.{duckdbSql => ph, P => PH_P}
+
+  private lazy val qMinhashSql =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(toks)),
+       |      i -> toks[i] || ' ' || toks[i+1])) AS sh
+       |  FROM t WHERE len(toks) >= 2),
+       |hashed AS (
+       |  SELECT doc_id, sh,
+       |    list_transform(sh, s -> ${ph("s", 31)}) AS h31,
+       |    list_transform(sh, s -> ${ph("s", 37)}) AS h37
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 64), j ->
+       |      list_min(list_transform(range(1, len(h31) + 1),
+       |        i -> (h31[i] + j * h37[i]) % $PH_P))) AS sig
+       |  FROM hashed),
+       |buckets AS (
+       |  SELECT doc_id, b.band,
+       |    array_to_string(sig[b.band * 4 + 1 : b.band * 4 + 4], ',') AS key
+       |  FROM sig, (SELECT unnest(range(0, 16)) AS band) b),
+       |capped AS (
+       |  SELECT * FROM buckets
+       |  QUALIFY COUNT(*) OVER (PARTITION BY band, key) <= 1000),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key
+       |  WHERE a.doc_id < b.doc_id),
+       |verified AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS inter,
+       |    len(sa.sh) AS la, len(sb.sh) AS lb
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, inter / (la + lb - inter) AS jaccard
+       |FROM verified
+       |WHERE inter / (la + lb - inter) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** SimHash near-dup pairs — oracle-checked via the same PolyHash
+    * replay: the oracle recomputes every 60-bit token hash and the
+    * per-bit majority in SQL, then brute-forces pairs at hamming ≤ 3
+    * (pigeonhole makes the chunk-bucket candidate set EQUAL to the
+    * hamming ball when the skew caps don't bind, and at oracle scale —
+    * 500 docs vs a 1000-doc cap — they cannot). */
   private def qSimhash(s: SparkSession, dir: String): DataFrame =
     NearDup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
       .orderBy(col("doc_a"), col("doc_b"))
+
+  private lazy val qSimhashSql =
+    s"""WITH th AS (
+       |  SELECT doc_id,
+       |    list_transform(
+       |      CASE WHEN trim(text) = '' THEN []
+       |           ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END,
+       |      t -> ${ph("t", 31)} * 1073741824 + ${ph("t", 37)}) AS hs
+       |  FROM documents WHERE text IS NOT NULL),
+       |bits AS (
+       |  SELECT doc_id, b.bit,
+       |    CASE WHEN 2 * len(list_filter(hs, h -> ((h >> b.bit) & 1) = 1)) >= len(hs)
+       |         THEN (CAST(1 AS BIGINT) << b.bit) ELSE 0 END AS v,
+       |    len(hs) AS n
+       |  FROM th, (SELECT unnest(range(0, 64)) AS bit) b),
+       |sims AS (
+       |  SELECT doc_id,
+       |    CASE WHEN MAX(n) = 0 THEN CAST(-1 AS BIGINT)
+       |         ELSE CAST(SUM(v) AS BIGINT) END AS sim
+       |  FROM bits GROUP BY doc_id)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+       |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ------------------------------------------------------ similarity search
 
@@ -211,7 +289,10 @@ object LlmQueries {
       |QUALIFY rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
-  /** LSH-bucketed ANN (rows-only; recall asserted in LlmOpsSpec). */
+  /** LSH-bucketed ANN. Fully oracle-checked: the hyperplanes are
+    * deterministic (seed 42, driver-side constants folded into the
+    * Spark plan), so the DuckDB oracle below inlines the SAME plane
+    * constants and replays bucketing + multi-probe + ranking in SQL. */
   private def qKnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     CosineKNN.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
@@ -219,12 +300,99 @@ object LlmQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Embedding near-dup pairs above cosine 0.3 within LSH buckets
-    * (rows-only; the corpus is random so high thresholds are empty). */
+  /** DuckDB rendering of the seeded hyperplane set: `(j, [p...])`
+    * VALUES rows. `Double.toString` round-trips exactly through
+    * DuckDB's literal parser, so both engines project onto
+    * bit-identical planes. */
+  private def planesValues(planes: Seq[Array[Double]]): String =
+    planes.zipWithIndex.map { case (p, j) => s"($j, [${p.mkString(", ")}])" }
+      .mkString(", ")
+
+  /** Shared LSH oracle CTEs: plane projections, sign buckets, squared
+    * norms. Dot products are SUM-of-products like qKnnExactSql (proved
+    * hash-stable under round(...,9) there). */
+  private def lshCtes(planes: Seq[Array[Double]]): String =
+    s"""planes AS (SELECT j, p FROM (VALUES ${planesValues(planes)}) AS t(j, p)),
+       |proj AS (
+       |  SELECT vec_id, j, SUM(CAST(x AS DOUBLE) * y) AS d
+       |  FROM (SELECT e.vec_id, pl.j, unnest(e.embedding) AS x, unnest(pl.p) AS y
+       |        FROM embeddings e, planes pl)
+       |  GROUP BY vec_id, j),
+       |buckets AS (
+       |  SELECT vec_id, CAST(SUM(CASE WHEN d >= 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY vec_id),
+       |norms AS (
+       |  SELECT vec_id, SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nn
+       |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id)""".stripMargin
+
+  private lazy val qKnnLshSql: String = {
+    val planes = CosineKNN.hyperplanes(8, 64)
+    val masks = CosineKNN.probeMasks(8, 2)
+    s"""WITH ${lshCtes(planes)},
+       |qb AS (
+       |  SELECT b.vec_id AS query_id, xor(b.bucket, m.mask) AS bucket
+       |  FROM buckets b, (SELECT CAST(unnest([${masks.mkString(", ")}]) AS BIGINT) AS mask) m
+       |  WHERE b.vec_id < 10),
+       |cand AS (
+       |  SELECT DISTINCT qb.query_id, cb.vec_id AS neighbor_id
+       |  FROM qb JOIN buckets cb ON qb.bucket = cb.bucket
+       |  WHERE cb.vec_id != qb.query_id),
+       |pairs AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    unnest(q.embedding) AS x, unnest(n.embedding) AS y
+       |  FROM cand c
+       |  JOIN embeddings q ON q.vec_id = c.query_id
+       |  JOIN embeddings n ON n.vec_id = c.neighbor_id),
+       |dots AS (
+       |  SELECT query_id, neighbor_id, SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot
+       |  FROM pairs GROUP BY query_id, neighbor_id),
+       |scored AS (
+       |  SELECT d.query_id, d.neighbor_id,
+       |    round(d.dot / (sqrt(nq.nn) * sqrt(nb.nn)), 9) AS cosine
+       |  FROM dots d
+       |  JOIN norms nq ON nq.vec_id = d.query_id
+       |  JOIN norms nb ON nb.vec_id = d.neighbor_id)
+       |SELECT query_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank,
+       |  neighbor_id, cosine
+       |FROM scored
+       |QUALIFY rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Embedding near-dup pairs above cosine 0.3 within LSH buckets —
+    * oracle-checked via the same inlined-plane replay as qKnnLsh. */
   private def qEmbNearDup(s: SparkSession, dir: String): DataFrame =
     CosineKNN.nearDupPairs(emb(s, dir), "vec_id", "embedding",
       threshold = 0.3, numPlanes = 4, dim = 64)
       .orderBy(col("doc_a"), col("doc_b"))
+
+  private lazy val qEmbNearDupSql: String = {
+    val planes = CosineKNN.hyperplanes(4, 64)
+    s"""WITH ${lshCtes(planes)},
+       |cand AS (
+       |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM buckets a JOIN buckets b ON a.bucket = b.bucket
+       |  WHERE a.vec_id < b.vec_id),
+       |pairs AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    unnest(va.embedding) AS x, unnest(vb.embedding) AS y
+       |  FROM cand c
+       |  JOIN embeddings va ON va.vec_id = c.doc_a
+       |  JOIN embeddings vb ON vb.vec_id = c.doc_b),
+       |dots AS (
+       |  SELECT doc_a, doc_b, SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot
+       |  FROM pairs GROUP BY doc_a, doc_b),
+       |scored AS (
+       |  SELECT d.doc_a, d.doc_b,
+       |    round(d.dot / (sqrt(na.nn) * sqrt(nb.nn)), 9) AS cosine
+       |  FROM dots d
+       |  JOIN norms na ON na.vec_id = d.doc_a
+       |  JOIN norms nb ON nb.vec_id = d.doc_b)
+       |SELECT doc_a, doc_b, cosine FROM scored
+       |WHERE cosine >= 0.3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   // -------------------------------------------- pii / repetition / sampling
 
@@ -372,10 +540,14 @@ object LlmQueries {
     "docs_fingerprint"   -> qFingerprintSql,
     "docs_exact_dedup"   -> qExactDedupSql,
     "docs_jaccard_pairs" -> qJaccardPairsSql,
+    "docs_minhash_pairs" -> qMinhashSql,
+    "docs_simhash_pairs" -> qSimhashSql,
     "docs_pii_scrub"     -> qPiiScrubSql,
     "docs_repetition"    -> qRepetitionSql,
     "docs_hash_sample"   -> qHashSampleSql,
     "events_profile"     -> qProfileSql,
     "emb_knn_exact"      -> qKnnExactSql,
+    "emb_knn_lsh"        -> qKnnLshSql,
+    "emb_neardup_pairs"  -> qEmbNearDupSql,
     "multimodal_meta"    -> qMultimodalMetaSql)
 }

@@ -39,19 +39,27 @@ object NearDup {
 
   // -------------------------------------------------------------- minhash
 
-  /** MinHash signature of a shingle set: `numHashes` independent
-    * hash families simulated by salting xxhash64 with the hash index;
-    * the signature element j is the min salted hash over shingles.
-    * Pure array expressions — codegen'd, no UDF. */
-  def minhashSignature(shingleSet: Column, numHashes: Int): Column =
-    minhashFromHashes(transform(shingleSet, s => xxhash64(s)), numHashes)
+  import graft.functions.PolyHash
 
-  /** Signature from pre-hashed shingles: each string is hashed once
-    * and the per-index families re-hash (long, index) — far cheaper
-    * than re-hashing the string numHashes times. */
-  def minhashFromHashes(shingleHashes: Column, numHashes: Int): Column =
+  /** MinHash signature of a shingle set: `numHashes` salted families
+    * over the two [[graft.functions.PolyHash]] base hashes — family j
+    * is `(h31 + j·h37) mod P`, the classic 2-universal construction —
+    * computed by the one-call native [[graft.functions.MinHashSig]]
+    * expression (one UTF-8 decode per shingle, incremental add-mod
+    * inner loop; no interpreted HOF trees). The polynomial base
+    * hashes (not xxhash64) make the whole signature REPLAYABLE IN
+    * DUCKDB, which is what upgrades docs_minhash_pairs from rows-only
+    * to hash-verified. */
+  def minhashSignature(shingleSet: Column, numHashes: Int): Column =
+    graft.functions.MinHashSig.of(shingleSet, numHashes)
+
+  /** The HOF formulation MinHashSig replaced — kept only as the
+    * parity oracle for MinHashSigSpec. */
+  private[graft] def minhashSigReferenceChain(shingleSet: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(shingleHashes, h => xxhash64(h, j))))
+      j => array_min(transform(
+        transform(shingleSet, s => PolyHash.polyhashPacked(s)),
+        p => (shiftright(p, 30) + j * p.bitwiseAND(0x3FFFFFFFL)) % PolyHash.P)))
 
   /** Candidate pairs via banded LSH over minhash signatures, each
     * verified with exact Jaccard over the shingle sets.
@@ -71,23 +79,24 @@ object NearDup {
       maxBucketSize: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
     val withSh = shingleSets(docs, idCol, textCol, shingleSize)
-    // cache points between the lambda fan-outs: shh is referenced by
-    // all 64 hash families, sig by all 16 band slices (see the
-    // re-evaluation note in shingleSets)
+    // cache: sig is referenced by all 16 band slices (see the
+    // re-evaluation note in shingleSets); the signature itself is one
+    // native MinHashSig call per row, so no intermediate hash-array
+    // barrier is needed anymore
     val withSig = withSh
-      .select(col("doc"), transform(col("sh"), s => xxhash64(s)).as("shh"))
+      .select(col("doc"), minhashSignature(col("sh"), numHashes).as("sig"))
       .cache()
-      .withColumn("sig", minhashFromHashes(col("shh"), numHashes))
-      .select(col("doc"), col("sig"))
-      .cache()
-    // explode into (band, bandSignatureHash) bucket keys — ids only;
-    // shingle arrays are re-joined AFTER candidate dedup so the wide
-    // payload never rides through the band join or the distinct
+    // explode into (band, bandKey) bucket keys — ids only; shingle
+    // arrays are re-joined AFTER candidate dedup so the wide payload
+    // never rides through the band join or the distinct. The band key
+    // is the joined slice itself (~40 chars), not a hash of it: key
+    // equality is then EXACTLY slice equality (no collision term in
+    // the candidate set) and the oracle can replay it verbatim.
     val buckets = withSig.select(
       col("doc"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("band"),
-          xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
+          concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
             .as("sig")))).as("bucket"))
       .select(col("doc"), col("bucket.band"), col("bucket.sig"))
     // skew guard: drop degenerate buckets
@@ -161,18 +170,22 @@ object NearDup {
 
   // --------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash over whitespace tokens: per-bit majority vote of
-    * token xxhash64s, computed by the one-pass codegen'd
+  /** SimHash over whitespace tokens: per-bit majority vote of 60-bit
+    * token hashes (`polyhash31 · 2³⁰ + polyhash37` — two base-coprime
+    * polynomial hashes packed side by side, replayable in DuckDB; see
+    * [[graft.functions.PolyHash]]), computed by the one-pass codegen'd
     * [[graft.functions.SimHash64]] expression (single primitive loop;
     * no per-bit array passes, no cache barrier needed because the
-    * token-hash array is referenced exactly once). */
+    * token-hash array is referenced exactly once). Bits 60-63 are
+    * always 0 for non-empty docs; hamming distances are unaffected. */
   def withSimhash(df: DataFrame, textCol: String, out: String = "sim"): DataFrame = {
+    import graft.functions.PolyHash
     // spread the input first: single-file scans are 1 partition and
     // the tokenize+hash work would otherwise run on one task
     val par = df.sparkSession.sparkContext.defaultParallelism
     df.repartition(par)
-      .withColumn(out, graft.functions.SimHash64.simhash(
-        transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t))))
+      .withColumn(out, graft.functions.SimHashTokens.of(
+        TextFunctions.tokens(col(textCol))))
   }
 
   /** The 64-expression HOF formulation SimHash64 replaced — kept only
