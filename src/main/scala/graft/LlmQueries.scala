@@ -457,10 +457,14 @@ object LlmQueries {
       |WHERE substr(md5(text), 1, 2) < '10'
       |ORDER BY doc_id""".stripMargin
 
-  /** Full-stack integration (rows-only): synthetic media → stub
-    * feature extraction → exact cosine KNN over the feature vectors.
+  /** Full-stack integration: synthetic media → stub feature
+    * extraction → exact cosine KNN over the feature vectors.
     * Demonstrates that the multimodal feature output plugs straight
-    * into the similarity-search operators. */
+    * into the similarity-search operators. Oracle-checked: the stub
+    * features are a deterministic 16-bin byte histogram of the UTF-8
+    * payload, which DuckDB replays from `hex(encode(text))` — each
+    * byte's HIGH NIBBLE (= its bin) is literally a hex digit of the
+    * encoding — with the same float32 normalization. */
   private def qMultimodalKnn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val feats = Multimodal
@@ -470,6 +474,50 @@ object LlmQueries {
       "vec_id", "embedding", k = 3)
       .orderBy($"query_id", $"rank")
   }
+
+  private val qMultimodalKnnSql =
+    """WITH hx AS (
+      |  SELECT doc_id, hex(encode(text)) AS h,
+      |    octet_length(encode(text)) AS nb
+      |  FROM documents),
+      |bins AS (
+      |  SELECT doc_id, nb,
+      |    CAST('0x' || substr(h, 2 * i + 1, 1) AS INT) AS bin
+      |  FROM (SELECT doc_id, h, nb, unnest(range(0, nb)) AS i FROM hx)),
+      |hist AS (
+      |  SELECT doc_id, bin, COUNT(*) AS c FROM bins GROUP BY doc_id, bin),
+      |grid AS (
+      |  SELECT hx.doc_id, hx.nb, g.bin
+      |  FROM hx, (SELECT unnest(range(0, 16)) AS bin) g),
+      |feat AS (
+      |  SELECT g.doc_id, g.bin,
+      |    CAST(CAST(COALESCE(hist.c, 0) AS FLOAT) /
+      |         GREATEST(CAST(1 AS FLOAT), CAST(g.nb AS FLOAT)) AS FLOAT) AS f
+      |  FROM grid g LEFT JOIN hist ON hist.doc_id = g.doc_id AND hist.bin = g.bin),
+      |vec AS (
+      |  SELECT doc_id AS vec_id, list(f ORDER BY bin) AS embedding
+      |  FROM feat GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |    unnest(q.embedding) AS x, unnest(e.embedding) AS y
+      |  FROM (SELECT * FROM vec WHERE vec_id < 5) q, vec e
+      |  WHERE e.vec_id != q.vec_id),
+      |dots AS (
+      |  SELECT query_id, neighbor_id,
+      |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+      |    SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+      |    SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+      |  FROM pairs GROUP BY query_id, neighbor_id),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |    round(dot / (sqrt(na) * sqrt(nb)), 9) AS cosine
+      |  FROM dots)
+      |SELECT query_id,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank,
+      |  neighbor_id, cosine
+      |FROM scored
+      |QUALIFY rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
 
   // -------------------------------------------------------------- profiling
 
@@ -549,5 +597,6 @@ object LlmQueries {
     "emb_knn_exact"      -> qKnnExactSql,
     "emb_knn_lsh"        -> qKnnLshSql,
     "emb_neardup_pairs"  -> qEmbNearDupSql,
+    "multimodal_knn"     -> qMultimodalKnnSql,
     "multimodal_meta"    -> qMultimodalMetaSql)
 }
