@@ -2,19 +2,23 @@ package graft
 
 import graft.ext.dedup.NearDup
 import graft.ext.multimodal.Multimodal
-import graft.ext.similarity.CosineKNN
+import graft.ext.similarity.{CosineKNN, IvfKNN}
 import graft.ext.text.TextFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline operator registry: text analysis, dedup family,
-  * similarity search, multimodal plumbing — over `documents` /
-  * `embeddings` (TESTDATA.md).
+  * similarity search (exact, LSH, IVF), multimodal plumbing — over
+  * `documents` / `embeddings` (TESTDATA.md).
   *
-  * Oracle-checked where the semantics are SQL-expressible in DuckDB;
-  * the approximate operators (MinHash/SimHash/LSH-ANN) are registered
-  * rows-only and their recall is measured against the exact
-  * brute-force paths in ScalaTest (LlmOpsSpec).
+  * EVERY query here is hash-verified against a DuckDB oracle,
+  * including the approximate operators: the LSH/IVF constructions use
+  * deterministic, SQL-replayable primitives (the [[graft.functions.PolyHash]]
+  * family, seeded hyperplanes inlined as literals, sampled IVF
+  * codebooks), so the oracle replays the full pipeline rather than
+  * settling for a rows-only check. Recall/precision properties are
+  * additionally measured against the exact brute-force paths in
+  * ScalaTest (LlmOpsSpec / IvfSpec).
   */
 object LlmQueries {
 
@@ -360,6 +364,73 @@ object LlmQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** IVF ANN: 16 sampled centroids (deterministic codebook = the 16
+    * lowest-id vectors), corpus assigned to inverted lists by a pure
+    * map-stage quantizer, queries probe their 4 nearest lists.
+    * Oracle-checked: the codebook rule, assignment argmax (rounded
+    * cosine, ties to lower centroid id), probing, and ranking all
+    * replay exactly in DuckDB. */
+  private def qKnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = IvfKNN.sampledCentroids(e, "vec_id", "embedding", 16)
+    IvfKNN.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+      cents, k = 5, nprobe = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val qKnnIvfSql =
+    """WITH cent AS (
+      |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+      |norms AS (
+      |  SELECT vec_id, SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nn
+      |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+      |cnorm AS (
+      |  SELECT cid, SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS cn
+      |  FROM (SELECT cid, unnest(cv) AS x FROM cent) GROUP BY cid),
+      |vcd AS (
+      |  SELECT vec_id, cid, SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot
+      |  FROM (SELECT e.vec_id, c.cid, unnest(e.embedding) AS x, unnest(c.cv) AS y
+      |        FROM embeddings e, cent c)
+      |  GROUP BY vec_id, cid),
+      |vccos AS (
+      |  SELECT v.vec_id, v.cid,
+      |    round(v.dot / (sqrt(n.nn) * sqrt(cn.cn)), 9) AS cos
+      |  FROM vcd v
+      |  JOIN norms n ON n.vec_id = v.vec_id
+      |  JOIN cnorm cn ON cn.cid = v.cid),
+      |assign AS (
+      |  SELECT vec_id, cid AS list_id FROM vccos
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, cid AS list_id FROM vccos
+      |  WHERE vec_id < 10
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) <= 4),
+      |cand AS (
+      |  SELECT p.query_id, a.vec_id AS neighbor_id
+      |  FROM probes p JOIN assign a ON a.list_id = p.list_id
+      |  WHERE a.vec_id != p.query_id),
+      |pairs AS (
+      |  SELECT c.query_id, c.neighbor_id,
+      |    unnest(q.embedding) AS x, unnest(n2.embedding) AS y
+      |  FROM cand c
+      |  JOIN embeddings q ON q.vec_id = c.query_id
+      |  JOIN embeddings n2 ON n2.vec_id = c.neighbor_id),
+      |dots AS (
+      |  SELECT query_id, neighbor_id, SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot
+      |  FROM pairs GROUP BY query_id, neighbor_id),
+      |scored AS (
+      |  SELECT d.query_id, d.neighbor_id,
+      |    round(d.dot / (sqrt(nq.nn) * sqrt(nb.nn)), 9) AS cosine
+      |  FROM dots d
+      |  JOIN norms nq ON nq.vec_id = d.query_id
+      |  JOIN norms nb ON nb.vec_id = d.neighbor_id)
+      |SELECT query_id,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank,
+      |  neighbor_id, cosine
+      |FROM scored
+      |QUALIFY rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   /** Embedding near-dup pairs above cosine 0.3 within LSH buckets —
     * oracle-checked via the same inlined-plane replay as qKnnLsh. */
   private def qEmbNearDup(s: SparkSession, dir: String): DataFrame =
@@ -577,6 +648,7 @@ object LlmQueries {
     "events_profile"      -> (qProfile _),
     "emb_knn_exact"       -> (qKnnExact _),
     "emb_knn_lsh"         -> (qKnnLsh _),
+    "emb_knn_ivf"         -> (qKnnIvf _),
     "emb_neardup_pairs"   -> (qEmbNearDup _),
     "multimodal_knn"      -> (qMultimodalKnn _),
     "multimodal_meta"     -> (qMultimodalMeta _))
@@ -596,6 +668,7 @@ object LlmQueries {
     "events_profile"     -> qProfileSql,
     "emb_knn_exact"      -> qKnnExactSql,
     "emb_knn_lsh"        -> qKnnLshSql,
+    "emb_knn_ivf"        -> qKnnIvfSql,
     "emb_neardup_pairs"  -> qEmbNearDupSql,
     "multimodal_knn"     -> qMultimodalKnnSql,
     "multimodal_meta"    -> qMultimodalMetaSql)

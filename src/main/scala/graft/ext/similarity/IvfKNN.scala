@@ -1,0 +1,147 @@
+package graft.ext.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the second
+  * scale path next to [[CosineKNN.lshTopK]], with the classic
+  * coarse-quantizer structure:
+  *
+  *  1. pick K centroids (index metadata — K·dim floats, driver-held
+  *     and folded into the plan as literals, like a real IVF index's
+  *     codebook);
+  *  2. assign every corpus vector to its nearest centroid → K
+  *     inverted lists (`list_id` column; at rest this is the table's
+  *     partition/bucket key, so a probe prunes entire files). The
+  *     quantizer is a PURE MAP projection — K codegen'd dot products
+  *     per row, no crossJoin, no shuffle, no window;
+  *  3. a query scores ONLY the vectors in its `nprobe` nearest lists,
+  *     and ranking goes through the bounded
+  *     [[graft.functions.TopKByScore]] aggregate (k rows per
+  *     (task, query) after the partial pass).
+  *
+  * Centroid choice is pluggable:
+  *  - [[sampledCentroids]] — the K lowest-id corpus vectors
+  *    (deterministic, training-free; what the registered,
+  *    DuckDB-oracle-checked query uses, since it is exactly
+  *    replayable in SQL);
+  *  - [[trainCentroids]] — Lloyd iterations from that seed (better
+  *    list balance/recall; deterministic up to FP summation order, so
+  *    spec-tested for recall rather than hash-matched).
+  *
+  * All cosines are rounded to 9 decimals (project convention) and
+  * ties break toward the lower centroid/neighbor id, so every step is
+  * deterministic and cross-engine replayable.
+  */
+object IvfKNN {
+
+  /** A codebook entry: id, vector, precomputed norm. */
+  case class Centroid(id: Int, vec: Array[Float], norm: Double)
+
+  private def mk(id: Int, v: Array[Float]): Centroid =
+    Centroid(id, v, math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
+
+  /** Deterministic training-free codebook: the K lowest-id corpus
+    * vectors (any fixed data-independent rule works; ids are the
+    * natural one). K·dim floats — collected to the driver like real
+    * IVF index metadata. */
+  def sampledCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int): Seq[Centroid] =
+    corpus.orderBy(col(idCol)).limit(k).select(col(vecCol))
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => mk(i, r.getSeq[Float](0).toArray) }
+
+  /** Lloyd refinement: assign (map stage) → per-dimension mean (one
+    * shuffle) per iteration, driver-collecting the small codebook
+    * between iterations. */
+  def trainCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iterations: Int = 5): Seq[Centroid] = {
+    var centroids = sampledCentroids(corpus, idCol, vecCol, k)
+    (0 until iterations).foreach { _ =>
+      val assigned = corpus
+        .select(col(vecCol).as("v"), nearestCentroid(col(vecCol), centroids).as("list_id"))
+      val means = assigned
+        .select(col("list_id"), posexplode(col("v")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          val dims = rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toArray
+          cid.toInt -> dims
+        }
+      // empty lists keep their previous centroid (standard Lloyd fix)
+      centroids = centroids.map(c => means.get(c.id).map(mk(c.id, _)).getOrElse(c))
+    }
+    centroids
+  }
+
+  /** Cosine to one codebook entry (vector literal folded into the
+    * plan; codegen'd dot). */
+  private def cosTo(vec: Column, vecNorm: Column, c: Centroid): Column = {
+    val cv = array(c.vec.toIndexedSeq.map(lit): _*)
+    round(CosineKNN.dot(vec, cv) / (vecNorm * lit(c.norm)), 9)
+  }
+
+  /** Nearest centroid id as a pure projection: argmax over the K
+    * (cosine, -id) structs — struct ordering gives max cosine with
+    * ties to the LOWER id. Repeated `vecNorm` subexpressions collapse
+    * in whole-stage codegen's subexpression elimination. */
+  def nearestCentroid(vec: Column, centroids: Seq[Centroid]): Column = {
+    val n = CosineKNN.norm(vec)
+    val entries = centroids.map(c =>
+      struct(cosTo(vec, n, c).as("cos"), lit(-c.id).as("negid")))
+    (-array_max(array(entries: _*)).getField("negid")).cast("long")
+  }
+
+  /** Top-`nprobe` centroid ids as a pure projection (descending
+    * cosine, ties to lower id): sort the K structs, slice. */
+  def probeLists(vec: Column, centroids: Seq[Centroid], nprobe: Int): Column = {
+    val n = CosineKNN.norm(vec)
+    val entries = centroids.map(c =>
+      struct(cosTo(vec, n, c).as("cos"), lit(-c.id).as("negid")))
+    transform(
+      slice(reverse(array_sort(array(entries: _*))), 1, nprobe),
+      e => (-e.getField("negid")).cast("long"))
+  }
+
+  /** Assign the corpus to inverted lists: adds `list_id`. At rest,
+    * write the table partitioned/bucketed by this column. */
+  def assignLists(
+      corpus: DataFrame, vecCol: String, centroids: Seq[Centroid]): DataFrame =
+    corpus.withColumn("list_id", nearestCentroid(col(vecCol), centroids))
+
+  /** IVF top-k: probe the `nprobe` nearest lists per query, exact
+    * cosine inside them, bounded top-k ranking. */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Centroid],
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val lists = assignLists(corpus, vecCol, centroids)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+        CosineKNN.norm(col(vecCol)).as("nn"), col("list_id"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        CosineKNN.norm(col(vecCol)).as("qn"),
+        explode(probeLists(col(vecCol), centroids, nprobe)).as("list_id"))
+    val scored = lists.join(probes, Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        round(CosineKNN.dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 9))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore.topk(col("cosine"), col("neighbor_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("neighbor_id"), col("col.score").as("cosine"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.ext.similarity.{CosineKNN, IvfKNN}
+import org.apache.spark.sql.functions._
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+
+  test("full probe (nprobe = K) equals brute force exactly") {
+    val cents = IvfKNN.sampledCentroids(emb, "vec_id", "embedding", 8)
+    val ivf = IvfKNN.ivfTopK(emb, emb.filter($"vec_id" < 5), "vec_id", "embedding",
+        cents, k = 3, nprobe = 8)
+      .orderBy("query_id", "rank").collect().toSeq
+    val exact = CosineKNN.bruteForceTopK(emb, emb.filter($"vec_id" < 5),
+        "vec_id", "embedding", k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(ivf == exact)
+  }
+
+  test("quantizer is a pure map: no shuffle, window, or crossJoin in assignment") {
+    val cents = IvfKNN.sampledCentroids(emb, "vec_id", "embedding", 8)
+    val p = IvfKNN.assignLists(emb, "embedding", cents)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(2000))
+  }
+
+  test("every vector lands in exactly one list; lists cover the corpus") {
+    val cents = IvfKNN.sampledCentroids(emb, "vec_id", "embedding", 8)
+    val assigned = IvfKNN.assignLists(emb, "embedding", cents)
+    assert(assigned.count() == emb.count())
+    val ids = assigned.select("list_id").distinct().as[Long].collect().toSet
+    assert(ids.subsetOf((0L until 8L).toSet) && ids.size > 1)
+  }
+
+  test("clustered corpus: partial probe keeps high recall; Lloyd training keeps it") {
+    // 4 tight clusters around orthogonal-ish seeds + the query points
+    val rnd = new scala.util.Random(7)
+    val seeds = Array.fill(4)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val rows = (0 until 400).map { i =>
+      val c = seeds(i % 4)
+      (i.toLong, c.map(x => x + 0.05f * rnd.nextGaussian().toFloat).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" < 8)
+    val exact = CosineKNN.bruteForceTopK(df, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    def recallWith(cents: Seq[IvfKNN.Centroid]): Double = {
+      val got = IvfKNN.ivfTopK(df, q, "vec_id", "embedding", cents, k = 5, nprobe = 2)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val sampled = IvfKNN.sampledCentroids(df, "vec_id", "embedding", 8)
+    val rSampled = recallWith(sampled)
+    assert(rSampled >= 0.9, s"sampled-centroid recall $rSampled")
+    val trained = IvfKNN.trainCentroids(df, "vec_id", "embedding", 8, iterations = 3)
+    val rTrained = recallWith(trained)
+    assert(rTrained >= rSampled - 0.05, s"trained $rTrained vs sampled $rSampled")
+  }
+}
