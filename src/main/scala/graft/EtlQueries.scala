@@ -109,16 +109,21 @@ object EtlQueries {
     * (second-batch) event with the highest event_id wins, else the
     * highest even one — expressible as a DuckDB QUALIFY oracle. */
   private def qUpsert(s: SparkSession, dir: String): DataFrame = {
+    // cache: both batch upserts scan the keyed frame — without the
+    // barrier the events read + sha2 keygen run once per batch
     val base = KeyGen.withKey(events(s, dir),
       Seq("user_id" -> LongType, "ts" -> TimestampType))
       .select(col(KeyGen.columnName), col("event_id"), col("user_id"), col("value"))
-    val scratch = java.nio.file.Files
-      .createTempDirectory("graft_upsert").toString + "/t"
-    val batch1 = base.filter(col("event_id") % 2 === 0)
-    val batch2 = base.filter(col("event_id") % 2 === 1)
-    ParquetUpsertSink.upsert(s, batch1, scratch, KeyGen.columnName, orderCol = Some("event_id"))
-    ParquetUpsertSink.upsert(s, batch2, scratch, KeyGen.columnName, orderCol = Some("event_id"))
-    s.read.parquet(scratch).orderBy(col("event_id"))
+      .cache()
+    try {
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft_upsert").toString + "/t"
+      val batch1 = base.filter(col("event_id") % 2 === 0)
+      val batch2 = base.filter(col("event_id") % 2 === 1)
+      ParquetUpsertSink.upsert(s, batch1, scratch, KeyGen.columnName, orderCol = Some("event_id"))
+      ParquetUpsertSink.upsert(s, batch2, scratch, KeyGen.columnName, orderCol = Some("event_id"))
+      s.read.parquet(scratch).orderBy(col("event_id"))
+    } finally base.unpersist()
   }
 
   /** Shared oracle body for the upsert queries: the reference's
@@ -155,18 +160,21 @@ object EtlQueries {
       Seq("user_id" -> LongType, "ts" -> TimestampType))
       .select(col(KeyGen.columnName), col("event_id"), col("user_id"), col("value"),
         to_date(col("ts")).as("event_date"))
-    val scratch = java.nio.file.Files
-      .createTempDirectory("graft_upsert_part").toString + "/t"
-    val batch1 = base.filter(col("event_id") % 2 === 0)
-    val batch2 = base.filter(col("event_id") % 2 === 1)
-    ParquetUpsertSink.upsertPartitioned(s, batch1, scratch, KeyGen.columnName,
-      partitionCol = "event_date", orderCol = Some("event_id"))
-    ParquetUpsertSink.upsertPartitioned(s, batch2, scratch, KeyGen.columnName,
-      partitionCol = "event_date", orderCol = Some("event_id"))
-    s.read.parquet(scratch)
-      .select(col(KeyGen.columnName), col("event_id"), col("user_id"), col("value"),
-        col("event_date"))
-      .orderBy(col("event_id"))
+      .cache()
+    try {
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft_upsert_part").toString + "/t"
+      val batch1 = base.filter(col("event_id") % 2 === 0)
+      val batch2 = base.filter(col("event_id") % 2 === 1)
+      ParquetUpsertSink.upsertPartitioned(s, batch1, scratch, KeyGen.columnName,
+        partitionCol = "event_date", orderCol = Some("event_id"))
+      ParquetUpsertSink.upsertPartitioned(s, batch2, scratch, KeyGen.columnName,
+        partitionCol = "event_date", orderCol = Some("event_id"))
+      s.read.parquet(scratch)
+        .select(col(KeyGen.columnName), col("event_id"), col("user_id"), col("value"),
+          col("event_date"))
+        .orderBy(col("event_id"))
+    } finally base.unpersist()
   }
 
   private val qUpsertPartitionedSql =

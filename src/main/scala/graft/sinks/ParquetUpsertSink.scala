@@ -2,7 +2,6 @@ package graft.sinks
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Idempotent keyed upsert onto a parquet table (reference op K-2,
@@ -12,8 +11,8 @@ import org.apache.spark.sql.functions._
   * Strategy is merge-on-write:
   *  1. dedup the incoming batch to one row per key (last-write-wins
   *     inside a batch, like the reference's sequential executemany);
-  *  2. union with existing rows, rank updates above existing per key,
-  *     keep rank 1;
+  *  2. union with existing rows, prefer the update per key (max_by on
+  *     a priority tag — hash aggregation, no per-key sort);
   *  3. rewrite and promote crash-safely (see below).
   *
   * Scale posture: the unpartitioned form rewrites the whole table —
@@ -94,12 +93,18 @@ object ParquetUpsertSink {
   }
 
   /** One row per key in the batch; ties broken arbitrarily (matches
-    * `dropDuplicates`) — pass `orderCol` to make "last" explicit. */
+    * `dropDuplicates`) — pass `orderCol` to make "last" explicit
+    * (deterministic when `(key, orderCol)` is unique, e.g. an event
+    * id). `max_by` instead of a row_number window: hash aggregation
+    * with map-side partial combine — each task reduces to one
+    * candidate row per key BEFORE the shuffle, and no reducer ever
+    * sorts a whole key group. */
   private def dedupBatch(batch: DataFrame, key: String, orderCol: Option[String]): DataFrame =
     orderCol match {
       case Some(o) =>
-        val w = Window.partitionBy(col(key)).orderBy(col(o).desc)
-        batch.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+        batch.groupBy(col(key))
+          .agg(max_by(struct(batch.columns.toIndexedSeq.map(col): _*), col(o)).as("__r"))
+          .select(col("__r.*"))
       case None => batch.dropDuplicates(key)
     }
 
@@ -208,13 +213,18 @@ object ParquetUpsertSink {
     } finally incoming.unpersist()
   }
 
-  /** Rank updates above existing rows per key, keep one. */
+  /** Prefer the incoming row per key, keep one. Both sides are
+    * key-unique (batch deduped, table an upsert invariant), so each
+    * key sees at most two rows and `max_by` on the priority tag is
+    * deterministic — and, unlike the window form, it is a hash
+    * aggregation with map-side partial combine (no per-key reducer
+    * sort). */
   private def merge(existing: DataFrame, incoming: DataFrame, key: String): DataFrame = {
     val tagged = incoming.withColumn("__pri", lit(1))
       .unionByName(existing.withColumn("__pri", lit(0)))
-    val w = Window.partitionBy(col(key)).orderBy(col("__pri").desc)
-    tagged.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "__pri")
+    val cols = incoming.columns.toIndexedSeq
+    tagged.groupBy(col(key))
+      .agg(max_by(struct(cols.map(col): _*), col("__pri")).as("__r"))
+      .select(col("__r.*"))
   }
 }
