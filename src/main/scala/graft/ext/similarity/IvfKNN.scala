@@ -133,7 +133,10 @@ object IvfKNN {
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         CosineKNN.norm(col(vecCol)).as("qn"),
         explode(probeLists(col(vecCol), centroids, nprobe)).as("list_id"))
-    val scored = lists.join(probes, Seq("list_id"))
+    // probes = |queries|·nprobe rows — broadcast so the CORPUS side
+    // never shuffles (a hash join on 16ish list_ids would both move
+    // the whole corpus and skew onto K reducers)
+    val scored = lists.join(broadcast(probes), Seq("list_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
         round(CosineKNN.dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 9))

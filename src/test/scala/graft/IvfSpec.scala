@@ -29,6 +29,14 @@ class IvfSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("probe join broadcasts the probe side; corpus never shuffles before scoring") {
+    val p = SparkEntry.queries("emb_knn_ivf")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // the corpus reaches the scoring join without a hash exchange on list_id
+    assert(!p.contains("Exchange hashpartitioning(list_id"), p.take(3000))
+  }
+
   test("every vector lands in exactly one list; lists cover the corpus") {
     val cents = IvfKNN.sampledCentroids(emb, "vec_id", "embedding", 8)
     val assigned = IvfKNN.assignLists(emb, "embedding", cents)
