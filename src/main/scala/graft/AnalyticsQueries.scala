@@ -710,6 +710,97 @@ object AnalyticsQueries {
       |FROM events WHERE user_id < 30
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------- q9-style nation profit
+
+  /** Revenue by supplier nation × order year: two broadcast dims on
+    * the lineitem side plus ONE fact-fact shuffle join
+    * (lineitem⋈orders on orderkey — both sides hash-partition on the
+    * key, the layout a 100 TB deployment would pre-bucket). Rollup
+    * shuffle carries only (nation, year) partial sums. */
+  private def qNationProfit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(t(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+      .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"n_name".as("nation"), year($"o_orderdate").cast("long").as("o_year"))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("profit"))
+      .orderBy($"nation", $"o_year")
+  }
+
+  private val qNationProfitSql =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS profit
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY n_name, year(o_orderdate)
+      |ORDER BY nation, o_year""".stripMargin
+
+  // --------------------------------------------- q18-style large orders
+
+  /** Orders whose total quantity clears a threshold, with their
+    * customer: agg-then-join (the aggregate output is tiny, so the
+    * subsequent joins are effectively dim joins), top-100 via
+    * TakeOrdered — no global sort. */
+  private def qLargeOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big = t(s, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(dsum($"l_quantity").as("total_qty"))
+      .filter($"total_qty" > 180.0)
+    big
+      .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"o_orderkey", $"o_totalprice", $"total_qty")
+      .orderBy($"total_qty".desc, $"o_orderkey")
+      .limit(100)
+  }
+
+  private val qLargeOrdersSql =
+    """SELECT c_name, o_orderkey, o_totalprice, total_qty
+      |FROM (
+      |  SELECT l_orderkey,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey) b
+      |JOIN orders ON b.l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE total_qty > 180.0
+      |ORDER BY total_qty DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  // ------------------------------- q22-style idle high-balance customers
+
+  /** Above-average-balance customers with no recent orders: a scalar
+    * aggregate broadcast against the customer scan (no collect; the
+    * one-row average rides a broadcast nested-loop), then a LEFT ANTI
+    * join against the date-filtered orders (filter pushed to the
+    * orders scan). The average is decimal-exact so the threshold
+    * comparison is engine-independent. */
+  private def qIdleRich(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = t(s, dir, "customer")
+    val avgBal = c.agg((dsum($"c_acctbal") / count(lit(1))).as("__avg_bal"))
+    val recent = t(s, dir, "orders").filter($"o_orderdate" >= lit("1998-06-01"))
+    c.crossJoin(broadcast(avgBal))
+      .filter($"c_acctbal" > $"__avg_bal")
+      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+      .orderBy($"c_custkey")
+  }
+
+  private val qIdleRichSql =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer
+      |WHERE c_acctbal > (
+      |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+      |    FROM customer)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1998-06-01')
+      |ORDER BY c_custkey""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -735,7 +826,10 @@ object AnalyticsQueries {
     "q17_small_qty_revenue" -> (q17 _),
     "q2_cheapest_supplier"  -> (q2min _),
     "q_attribution_batch"   -> (qAttribution _),
-    "q_calendar_rollup"     -> (qCalendar _))
+    "q_calendar_rollup"     -> (qCalendar _),
+    "q9_nation_profit"      -> (qNationProfit _),
+    "q18_large_orders"      -> (qLargeOrders _),
+    "q22_idle_rich"         -> (qIdleRich _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary"   -> q1Sql,
@@ -760,5 +854,8 @@ object AnalyticsQueries {
     "q17_small_qty_revenue" -> q17Sql,
     "q2_cheapest_supplier"  -> q2minSql,
     "q_attribution_batch"   -> qAttributionSql,
-    "q_calendar_rollup"     -> qCalendarSql)
+    "q_calendar_rollup"     -> qCalendarSql,
+    "q9_nation_profit"      -> qNationProfitSql,
+    "q18_large_orders"      -> qLargeOrdersSql,
+    "q22_idle_rich"         -> qIdleRichSql)
 }

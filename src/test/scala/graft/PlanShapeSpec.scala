@@ -38,4 +38,23 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q1_pricing_summary")
     assert(p.contains("partial_sum"), p.take(2000))
   }
+
+  test("q9 dims broadcast; the only hash exchanges are the fact-fact orderkey join and the rollup") {
+    val p = plan("q9_nation_profit")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("Exchange hashpartitioning(s_suppkey"), p.take(2000))
+    assert(!p.contains("Exchange hashpartitioning(n_nationkey"), p.take(2000))
+  }
+
+  test("q18 top-100 plans as TakeOrderedAndProject over the agg-then-join") {
+    val p = plan("q18_large_orders")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q22 date filter is pushed to the orders scan feeding the anti join") {
+    val p = plan("q22_idle_rich")
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      p.take(3000))
+  }
 }
