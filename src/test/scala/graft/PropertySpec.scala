@@ -91,4 +91,53 @@ class PropertySpec extends SparkSpec {
     // last-write-wins within the batch by orderCol
     assert(state1("k1") == rows.filter(_._1 == "k1").map(_._2).max)
   }
+
+  test("TopKHeap equals sort-take under the (score desc, id asc) order on random inputs") {
+    val gen = Gen.listOfN(200,
+      Gen.zip(Gen.choose(0, 20).map(_ / 20.0), Gen.choose(0L, 50L)))
+    forSamples(gen) { pairs =>
+      val h = new graft.functions.TopKHeap(7)
+      pairs.foreach { case (s, i) => h.insert(s, i) }
+      val expected = pairs
+        .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+        .take(7)
+      assert(h.sorted.toSeq == expected)
+    }
+  }
+
+  test("PolyHash fold equals an independent BigInt modular fold on random strings") {
+    val gen = Gen.listOfN(30, Gen.asciiPrintableStr)
+    forSamples(gen) { strs =>
+      val got = strs.toDF("s")
+        .select(graft.functions.PolyHash.polyhash(col("s"), 31)).collect()
+        .map(_.getLong(0))
+      val want = strs.map { str =>
+        str.codePoints().toArray.foldLeft(BigInt(0))((h, cp) =>
+          (h * 31 + cp) mod BigInt(graft.functions.PolyHash.P)).toLong
+      }
+      assert(got.toSeq == want)
+    }
+  }
+
+  test("MinHashSig is permutation-invariant and respects containment on random shingle sets") {
+    val shingleGen = Gen.listOfN(25, Gen.identifier.suchThat(_.nonEmpty)).map(_.distinct)
+    forSamples(shingleGen) { sh =>
+      val sig = graft.functions.MinHashSig.signature(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          sh.map(org.apache.spark.unsafe.types.UTF8String.fromString)), 32)
+      val shuffled = scala.util.Random.javaRandomToRandom(
+        new java.util.Random(7)).shuffle(sh)
+      val sig2 = graft.functions.MinHashSig.signature(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          shuffled.map(org.apache.spark.unsafe.types.UTF8String.fromString)), 32)
+      // order of the set must not matter
+      assert(sig.toLongArray.toSeq == sig2.toLongArray.toSeq)
+      // a superset's minima can only be <= the subset's (min over more values)
+      val extra = sh ++ Seq("zzz_extra_1", "zzz_extra_2")
+      val sig3 = graft.functions.MinHashSig.signature(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          extra.map(org.apache.spark.unsafe.types.UTF8String.fromString)), 32)
+      sig.toLongArray.zip(sig3.toLongArray).foreach { case (a, b) => assert(b <= a) }
+    }
+  }
 }
