@@ -631,6 +631,36 @@ object LlmQueries {
       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Resize + frame-sample stages end-to-end: the binary payload runs
+    * through BOTH batch transforms (resize to 50%, then every-3rd-byte
+    * frame sampling on video rows) with metadata kept consistent.
+    * Oracle-checked on the exact stub semantics: resized length =
+    * max(1, ⌊n·50/100⌋), sampled length = ⌈n/3⌉ for video, unchanged
+    * otherwise — all integer-derivable in SQL. */
+  private def qMultimodalStages(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = Multimodal.syntheticCorpus(s, docs(s, dir))
+    val staged = Multimodal.sampleFrames(
+      Multimodal.resize(corpus, scalePercent = 50), everyK = 3)
+    staged.toDF()
+      .select($"id".as("doc_id"), $"meta.mediaType".as("media_type"),
+        length($"media").cast("long").as("n_bytes_out"),
+        $"meta.width".cast("long").as("width_out"))
+      .orderBy($"doc_id")
+  }
+
+  private val qMultimodalStagesSql =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |    GREATEST(1, octet_length(encode(text)) * 50 // 100) AS n_resized
+      |  FROM documents)
+      |SELECT doc_id, media_type,
+      |  CAST(CASE WHEN media_type = 'video'
+      |            THEN (n_resized + 2) // 3 ELSE n_resized END AS BIGINT) AS n_bytes_out,
+      |  CAST(LEAST(n_resized, 1024) AS BIGINT) AS width_out
+      |FROM base ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -651,7 +681,8 @@ object LlmQueries {
     "emb_knn_ivf"         -> (qKnnIvf _),
     "emb_neardup_pairs"   -> (qEmbNearDup _),
     "multimodal_knn"      -> (qMultimodalKnn _),
-    "multimodal_meta"     -> (qMultimodalMeta _))
+    "multimodal_meta"     -> (qMultimodalMeta _),
+    "multimodal_stages"   -> (qMultimodalStages _))
 
   val oracles: Map[String, String] = Map(
     "docs_token_stats"   -> qTokensSql,
@@ -671,5 +702,6 @@ object LlmQueries {
     "emb_knn_ivf"        -> qKnnIvfSql,
     "emb_neardup_pairs"  -> qEmbNearDupSql,
     "multimodal_knn"     -> qMultimodalKnnSql,
-    "multimodal_meta"    -> qMultimodalMetaSql)
+    "multimodal_meta"    -> qMultimodalMetaSql,
+    "multimodal_stages"  -> qMultimodalStagesSql)
 }
