@@ -23,6 +23,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object HandlerJob {
 
+  private val log = Log(getClass)
+
   case class Result(recordsInserted: Map[String, Long], failures: Map[String, String])
 
   /** The core semantic pipeline for one entity, exposed for tests and
@@ -69,11 +71,15 @@ object HandlerJob {
           store.recordHandler(HandlerExecution(
             workflowId, executionId, Timestamp.from(now), stagedPath,
             schema.targetTable, n, None))
+          log.info("entity upserted", "workflow" -> workflowId,
+            "entity" -> entity, "table" -> schema.targetTable, "rows" -> n)
           entity -> Right(n)
         } catch {
           case e: Throwable =>
             // full stack trace, matching the reference's traceback
             // capture (src/helper/postgres.py:45-63)
+            log.error("entity failed", e, "workflow" -> workflowId,
+              "entity" -> entity, "table" -> schema.targetTable)
             store.recordHandler(HandlerExecution(
               workflowId, executionId, Timestamp.from(now), stagedPath,
               schema.targetTable, 0L, Some(Stacks.render(e))))

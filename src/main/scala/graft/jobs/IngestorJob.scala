@@ -26,6 +26,8 @@ import org.apache.spark.sql.types.StructType
   */
 object IngestorJob {
 
+  private val log = Log(getClass)
+
   /** Cold-start cursor (reference `README.md:27`). */
   val coldStart: Instant = Instant.parse("2022-11-24T10:00:00Z")
 
@@ -48,6 +50,8 @@ object IngestorJob {
       .map(_.plusSeconds(3600))
       .getOrElse(coldStart)
 
+    log.info("ingestor start", "workflow" -> workflowId,
+      "execution" -> executionId, "hour" -> hour)
     try {
       val files = JsonLinesSource.listHourFiles(spark, landingDir, hour)
       val staged: Option[String] =
@@ -61,9 +65,14 @@ object IngestorJob {
       store.recordIngestor(IngestorExecution(
         workflowId, executionId, Timestamp.from(now), Timestamp.from(hour),
         files.size, staged, None))
+      log.info("ingestor done", "workflow" -> workflowId,
+        "hour" -> hour, "files" -> files.size,
+        "staged" -> staged.getOrElse("-"))
       Result(hour, files.size, staged)
     } catch {
       case e: Throwable =>
+        log.error("ingestor failed", e, "workflow" -> workflowId,
+          "execution" -> executionId, "hour" -> hour)
         store.recordIngestor(IngestorExecution(
           workflowId, executionId, Timestamp.from(now), Timestamp.from(hour),
           0, None, Some(Stacks.render(e))))
