@@ -22,6 +22,8 @@ import org.apache.spark.sql.functions._
   */
 object LlmQueries {
 
+  import graft.functions.PolyHash.{duckdbSql => ph, P => PH_P}
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
   private def emb(s: SparkSession, dir: String): DataFrame =
@@ -125,6 +127,24 @@ object LlmQueries {
       |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), 1, 16) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Rolling-hash fingerprint (prompt-listed op: "document
+    * fingerprinting (rolling hash)") — the 60-bit PolyHash packed
+    * fold over the normalized content; oracle replays the identical
+    * fold in SQL. */
+  private def qRollingFp(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      TextFunctions.rollingFingerprint(col("text")).as("rolling_fp"))
+      .orderBy(col("doc_id"))
+
+  private lazy val qRollingFpSql = {
+    val norm = "regexp_replace(regexp_replace(lower(trim(text)), " +
+      "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')"
+    s"""SELECT doc_id,
+       |  ${ph(norm, 31)} * 1073741824 + ${ph(norm, 37)} AS rolling_fp
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   // --------------------------------------------------------- exact dedup
 
   private def qExactDedup(s: SparkSession, dir: String): DataFrame =
@@ -179,8 +199,6 @@ object LlmQueries {
     NearDup.minhashPairs(docs(s, dir), "doc_id", "text",
       shingleSize = 2, bands = 16, rowsPerBand = 4, threshold = 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
-
-  import graft.functions.PolyHash.{duckdbSql => ph, P => PH_P}
 
   private lazy val qMinhashSql =
     s"""WITH t AS (
@@ -668,6 +686,7 @@ object LlmQueries {
     "docs_langid"         -> (qLangId _),
     "docs_quality"        -> (qQuality _),
     "docs_fingerprint"    -> (qFingerprint _),
+    "docs_rolling_fp"     -> (qRollingFp _),
     "docs_exact_dedup"    -> (qExactDedup _),
     "docs_jaccard_pairs"  -> (qJaccardPairs _),
     "docs_minhash_pairs"  -> (qMinhash _),
@@ -689,6 +708,7 @@ object LlmQueries {
     "docs_langid"        -> qLangIdSql,
     "docs_quality"       -> qQualitySql,
     "docs_fingerprint"   -> qFingerprintSql,
+    "docs_rolling_fp"    -> qRollingFpSql,
     "docs_exact_dedup"   -> qExactDedupSql,
     "docs_jaccard_pairs" -> qJaccardPairsSql,
     "docs_minhash_pairs" -> qMinhashSql,

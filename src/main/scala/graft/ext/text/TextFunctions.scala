@@ -91,13 +91,23 @@ object TextFunctions {
     * content up to punctuation/casing/whitespace → identical
     * fingerprint — the exact-dedup key. */
   def fingerprint(text: Column): Column =
-    substring(
-      sha2(
-        regexp_replace(
-          regexp_replace(lower(trim(text)), "[^a-z0-9 ]", ""),
-          " +", " "),
-        256),
-      1, 16)
+    substring(sha2(normalizedContent(text), 256), 1, 16)
+
+  /** The fingerprint normalization alone (lower/trim, strip
+    * non-alphanumerics, collapse spaces). */
+  def normalizedContent(text: Column): Column =
+    regexp_replace(
+      regexp_replace(lower(trim(text)), "[^a-z0-9 ]", ""),
+      " +", " ")
+
+  /** 60-bit ROLLING-hash fingerprint of the normalized content — the
+    * polynomial fold ([[graft.functions.PolyHash]], bases 31/37
+    * packed) instead of a cryptographic digest: one pass, cheap to
+    * maintain incrementally, and exactly replayable in the DuckDB
+    * oracle. Collision odds ~n²/2⁶¹ — fine for dedup candidate
+    * keying; use [[fingerprint]] where a crypto digest is wanted. */
+  def rollingFingerprint(text: Column): Column =
+    graft.functions.PolyHash.polyhashPacked(normalizedContent(text))
 
   /** PII scrubbing: redact email addresses and phone-number-shaped
     * digit runs. Engine-portable regexes (no \p classes, no
