@@ -26,12 +26,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingEtl {
 
-  /** Streaming read of the landing area with the union source schema. */
+  /** Streaming read of the landing area with the union source schema.
+    * `maxFilesPerTrigger` is the ingestion rate limit: each
+    * micro-batch takes at most that many files, so a backlog (or a
+    * misbehaving upstream dumping thousands of files) drains as a
+    * SEQUENCE of bounded batches instead of one unbounded one —
+    * per-batch state, shuffle, and sink commit sizes stay flat.
+    * AvailableNow honors it while still draining to the end. */
   def eventStream(spark: SparkSession, landingDir: String,
-      schemas: Seq[EntitySchema] = EntitySchema.reference): DataFrame =
+      schemas: Seq[EntitySchema] = EntitySchema.reference,
+      maxFilesPerTrigger: Int = 64): DataFrame =
     spark.readStream
       .schema(Pipelines.unionSourceStruct(schemas))
-      .option("maxFilesPerTrigger", 64) // bound per-microbatch work
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(landingDir)
 
   /** Normalize+key one entity from the stream and dedup within the
@@ -54,8 +61,10 @@ object StreamingEtl {
       landingDir: String,
       schema: EntitySchema,
       outDir: String,
-      checkpointDir: String): Unit = {
-    val q = entityPipeline(eventStream(spark, landingDir), schema)
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 64): Unit = {
+    val q = entityPipeline(
+      eventStream(spark, landingDir, maxFilesPerTrigger = maxFilesPerTrigger), schema)
       .writeStream
       .format("parquet")
       .option("path", outDir)

@@ -44,6 +44,37 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/out").count() == 2)
   }
 
+  test("maxFilesPerTrigger rate-limits the drain into bounded micro-batches") {
+    val root = tmpDir("ratelimit")
+    val landing = s"$root/landing"; Files.createDirectories(Paths.get(landing))
+    (0 until 3).foreach { i =>
+      writeLanding(landing, s"f$i.json",
+        s"""{"event": "update", "on": "vehicle", "at": "2022-11-24T10:0$i:00Z", "organization_id": "o", "data": {"id": "v-$i", "location": {"lat": 1.0, "lng": 2.0, "at": "2022-11-24T10:0$i:00Z"}}}""")
+    }
+    // limit 1 file per trigger → the AvailableNow drain must take (at
+    // least) 3 micro-batches; each batch leaves one offsets entry
+    StreamingEtl.drainEntity(spark, landing, vehicleSchema,
+      s"$root/out", s"$root/ckpt", maxFilesPerTrigger = 1)
+    val batches = new java.io.File(s"$root/ckpt/offsets").list()
+      .count(!_.startsWith("."))
+    assert(batches >= 3, s"expected >=3 rate-limited batches, got $batches")
+    assert(spark.read.parquet(s"$root/out").count() == 3)
+
+    // unbounded-enough limit → the same load is a single batch
+    val root2 = tmpDir("ratelimit2")
+    val landing2 = s"$root2/landing"; Files.createDirectories(Paths.get(landing2))
+    (0 until 3).foreach { i =>
+      writeLanding(landing2, s"f$i.json",
+        s"""{"event": "update", "on": "vehicle", "at": "2022-11-24T10:0$i:00Z", "organization_id": "o", "data": {"id": "v-$i", "location": {"lat": 1.0, "lng": 2.0, "at": "2022-11-24T10:0$i:00Z"}}}""")
+    }
+    StreamingEtl.drainEntity(spark, landing2, vehicleSchema,
+      s"$root2/out", s"$root2/ckpt", maxFilesPerTrigger = 64)
+    val batches2 = new java.io.File(s"$root2/ckpt/offsets").list()
+      .count(!_.startsWith("."))
+    assert(batches2 <= 2, s"expected a single data batch, got $batches2")
+    assert(spark.read.parquet(s"$root2/out").count() == 3)
+  }
+
   test("watermarked hourly window counts per entity") {
     val root = tmpDir("streamwin")
     val landing = s"$root/landing"; Files.createDirectories(Paths.get(landing))
