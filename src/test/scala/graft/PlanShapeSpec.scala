@@ -51,6 +51,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
+  test("LSH pair queries never degenerate to cartesian products") {
+    Seq("docs_minhash_pairs", "docs_simhash_pairs", "emb_neardup_pairs").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: ${p.take(2000)}")
+    }
+  }
+
   test("q22 date filter is pushed to the orders scan feeding the anti join") {
     val p = plan("q22_idle_rich")
     assert(p.contains("LeftAnti"), p.take(3000))
