@@ -218,6 +218,30 @@ object AnalyticsQueries {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin
 
+  /** CUBE over the same flags — all four grouping-set combinations in
+    * one pass (ROLLUP's sibling; Spark expands both to a single
+    * Expand + hash aggregate, so it is still one shuffle). */
+  private def qCube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        $"sum_qty", $"n")
+      .orderBy($"returnflag", $"linestatus")
+  }
+
+  private val qCubeSql =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
   // --------------------------------------------------------- distinct aggs
 
   /** Exact distinct counts + min/max per group. */
@@ -810,6 +834,7 @@ object AnalyticsQueries {
     "q5_region_volume"     -> (q5 _),
     "q_brand_revenue"      -> (qBrand _),
     "q_rollup_qty"         -> (qRollup _),
+    "q_cube_qty"           -> (qCube _),
     "q_distinct_users"     -> (qDistinct _),
     "q_value_stats"        -> (qStats _),
     "q_user_windows"       -> (qWindow _),
@@ -838,6 +863,7 @@ object AnalyticsQueries {
     "q5_region_volume"     -> q5Sql,
     "q_brand_revenue"      -> qBrandSql,
     "q_rollup_qty"         -> qRollupSql,
+    "q_cube_qty"           -> qCubeSql,
     "q_distinct_users"     -> qDistinctSql,
     "q_value_stats"        -> qStatsSql,
     "q_user_windows"       -> qWindowSql,
