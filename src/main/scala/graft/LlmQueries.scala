@@ -145,6 +145,35 @@ object LlmQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Deterministic STRATIFIED sampling: the k lowest-hash documents
+    * per language stratum — the per-group twin of docs_hash_sample,
+    * and a second use of the bounded [[graft.functions.TopKByScore]]
+    * aggregate (score = negated PolyHash, so "top-k" = k smallest
+    * hashes; each map task keeps ≤ k docs per stratum, no per-stratum
+    * reducer sort). Hash values are < 2³⁰ so the double score is
+    * exact and the oracle replay is bit-identical. */
+  private def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("lang"), col("doc_id"),
+        graft.functions.PolyHash.polyhash(col("text"), 31).as("h"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.TopKByScore.topk(
+        -col("h").cast("double"), col("doc_id"), 10).as("tk"))
+      .select(col("lang"), posexplode(col("tk")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("doc_id"), (-col("col.score")).cast("long").as("h"))
+      .orderBy(col("lang"), col("rank"))
+
+  private lazy val qStratifiedSampleSql =
+    s"""WITH h AS (
+       |  SELECT lang, doc_id, ${ph("text", 31)} AS h FROM documents)
+       |SELECT lang,
+       |  CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS rank,
+       |  doc_id, h
+       |FROM h
+       |QUALIFY rank <= 10
+       |ORDER BY lang, rank""".stripMargin
+
   // --------------------------------------------------------- exact dedup
 
   private def qExactDedup(s: SparkSession, dir: String): DataFrame =
@@ -687,6 +716,7 @@ object LlmQueries {
     "docs_quality"        -> (qQuality _),
     "docs_fingerprint"    -> (qFingerprint _),
     "docs_rolling_fp"     -> (qRollingFp _),
+    "docs_stratified"     -> (qStratifiedSample _),
     "docs_exact_dedup"    -> (qExactDedup _),
     "docs_jaccard_pairs"  -> (qJaccardPairs _),
     "docs_minhash_pairs"  -> (qMinhash _),
@@ -709,6 +739,7 @@ object LlmQueries {
     "docs_quality"       -> qQualitySql,
     "docs_fingerprint"   -> qFingerprintSql,
     "docs_rolling_fp"    -> qRollingFpSql,
+    "docs_stratified"    -> qStratifiedSampleSql,
     "docs_exact_dedup"   -> qExactDedupSql,
     "docs_jaccard_pairs" -> qJaccardPairsSql,
     "docs_minhash_pairs" -> qMinhashSql,
