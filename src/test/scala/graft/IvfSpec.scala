@@ -45,6 +45,25 @@ class IvfSpec extends SparkSpec {
     assert(ids.subsetOf((0L until 8L).toSet) && ids.size > 1)
   }
 
+  test("lists written as a hive partition key prune at the scan for a probe") {
+    val cents = IvfKNN.sampledCentroids(emb, "vec_id", "embedding", 8)
+    val root = tmpDir("ivf_at_rest") + "/t"
+    IvfKNN.assignLists(emb, "embedding", cents)
+      .write.partitionBy("list_id").parquet(root)
+    // a 2-list probe must scan only those partitions' files
+    val probe = spark.read.parquet(root).filter($"list_id".isin(0L, 3L))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("list_id"), plan.take(2000))
+    val scanned = probe.select(input_file_name()).distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(scanned.nonEmpty)
+    assert(scanned.forall(f => f.contains("list_id=0") || f.contains("list_id=3")), scanned.take(3))
+    // and the probed rows are exactly those lists' members
+    val expected = IvfKNN.assignLists(emb, "embedding", cents)
+      .filter($"list_id".isin(0L, 3L)).count()
+    assert(probe.count() == expected)
+  }
+
   test("clustered corpus: partial probe keeps high recall; Lloyd training keeps it") {
     // 4 tight clusters around orthogonal-ish seeds + the query points
     val rnd = new scala.util.Random(7)
