@@ -87,10 +87,16 @@ final class TopKHeap(val k: Int) {
   * instead of Exchange + full-width Sort + Window
   * (PlanShapeSpec pins this).
   *
-  * Null scores are ignored (a null cosine can never enter the top-k;
-  * matches the window form where DESC ordering puts NULLs last and
-  * real candidates always outrank them). Ties on score break toward
-  * the smaller id — identical to `ORDER BY score DESC, id ASC`.
+  * Null AND NaN scores are ignored. Nulls match the window form
+  * (DESC ordering puts NULLs last; real candidates always outrank
+  * them). NaN is an explicit DIVERGENCE from the window form: Spark's
+  * DESC double ordering ranks NaN above every real score, but a NaN
+  * cosine only arises from a zero-norm vector — a degenerate
+  * candidate that must never displace a real neighbor — and the
+  * heap's comparator cannot order NaN consistently anyway (all NaN
+  * comparisons are false), so admitting it would corrupt the heap
+  * invariant. Ties on score break toward the smaller id — identical
+  * to `ORDER BY score DESC, id ASC`.
   */
 case class TopKByScore(
     score: Expression,
@@ -116,7 +122,7 @@ case class TopKByScore(
   override def update(buffer: TopKHeap, input: InternalRow): TopKHeap = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null)
+    if (s != null && i != null && !s.asInstanceOf[Double].isNaN)
       buffer.insert(s.asInstanceOf[Double], i.asInstanceOf[Long])
     buffer
   }

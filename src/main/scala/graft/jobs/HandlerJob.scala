@@ -62,9 +62,13 @@ object HandlerJob {
         // cache: the audit count and the upsert both consume the
         // pipeline — without a materialization point the whole
         // normalize→keygen→dedup chain (shuffle included) would
-        // execute twice per entity
-        val ready = entityPipeline(byEntity(entity), schema).cache()
+        // execute twice per entity. Constructed INSIDE the try:
+        // analysis-time failures (e.g. AnalysisException on malformed
+        // staged data) must hit the per-entity catch and be recorded,
+        // not abort the remaining entities.
+        var ready: DataFrame = null
         try {
+          ready = entityPipeline(byEntity(entity), schema).cache()
           val n = ready.count()
           ParquetUpsertSink.upsert(
             spark, ready, s"$warehouseDir/${schema.targetTable}", KeyGen.columnName)
@@ -84,7 +88,7 @@ object HandlerJob {
               workflowId, executionId, Timestamp.from(now), stagedPath,
               schema.targetTable, 0L, Some(Stacks.render(e))))
             entity -> Left(e.toString)
-        } finally ready.unpersist()
+        } finally if (ready != null) ready.unpersist()
       }
       Result(
         outcomes.collect { case (e, Right(n)) => e -> n }.toMap,

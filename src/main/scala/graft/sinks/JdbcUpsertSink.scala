@@ -87,15 +87,21 @@ object JdbcUpsertSink {
   /** Shared row-wise executor: one connection per partition, batched
     * parameterized statements, one commit per partition. Statement
     * executions inside a batch are sequential, so a later row with the
-    * same key wins — identical to the reference's `executemany`. */
+    * same key wins — identical to the reference's `executemany`.
+    * Partitioned BY KEY so same-key rows always share one connection:
+    * round-robin would let duplicate keys race on two connections
+    * (ON CONFLICT upserts on both sides deadlock-prone on Postgres,
+    * winner nondeterministic). */
   private def executeRowwise(
       df: DataFrame,
       url: String,
       sql: String,
+      key: String,
       batchSize: Int,
       maxConnections: Int): Unit = {
     val nCols = df.columns.length
-    df.repartition(maxConnections).foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+    df.repartition(maxConnections, org.apache.spark.sql.functions.col(key))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       val conn: Connection = DriverManager.getConnection(url)
       try {
         conn.setAutoCommit(false)
@@ -122,7 +128,7 @@ object JdbcUpsertSink {
       batchSize: Int = 1000,
       maxConnections: Int = 8): Unit =
     executeRowwise(df, url, onConflictSql(table, df.columns.toSeq, key),
-      batchSize, maxConnections)
+      key, batchSize, maxConnections)
 
   /** Portable row-wise mode: batched UPDATE + INSERT-if-absent pair
     * per partition — same connection/batch/commit shape as
@@ -147,7 +153,13 @@ object JdbcUpsertSink {
     val nonKeyIdx = columns.indices.filterNot(_ == keyIdx)
     val upd = updateSql(table, columns, key)
     val ins = insertIfAbsentSql(table, columns.map(c => c -> sqlTypes(c)), key)
-    df.repartition(maxConnections).foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+    // hash-partition by KEY (not round-robin): should the key-unique
+    // contract above ever be violated, same-key rows still land on the
+    // same connection and execute sequentially — the failure degrades
+    // to in-batch last-write-wins instead of two connections racing
+    // the NOT EXISTS probe and silently inserting duplicates
+    df.repartition(maxConnections, org.apache.spark.sql.functions.col(key))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       val conn: Connection = DriverManager.getConnection(url)
       try {
         conn.setAutoCommit(false)

@@ -53,6 +53,21 @@ object ParquetUpsertSink {
     }
   }
 
+  /** HDFS-style FileSystem calls signal some failures by RETURNING
+    * false rather than throwing (e.g. rename onto an existing path) —
+    * and the promote state machine must never advance past a
+    * transition that did not happen: a silently-failed
+    * rename(table→backup) followed by rename(staging→table) would
+    * move the staging dir INSIDE the still-live table dir. Every
+    * transition goes through these, which throw on false so a failed
+    * step aborts in a state [[recover]] models. */
+  private def renameOrThrow(f: FileSystem, src: Path, dst: Path): Unit =
+    if (!f.rename(src, dst))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
+  private def deleteOrThrow(f: FileSystem, p: Path): Unit =
+    if (!f.delete(p, true) && f.exists(p))
+      throw new java.io.IOException(s"delete failed: $p")
+
   private def stagingPath(tablePath: String): String =
     tablePath.stripSuffix("/") + "__staging"
   private def backupPath(tablePath: String): String =
@@ -81,14 +96,14 @@ object ParquetUpsertSink {
     val b = new Path(backupPath(tablePath))
     if (f.exists(t)) {
       // live table wins; discard any leftover promote state
-      if (f.exists(s)) f.delete(s, true)
-      if (f.exists(b)) f.delete(b, true)
+      if (f.exists(s)) deleteOrThrow(f, s)
+      if (f.exists(b)) deleteOrThrow(f, b)
     } else if (f.exists(s) && isComplete(spark, stagingPath(tablePath))) {
-      f.rename(s, t)
-      if (f.exists(b)) f.delete(b, true)
+      renameOrThrow(f, s, t)
+      if (f.exists(b)) deleteOrThrow(f, b)
     } else if (f.exists(b)) {
-      if (f.exists(s)) f.delete(s, true) // incomplete staging
-      f.rename(b, t)
+      if (f.exists(s)) deleteOrThrow(f, s) // incomplete staging
+      renameOrThrow(f, b, t)
     }
   }
 
@@ -132,9 +147,9 @@ object ParquetUpsertSink {
     val tmp = stagingPath(tablePath)
     merged.coalesce(outputFiles).write.mode("overwrite").parquet(tmp)
     val f = fs(spark, tablePath)
-    f.rename(new Path(tablePath), new Path(backupPath(tablePath)))
-    f.rename(new Path(tmp), new Path(tablePath))
-    f.delete(new Path(backupPath(tablePath)), true)
+    renameOrThrow(f, new Path(tablePath), new Path(backupPath(tablePath)))
+    renameOrThrow(f, new Path(tmp), new Path(tablePath))
+    deleteOrThrow(f, new Path(backupPath(tablePath)))
   }
 
   /** Partition-pruned upsert: merges only the partitions the batch
@@ -178,9 +193,19 @@ object ParquetUpsertSink {
       // (e.g. "2022-11-24" → DateType) while the in-flight batch may
       // carry it as a string, and a mixed-type Set would silently
       // never match — string form is also what names the directory.
-      def partValues(df: DataFrame): Seq[String] =
-        df.select(col(partitionCol).cast("string")).distinct()
-          .collect().map(_.getString(0)).toSeq
+      // NULL partition values are unsupported: hive writes them as the
+      // __HIVE_DEFAULT_PARTITION__ directory, which this string
+      // comparison (and the emptied-partition delete below) would not
+      // match — fail loudly instead of merging the wrong partitions.
+      def partValues(df: DataFrame): Seq[String] = {
+        val vs = df.select(col(partitionCol).cast("string")).distinct()
+          .collect().map(r => Option(r.getString(0))).toSeq
+        require(vs.forall(_.isDefined),
+          s"null values in partition column '$partitionCol' are unsupported " +
+            "by the partitioned upsert (hive default partition); filter or " +
+            "default them upstream")
+        vs.flatten
+      }
       val touched = partValues(incoming)
       val all = spark.read.parquet(tablePath)
       val moved: Seq[String] =

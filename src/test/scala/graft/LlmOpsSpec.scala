@@ -49,6 +49,7 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("minhash LSH: precision 1.0 and recall >= 0.9 vs brute force") {
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val exact = NearDup.jaccardPairsBruteForce(docs, "doc_id", "text", 2, 0.5)
       .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = NearDup.minhashPairs(docs, "doc_id", "text",
@@ -59,9 +60,14 @@ class LlmOpsSpec extends SparkSpec {
     assert(lsh.subsetOf(exact))
     val recall = lsh.size.toDouble / exact.size
     assert(recall >= 0.9, s"recall $recall (${lsh.size}/${exact.size})")
+    // cache hygiene: the shingle/signature caches must not outlive the
+    // query (they'd accumulate executor storage across invocations)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
+    assert(leaked.isEmpty, s"leaked caches: $leaked")
   }
 
   test("simhash: identical token streams collide; near streams are close") {
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
       (2L, "alpha beta gamma delta epsilon zeta eta theta"),
@@ -75,6 +81,8 @@ class LlmOpsSpec extends SparkSpec {
     val pairs = NearDup.simhashPairs(df, "doc_id", "text", maxHamming = 0)
       .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore).isEmpty,
+      "leaked simhash cache")
   }
 
   test("LSH ANN: high recall on clustered embeddings, sane on random") {

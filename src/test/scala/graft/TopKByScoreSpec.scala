@@ -68,6 +68,19 @@ class TopKByScoreSpec extends SparkSpec {
     assert(got == Seq(3L, 1L))
   }
 
+  test("NaN scores are skipped, never admitted or ranked") {
+    // a zero-norm vector yields cosine 0/0 = NaN; it must not displace
+    // real neighbors nor surface in the ranking
+    val df = Seq((1L, 0.7, 1L), (1L, Double.NaN, 2L), (1L, 0.9, 3L),
+      (2L, Double.NaN, 4L))
+      .toDF("query_id", "cosine", "neighbor_id")
+    val got = df.groupBy($"query_id")
+      .agg(TopKByScore.topk($"cosine", $"neighbor_id", 2).as("tk"))
+      .select($"query_id", explode($"tk").as("e"))
+      .select($"query_id", $"e.id").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((1L, 1L), (1L, 3L))) // group 2 had only NaN -> empty
+  }
+
   test("lshTopK still matches bruteForceTopK head-to-head after the ranking swap") {
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val q = emb.filter($"vec_id" < 5)

@@ -46,6 +46,21 @@ class UpsertSpec extends SparkSpec {
     assert(got == Map("k1" -> "a", "k2" -> "B", "k3" -> "c"))
   }
 
+  test("partitioned upsert rejects null partition values loudly") {
+    val root = tmpDir("upsert_null") + "/t"
+    val seed = Seq(("k1", "2022-11-24", "a")).toDF("id", "dt", "payload")
+    ParquetUpsertSink.upsertPartitioned(spark, seed, root, "id", "dt")
+    // a null dt would land in __HIVE_DEFAULT_PARTITION__, which the
+    // string-matched touched-partition logic cannot address — must fail
+    val bad = Seq(("k2", null: String, "b")).toDF("id", "dt", "payload")
+    val e = intercept[IllegalArgumentException] {
+      ParquetUpsertSink.upsertPartitioned(spark, bad, root, "id", "dt")
+    }
+    assert(e.getMessage.contains("null values in partition column"))
+    // table untouched by the failed batch
+    assert(spark.read.parquet(root).count() == 1)
+  }
+
   test("upsert promote is crash-safe: a complete table survives a kill at any step") {
     import org.apache.hadoop.fs.Path
     val path = tmpDir("upsert_crash") + "/t"
