@@ -10,11 +10,23 @@ import org.apache.spark.sql.SparkSession
   * lands outside the measured loop. Each query is forced with
   * `count()` (results are small by construction — every query either
   * aggregates or is subset-bounded).
+  *
+  * Noise control (this host has shown 1.6× total drift between
+  * identical binaries hours apart): each query runs
+  * `SPARK_GRAFT_REPEAT` times (default 2) and the reported time is the
+  * MIN — the estimator least sensitive to transient host load — with
+  * the per-rep times and the 1-minute load average before/after kept
+  * in the same JSON line so a future round can tell a regression from
+  * a noisy host. `SPARK_GRAFT_ONLY=q1,q2` restricts the run for
+  * isolated adjudication reruns.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt.max(1)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,6 +36,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    def loadAvg: Double =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+      catch { case _: Throwable => -1.0 }
+    val loadBefore = loadAvg
+
     // warmup outside the measured loop: one aggregation query and one
     // text/array-heavy query so codegen+JIT cost for both expression
     // families lands before timing starts
@@ -32,31 +49,43 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+
     // a failing query must be VISIBLE in the output (null time + an
     // errors entry), never a silent -1 that shrinks the total
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err =
-        try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable => Some(e.toString.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)) }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // Caches are KEPT across queries by default: the round-1
-      // baseline was measured that way (cross-query reuse of e.g. the
-      // shingle barrier caches), and same-methodology numbers are the
-      // ones comparable across rounds. Verify clears per query (long
-      // sessions are where accumulation bites); set
-      // SPARK_GRAFT_CLEAR_CACHE=1 to measure fully cold per query.
-      if (sys.env.contains("SPARK_GRAFT_CLEAR_CACHE")) spark.catalog.clearCache()
-      (name, elapsed, err)
+    val results = selected.map { case (name, fn) =>
+      val times = Seq.newBuilder[Double]
+      var err: Option[String] = None
+      var r = 0
+      while (r < reps && err.isEmpty) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          err = Some(e.toString.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)) }
+        // Caches are KEPT across queries by default: the round-1
+        // baseline was measured that way, and same-methodology numbers
+        // are the ones comparable across rounds. Verify clears per
+        // query; set SPARK_GRAFT_CLEAR_CACHE=1 to measure fully cold.
+        if (sys.env.contains("SPARK_GRAFT_CLEAR_CACHE")) spark.catalog.clearCache()
+        r += 1
+      }
+      (name, times.result(), err)
     }
-    val qs = results.map { case (k, v, err) =>
-      "\"" + k + "\":" + (if (err.isDefined) "null" else v.toString)
+    def fmtTimes(ts: Seq[Double]) = ts.mkString("[", ",", "]")
+    val qs = results.map { case (k, ts, err) =>
+      "\"" + k + "\":" + (if (err.isDefined) "null" else ts.min.toString)
+    }.mkString("{", ",", "}")
+    val allReps = results.map { case (k, ts, _) =>
+      "\"" + k + "\":" + fmtTimes(ts)
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
+    val total = results.collect { case (_, ts, None) => ts.min }.sum
     val rc = results.count(_._3.isDefined)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$rc,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""reps":$reps,"rep_times":$allReps,"load_before":$loadBefore,""" +
+      s""""load_after":$loadAvg,"errors":$errs,"failed":$rc,"sf":"$sfDir"}""")
     spark.stop()
     if (rc > 0) sys.exit(1)
   }
