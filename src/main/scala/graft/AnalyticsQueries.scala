@@ -12,12 +12,17 @@ import org.apache.spark.sql.types.DecimalType
   * the determinism conventions (decimal-exact sums, aliased columns,
   * ordered output).
   *
-  * Scale notes are per-query; the common posture: dimension joins are
-  * explicit `broadcast()` (region/nation/customer/supplier/part are
-  * tiny relative to the fact tables at every SF), fact-side filters
-  * sit directly on the scan so parquet pushdown prunes IO, and
-  * aggregations rely on map-side partial aggregation so the single
-  * shuffle carries only group keys.
+  * Scale notes are per-query; the common posture: an explicit
+  * `broadcast()` hint is reserved for FIXED-cardinality dims (region
+  * 5 rows, nation 25 — constant at every SF). Tables that scale with
+  * SF (customer/supplier/part) are never hint-pinned: at 100 TB a
+  * forced broadcast of a ~15 B-row customer OOMs the driver, so their
+  * join strategy is left to AQE's size-gated
+  * autoBroadcastJoinThreshold — broadcast while genuinely small,
+  * shuffle join beyond it (PlanShapeSpec pins both regimes).
+  * Fact-side filters sit directly on the scan so parquet pushdown
+  * prunes IO, and aggregations rely on map-side partial aggregation
+  * so the single shuffle carries only group keys.
   */
 object AnalyticsQueries {
 
@@ -67,8 +72,13 @@ object AnalyticsQueries {
   // ------------------------------------------------------------------ q3
 
   /** TPC-H Q3-style shipping priority: two selective scans, shuffle
-    * join on orderkey, customer side broadcast. Top-k is
-    * TakeOrderedAndProject — no global sort materialization. */
+    * join on orderkey. The filtered-customer side is NOT hint-pinned:
+    * customer scales with SF (≈15 B rows at 100 TB — a forced
+    * broadcast OOMs the driver), so AQE's size-gated
+    * autoBroadcastJoinThreshold picks broadcast while the side is
+    * genuinely small and falls back to a shuffle join beyond it.
+    * Top-k is TakeOrderedAndProject — no global sort
+    * materialization. */
   private def q3(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cutoff = lit(java.sql.Date.valueOf("1998-06-15"))
@@ -79,7 +89,7 @@ object AnalyticsQueries {
     val li = t(s, dir, "lineitem").filter($"l_shipdate" > cutoff)
       .select($"l_orderkey", $"l_extendedprice", $"l_discount")
     li.join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
       .groupBy($"l_orderkey", $"o_orderdate")
       .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
       .orderBy($"revenue".desc, $"l_orderkey")
@@ -128,9 +138,15 @@ object AnalyticsQueries {
 
   // ------------------------------------------------------------------ q5
 
-  /** TPC-H Q5-style regional volume: the full dim chain
-    * (region→nation→customer/supplier) stays broadcast; the only
-    * shuffle joins are fact-to-fact on orderkey. */
+  /** TPC-H Q5-style regional volume. Only the FIXED-cardinality dims
+    * (region 5 rows, nation 25) carry an explicit broadcast hint;
+    * customer and supplier scale linearly with SF, so their join
+    * strategy is left to AQE's size gate — broadcast while they fit
+    * under autoBroadcastJoinThreshold (true at bench SFs), shuffle
+    * join at warehouse scale where a forced broadcast would OOM the
+    * driver. The fact-fact join on orderkey is the one inherent
+    * shuffle (the layout a 100 TB deployment would pre-bucket —
+    * BucketingSpec proves the co-located variant). */
   private def q5(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val nations = t(s, dir, "nation")
@@ -146,8 +162,8 @@ object AnalyticsQueries {
     val li = t(s, dir, "lineitem")
       .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
     li.join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
-      .join(broadcast(supp),
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(supp,
         $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
       .join(broadcast(nations), $"s_nationkey" === $"n_nationkey")
       .groupBy($"n_name")
@@ -171,13 +187,15 @@ object AnalyticsQueries {
 
   // ---------------------------------------------------------- brand revenue
 
-  /** Part-dim join + two-level group: broadcast part, one shuffle. */
+  /** Part-dim join + two-level group, one agg shuffle. Part scales
+    * with SF, so the join strategy is AQE's size-gated choice, not a
+    * pinned broadcast (see class doc). */
   private def qBrand(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val part = t(s, dir, "part").select($"p_partkey", $"p_brand")
     t(s, dir, "lineitem")
       .select($"l_partkey", $"l_extendedprice", $"l_discount", $"l_quantity")
-      .join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .join(part, $"l_partkey" === $"p_partkey")
       .groupBy($"p_brand")
       .agg(
         dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
@@ -672,10 +690,13 @@ object AnalyticsQueries {
   // -------------------------------------------------- correlated subquery
 
   /** TPC-H Q17-style small-quantity revenue: the correlated per-part
-    * average decorrelates into a groupBy + shuffle join on partkey;
-    * the part filter is broadcast. Threshold arithmetic uses the
-    * decimal-exact average so both engines compare against the
-    * identical double. */
+    * average decorrelates into a groupBy + join on partkey. Neither
+    * the brand's part list nor the per-part averages carry a
+    * broadcast hint — both grow with SF (the brand is a constant
+    * FRACTION of the part table, not a constant size), so AQE's size
+    * gate broadcasts them while small and shuffles beyond the
+    * threshold. Threshold arithmetic uses the decimal-exact average
+    * so both engines compare against the identical double. */
   private def q17(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val partFiltered = t(s, dir, "part")
@@ -685,12 +706,10 @@ object AnalyticsQueries {
     // so the aggregation shrinks from all parts to the brand's
     val relevant = t(s, dir, "lineitem")
       .select($"l_partkey", $"l_quantity", $"l_extendedprice")
-      .join(broadcast(partFiltered), $"l_partkey" === $"p_partkey")
+      .join(partFiltered, $"l_partkey" === $"p_partkey")
     val avgQty = relevant.groupBy($"l_partkey".as("ap_partkey"))
       .agg((dsum($"l_quantity") / count(lit(1))).as("avg_qty"))
-    // per-part averages for one brand are tiny → broadcast: the whole
-    // query runs with no shuffle join at all
-    relevant.join(broadcast(avgQty), $"l_partkey" === $"ap_partkey")
+    relevant.join(avgQty, $"l_partkey" === $"ap_partkey")
       .filter($"l_quantity" < lit(0.2) * $"avg_qty")
       .agg((dsum($"l_extendedprice") / lit(7.0)).as("avg_yearly"),
         count(lit(1)).as("n_small_lines"))
@@ -736,15 +755,17 @@ object AnalyticsQueries {
 
   // --------------------------------------------- q9-style nation profit
 
-  /** Revenue by supplier nation × order year: two broadcast dims on
-    * the lineitem side plus ONE fact-fact shuffle join
+  /** Revenue by supplier nation × order year: nation (fixed 25 rows)
+    * is hint-broadcast; supplier scales with SF so its strategy is
+    * AQE's size-gated choice (broadcast at bench SFs, shuffle join at
+    * warehouse scale). Plus ONE fact-fact shuffle join
     * (lineitem⋈orders on orderkey — both sides hash-partition on the
     * key, the layout a 100 TB deployment would pre-bucket). Rollup
     * shuffle carries only (nation, year) partial sums. */
   private def qNationProfit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "lineitem")
-      .join(broadcast(t(s, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
+      .join(t(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
       .join(broadcast(t(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
       .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
       .groupBy($"n_name".as("nation"), year($"o_orderdate").cast("long").as("o_year"))

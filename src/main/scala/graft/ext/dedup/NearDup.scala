@@ -100,6 +100,23 @@ object NearDup {
       rowsPerBand: Int = 4,
       threshold: Double = 0.5,
       maxBucketSize: Int = 1000): DataFrame = {
+    val (out, caches) = minhashPairsPlan(
+      docs, idCol, textCol, shingleSize, bands, rowsPerBand, threshold, maxBucketSize)
+    materializeAndRelease(out, "minhash", caches: _*)
+  }
+
+  /** The lazy plan behind [[minhashPairs]] plus its cache handles —
+    * exposed so plan-shape tests can assert on the MINING plan (the
+    * public method returns a scan of the materialized output). */
+  private[graft] def minhashPairsPlan(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int,
+      bands: Int,
+      rowsPerBand: Int,
+      threshold: Double,
+      maxBucketSize: Int): (DataFrame, Seq[DataFrame]) = {
     val numHashes = bands * rowsPerBand
     val (withSh, shCache) = shingleSets(docs, idCol, textCol, shingleSize)
     // cache: sig is referenced by all 16 band slices (see the
@@ -135,7 +152,7 @@ object NearDup {
     val withSets = candidates
       .join(withSh.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(withSh.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-    materializeAndRelease(verifyJaccard(withSets, threshold), "minhash", withSig, shCache)
+    (verifyJaccard(withSets, threshold), Seq(withSig, shCache))
   }
 
   /** Exact Jaccard on shingle-set pair columns; keeps pairs ≥ t.
@@ -236,6 +253,18 @@ object NearDup {
       textCol: String,
       maxHamming: Int = 3,
       maxBucketSize: Int = 1000): DataFrame = {
+    val (out, caches) = simhashPairsPlan(docs, idCol, textCol, maxHamming, maxBucketSize)
+    materializeAndRelease(out, "simhash", caches: _*)
+  }
+
+  /** Lazy plan + cache handles behind [[simhashPairs]] (see
+    * [[minhashPairsPlan]]). */
+  private[graft] def simhashPairsPlan(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int,
+      maxBucketSize: Int): (DataFrame, Seq[DataFrame]) = {
     val chunks = 4
     // barrier after sim: the chunk explode would otherwise re-evaluate
     // the 64-bit majority-vote expression once per chunk
@@ -263,6 +292,6 @@ object NearDup {
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
-    materializeAndRelease(pairs, "simhash", withSim)
+    (pairs, Seq(withSim))
   }
 }

@@ -18,6 +18,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning(s_suppkey"), p.take(2000))
   }
 
+  test("SF-scaled dims are size-gated, not hint-pinned: strategy adapts when the gate closes") {
+    // customer/supplier/part carry NO broadcast() hint — at bench SFs
+    // the autoBroadcastJoinThreshold size gate still picks broadcast
+    // (test above); when the gate closes (threshold -1, standing in
+    // for a dim that outgrew it at 100 TB) the SAME query must fall
+    // back to a shuffle join, while the fixed-cardinality
+    // nation/region hints keep broadcasting.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      Seq("q5_region_volume", "q9_nation_profit", "q_brand_revenue").foreach { q =>
+        val p = plan(q)
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+          s"$q did not fall back to a shuffle join: ${p.take(3000)}")
+      }
+      // the pinned fixed-cardinality dims still broadcast under -1
+      Seq("q5_region_volume", "q9_nation_profit").foreach { q =>
+        val p = plan(q)
+        assert(p.contains("BroadcastHashJoin"),
+          s"$q lost the nation/region broadcast hint: ${p.take(3000)}")
+      }
+    } finally spark.conf.set(key, saved)
+  }
+
   test("q3 top-k plans as TakeOrderedAndProject (no global sort)") {
     val p = plan("q3_shipping_priority")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
@@ -52,11 +77,23 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("LSH pair queries never degenerate to cartesian products") {
-    Seq("docs_minhash_pairs", "docs_simhash_pairs", "emb_neardup_pairs").foreach { q =>
-      val p = plan(q)
-      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-        s"$q: ${p.take(2000)}")
-    }
+    // minhash/simhash registry queries return a scan of their
+    // materialized output, so assert on the lazy MINING plans directly
+    val docs = Tables(spark, sf, "documents")
+    val (mh, mhCaches) = graft.ext.dedup.NearDup.minhashPairsPlan(
+      docs, "doc_id", "text", 2, 16, 4, 0.5, 1000)
+    val (sh, shCaches) = graft.ext.dedup.NearDup.simhashPairsPlan(
+      docs, "doc_id", "text", 3, 1000)
+    try {
+      val plans = Seq(
+        "minhash" -> mh.queryExecution.executedPlan.toString,
+        "simhash" -> sh.queryExecution.executedPlan.toString,
+        "emb_neardup" -> plan("emb_neardup_pairs"))
+      plans.foreach { case (q, p) =>
+        assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+          s"$q: ${p.take(2000)}")
+      }
+    } finally (mhCaches ++ shCaches).foreach(_.unpersist())
   }
 
   test("q22 date filter is pushed to the orders scan feeding the anti join") {
