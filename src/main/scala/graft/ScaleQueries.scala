@@ -1,0 +1,169 @@
+package graft
+
+import graft.operators.SaltedJoin
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Scale-technique queries: the skew/layout/sketch machinery that a
+  * 100 TB deployment leans on, registered as oracle-checked queries so
+  * the scale paths are hard correctness signals, not spec-only claims.
+  *
+  *  - q_salted_join: skew-spreading salted equi-join — row-identical
+  *    to the plain join, proven against a DuckDB replay of the plain
+  *    join semantics.
+  *  - q_bucketed_join: co-bucketed fact-fact join that consumes the
+  *    at-rest bucket layout with NO exchange under the join (the
+  *    pre-bucketed pattern every repeated orderkey join would use at
+  *    warehouse scale; BucketingSpec pins the no-exchange plan).
+  *  - q_approx_distinct: HLL++ `approx_count_distinct` next to the
+  *    exact count — the single-pass mergeable-sketch path vs the
+  *    exact distinct shuffle — emitting a deterministic
+  *    relative-error bound check the oracle can assert.
+  */
+object ScaleQueries {
+
+  private val dec = DecimalType(18, 6)
+  private def dsum(e: Column): Column = sum(e.cast(dec)).cast("double")
+
+  /** Write the small `out` frame to a temp parquet and return a scan
+    * of it, so side-effectful setup (catalog tables) can be torn down
+    * before the frame is handed to the caller. */
+  private def materialize(out: DataFrame, tag: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString + "/out"
+    out.write.parquet(dir)
+    out.sparkSession.read.parquet(dir)
+  }
+
+  // ---------------------------------------------------------- salted join
+
+  /** Skewed fact→dim join, salted. The fact side is events with an
+    * artificial hot key (every `user_id % 4 == 0` row collapses onto
+    * k=0 → ~25% of the table on ONE key); the dim side is a generated
+    * 100-row weight table. A plain shuffle join would send the hot
+    * key's rows to a single reducer; [[graft.operators.SaltedJoin]]
+    * splits k into 8 sub-keys (deterministic per-row salt from
+    * event_id) and replicates the dim 8×, spreading the hot key over
+    * 8 reducers. Results are row-identical to the unsalted join — the
+    * DuckDB oracle replays the PLAIN join, so the hash match proves
+    * exactly that. */
+  private def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events").select(
+      when($"user_id" % 4 === 0, 0L).otherwise($"user_id" % 100).as("k"),
+      $"value".cast("double").as("value"),
+      $"event_id")
+    val dim = s.range(100).select(
+      $"id".as("k"), ($"id" * 3 + 1).cast("double").as("weight"))
+    SaltedJoin(ev, dim, "k", salts = 8, saltSource = Seq("event_id"))
+      .groupBy($"k")
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum($"value" * $"weight").as("weighted_value"))
+      .orderBy($"k")
+  }
+
+  private val qSaltedJoinSql =
+    """SELECT k, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(CAST(value AS DOUBLE) * weight AS DECIMAL(18,6))) AS DOUBLE)
+      |    AS weighted_value
+      |FROM (SELECT CASE WHEN user_id % 4 = 0 THEN 0 ELSE user_id % 100 END AS k,
+      |             value
+      |      FROM events) e
+      |JOIN (SELECT i AS k, CAST(i * 3 + 1 AS DOUBLE) AS weight
+      |      FROM range(100) t(i)) d USING (k)
+      |GROUP BY k ORDER BY k""".stripMargin
+
+  // -------------------------------------------------------- bucketed join
+
+  /** The lazy co-bucketed join plus a teardown — exposed so
+    * BucketingSpec can pin the no-exchange plan of the REAL registry
+    * query. Both fact slices are written `bucketBy(8, orderkey)`
+    * (external tables under a temp dir), and the shuffle_merge hint
+    * keeps the broadcast gate from hiding the layout: the
+    * SortMergeJoin consumes the bucket partitioning directly, so
+    * neither side exchanges — the repeated-join layout a 100 TB
+    * warehouse would maintain for lineitem⋈orders. */
+  private[graft] def bucketedJoinPlan(s: SparkSession, dir: String)
+      : (DataFrame, () => Unit) = {
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+    Tables(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$base/li").mode("overwrite")
+      .saveAsTable("graft_li_bucketed")
+    Tables(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderpriority")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$base/ord").mode("overwrite")
+      .saveAsTable("graft_ord_bucketed")
+    val joined = s.table("graft_li_bucketed")
+      .join(s.table("graft_ord_bucketed").hint("shuffle_merge"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"o_orderpriority")
+    val teardown = () => {
+      s.sql("DROP TABLE IF EXISTS graft_li_bucketed")
+      s.sql("DROP TABLE IF EXISTS graft_ord_bucketed")
+      ()
+    }
+    (joined, teardown)
+  }
+
+  private def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val (joined, teardown) = bucketedJoinPlan(s, dir)
+    try materialize(joined, "bucketed") finally teardown()
+  }
+
+  private val qBucketedJoinSql =
+    """SELECT o_orderpriority, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+      |    AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ------------------------------------------------------ sketch distinct
+
+  /** HLL++ distinct-count sketch next to the exact count. At 100 TB
+    * the sketch is the only sane path for high-cardinality distincts:
+    * one pass, fixed-size mergeable state, map-side combine — versus
+    * the exact form's full shuffle of every distinct value. The query
+    * emits the exact count (oracle-computable) plus a deterministic
+    * check that the sketch landed within 5% relative error (HLL++ at
+    * rsd=0.02 is deterministic for a given dataset, so the boolean is
+    * stable — and the oracle asserts it is TRUE for every group). */
+  private def qApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(
+        countDistinct($"user_id").as("exact_distinct"),
+        approx_count_distinct($"user_id", rsd = 0.02).as("approx"))
+      .select(
+        $"event_type",
+        $"exact_distinct",
+        (abs($"approx" - $"exact_distinct") <=
+          $"exact_distinct" * lit(0.05)).as("within_bound"))
+      .orderBy($"event_type")
+  }
+
+  private val qApproxDistinctSql =
+    """SELECT event_type,
+      |  COUNT(DISTINCT user_id) AS exact_distinct,
+      |  TRUE AS within_bound
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted_join"    -> (qSaltedJoin _),
+    "q_bucketed_join"  -> (qBucketedJoin _),
+    "q_approx_distinct" -> (qApproxDistinct _))
+
+  val oracles: Map[String, String] = Map(
+    "q_salted_join"    -> qSaltedJoinSql,
+    "q_bucketed_join"  -> qBucketedJoinSql,
+    "q_approx_distinct" -> qApproxDistinctSql)
+}

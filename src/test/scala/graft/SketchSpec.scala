@@ -21,6 +21,18 @@ class SketchSpec extends SparkSpec {
     assert(err < 0.05, s"exact=$exact approx=$approx err=$err")
   }
 
+  test("q_approx_distinct bound holds at every SF the driver runs") {
+    // the registry query's within_bound column must be TRUE for every
+    // group at the verify SF (0.01) and the bench SF (0.1) — the
+    // oracle asserts the literal TRUE, so a bound miss is a hash miss
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .foreach { sf =>
+        val bad = SparkEntry.queries("q_approx_distinct")(spark, sf)
+          .filter(!col("within_bound")).count()
+        assert(bad == 0, s"$sf: $bad groups outside the 5% bound")
+      }
+  }
+
   test("approx_percentile brackets the exact percentile") {
     val exact = events.select(expr("percentile(value, 0.5)"))
       .collect().head.getDouble(0)
