@@ -72,9 +72,16 @@ object Bench {
       }
       (name, times.result(), err)
     }
-    def fmtTimes(ts: Seq[Double]) = ts.mkString("[", ",", "]")
+    // The driver captures only the LAST ~2000 chars of stdout and
+    // parses the JSON line out of that tail — round 3's inline per-rep
+    // arrays pushed the line past the window and the whole bench was
+    // lost ("parsed": null). So: stdout gets ONE COMPACT line
+    // (ms precision, min-of-N only); the full per-rep detail and load
+    // averages go to BENCH_DETAIL.json next to the repo for humans.
+    def ms(t: Double) = (math.rint(t * 1000) / 1000).toString
+    def fmtTimes(ts: Seq[Double]) = ts.map(ms).mkString("[", ",", "]")
     val qs = results.map { case (k, ts, err) =>
-      "\"" + k + "\":" + (if (err.isDefined) "null" else ts.min.toString)
+      "\"" + k + "\":" + (if (err.isDefined) "null" else ms(ts.min))
     }.mkString("{", ",", "}")
     val allReps = results.map { case (k, ts, _) =>
       "\"" + k + "\":" + fmtTimes(ts)
@@ -83,9 +90,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, ts, None) => ts.min }.sum
     val rc = results.count(_._3.isDefined)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""reps":$reps,"rep_times":$allReps,"load_before":$loadBefore,""" +
-      s""""load_after":$loadAvg,"errors":$errs,"failed":$rc,"sf":"$sfDir"}""")
+    val detail = s"""{"reps":$reps,"rep_times":$allReps,"load_before":$loadBefore,""" +
+      s""""load_after":$loadAvg,"errors":$errs,"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter("BENCH_DETAIL.json")
+      try w.println(detail) finally w.close()
+    } catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
+      s""""queries":$qs,"failed":$rc,"sf":"$sfDir"}""")
     spark.stop()
     if (rc > 0) sys.exit(1)
   }
