@@ -1,0 +1,137 @@
+package graft
+
+import graft.ext.dedup.SemanticDedup
+import graft.ext.similarity.IvfKNN
+import graft.ext.text.{Decontaminate, ShardPacker}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data curation queries — the corpus-preparation passes a
+  * large-scale LLM pipeline runs between raw ingest and packed
+  * training files, each oracle-checked hash-exact:
+  *
+  *  - emb_semantic_dedup: SemDeDup cluster-then-dedup over the
+  *    embedding column ([[graft.ext.dedup.SemanticDedup]]);
+  *  - docs_decontaminate: n-gram benchmark-overlap detection
+  *    ([[graft.ext.text.Decontaminate]]);
+  *  - docs_pack_shards: token-budget shard assignment via the
+  *    two-level distributed prefix sum
+  *    ([[graft.ext.text.ShardPacker]]) — the oracle replays it with
+  *    DuckDB's single global window, proving the distributed
+  *    decomposition equals the sequential spec exactly.
+  */
+object CurationQueries {
+
+  /** SemDeDup verdicts: codebook = the 16 lowest-id vectors (the same
+    * deterministic training-free rule the registered IVF query uses,
+    * so the DuckDB oracle derives the identical codebook in SQL). */
+  private def qSemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val cents = IvfKNN.sampledCentroids(e, "vec_id", "embedding", 16)
+    SemanticDedup.verdicts(e, "vec_id", "embedding", cents, threshold = 0.3)
+      .orderBy(col("vec_id"))
+  }
+
+  private val qSemanticDedupSql =
+    """WITH cent AS (
+      |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+      |norms AS (
+      |  SELECT vec_id, SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nn
+      |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+      |cnorm AS (
+      |  SELECT cid, SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS cn
+      |  FROM (SELECT cid, unnest(cv) AS x FROM cent) GROUP BY cid),
+      |vcd AS (
+      |  SELECT vec_id, cid, SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot
+      |  FROM (SELECT e.vec_id, c.cid, unnest(e.embedding) AS x, unnest(c.cv) AS y
+      |        FROM embeddings e, cent c)
+      |  GROUP BY vec_id, cid),
+      |vccos AS (
+      |  SELECT v.vec_id, v.cid,
+      |    round(v.dot / (sqrt(n.nn) * sqrt(cn.cn)), 9) AS cos
+      |  FROM vcd v
+      |  JOIN norms n ON n.vec_id = v.vec_id
+      |  JOIN cnorm cn ON cn.cid = v.cid),
+      |assign AS (
+      |  SELECT vec_id, cid AS list_id FROM vccos
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) = 1),
+      |cand AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM assign a JOIN assign b
+      |    ON a.list_id = b.list_id AND a.vec_id < b.vec_id),
+      |dots AS (
+      |  SELECT id_a, id_b, SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot
+      |  FROM (SELECT c.id_a, c.id_b,
+      |          unnest(ea.embedding) AS x, unnest(eb.embedding) AS y
+      |        FROM cand c
+      |        JOIN embeddings ea ON ea.vec_id = c.id_a
+      |        JOIN embeddings eb ON eb.vec_id = c.id_b)
+      |  GROUP BY id_a, id_b),
+      |drops AS (
+      |  SELECT DISTINCT d.id_b AS vec_id
+      |  FROM dots d
+      |  JOIN norms na ON na.vec_id = d.id_a
+      |  JOIN norms nb ON nb.vec_id = d.id_b
+      |  WHERE round(d.dot / (sqrt(na.nn) * sqrt(nb.nn)), 9) >= 0.3)
+      |SELECT a.vec_id, a.list_id, (dr.vec_id IS NULL) AS kept
+      |FROM assign a LEFT JOIN drops dr ON dr.vec_id = a.vec_id
+      |ORDER BY a.vec_id""".stripMargin
+
+  /** Decontamination over trigram shingles; the benchmark split is
+    * every 97th document (≈1% — benchmark-sized). Real deployments
+    * use 8–13-gram windows; 3 fits this corpus's ~40-token docs. */
+  private def qDecontaminate(s: SparkSession, dir: String): DataFrame =
+    Decontaminate.overlaps(Tables(s, dir, "documents"), "doc_id", "text",
+      isEval = col("doc_id") % 97 === 0, n = 3)
+      .orderBy(col("doc_id"))
+
+  private val qDecontaminateSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(trim(text)) = 0 THEN []
+      |         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS g
+      |  FROM t),
+      |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0)
+      |SELECT s.doc_id, COUNT(DISTINCT s.g) AS n_overlap
+      |FROM sh s JOIN ev USING (g)
+      |WHERE s.doc_id % 97 != 0
+      |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
+  /** Token-budget shard assignment; the oracle's single global
+    * running sum must equal the engine's two-level distributed form
+    * exactly (integer arithmetic — no tolerance). */
+  private def qPackShards(s: SparkSession, dir: String): DataFrame =
+    ShardPacker.packShards(Tables(s, dir, "documents"), "doc_id", "text",
+      budget = 2000L, bucketWidth = 100L)
+      .orderBy(col("doc_id"))
+
+  private val qPackShardsSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+      |         ELSE CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT)
+      |    END AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens
+      |  FROM t)
+      |SELECT doc_id, n_tokens, cum_tokens,
+      |  CAST(FLOOR((cum_tokens - n_tokens) / 2000.0) AS BIGINT) AS shard_id
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_semantic_dedup" -> (qSemanticDedup _),
+    "docs_decontaminate" -> (qDecontaminate _),
+    "docs_pack_shards"   -> (qPackShards _))
+
+  val oracles: Map[String, String] = Map(
+    "emb_semantic_dedup" -> qSemanticDedupSql,
+    "docs_decontaminate" -> qDecontaminateSql,
+    "docs_pack_shards"   -> qPackShardsSql)
+}

@@ -28,11 +28,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     AnalyticsQueries.registry ++ EtlQueries.registry ++ LlmQueries.registry ++
-      ScaleQueries.registry
+      ScaleQueries.registry ++ CurationQueries.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     AnalyticsQueries.oracles ++ EtlQueries.oracles ++ LlmQueries.oracles ++
-      ScaleQueries.oracles
+      ScaleQueries.oracles ++ CurationQueries.oracles
 }

@@ -1,0 +1,71 @@
+package graft.ext.dedup
+
+import graft.ext.similarity.{CosineKNN, IvfKNN}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SemDeDup-style semantic deduplication over an embedding column:
+  * cluster with a coarse quantizer, then compare ONLY within-cluster
+  * pairs and drop all but one member of each high-cosine
+  * neighborhood (Abbas et al. 2023, "SemDeDup: Data-efficient
+  * learning at web-scale through semantic deduplication",
+  * arXiv:2303.09540).
+  *
+  * Scale posture — the whole point of the cluster stage: all-pairs
+  * cosine is O(n²) and impossible at corpus scale, while
+  * within-cluster pairing is O(n²/K) with K chosen ∝ n (the paper
+  * uses 50k clusters for LAION-440M), so per-cluster work stays
+  * bounded. The plan is:
+  *
+  *  1. quantize: [[IvfKNN.assignLists]] — a pure map stage, K
+  *     codegen'd dot products per row against driver-held codebook
+  *     literals, no shuffle (same machinery as the IVF ANN index);
+  *  2. pair: self-join on `list_id` — ONE shuffle of (id, vec, norm)
+  *     keyed by cluster, pairs generated inside each cluster
+  *     partition;
+  *  3. verdict: a vector is dropped when a LOWER-id vector in its
+  *     cluster has cosine ≥ threshold with it (deterministic
+  *     keep-lowest-id — the paper keeps a random member per
+  *     neighborhood; lowest-id is the replayable choice, same
+  *     convention as [[NearDup]]).
+  *
+  * Cosines are rounded to 9 decimals and ties break on id, so the
+  * whole pipeline replays exactly in the DuckDB oracle (codebook =
+  * the K lowest-id vectors, like the registered IVF query).
+  */
+object SemanticDedup {
+
+  /** Per-vector verdict frame: (vid, list_id, kept). `kept = false`
+    * iff some lower-id vector in the same cluster is within the
+    * cosine threshold. Output is one row per input vector. */
+  def verdicts(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[IvfKNN.Centroid],
+      threshold: Double): DataFrame = {
+    // cache: the assigned frame feeds both sides of the pair join and
+    // the verdict spine; without a materialization point the
+    // quantizer's K dot products would re-run three times per row
+    val lists = IvfKNN.assignLists(corpus, vecCol, centroids)
+      .select(col(idCol).as("vid"), col(vecCol).as("v"),
+        CosineKNN.norm(col(vecCol)).as("n"), col("list_id"))
+      .cache()
+    val a = lists.select(col("vid").as("id_a"), col("v").as("va"),
+      col("n").as("na"), col("list_id"))
+    val b = lists.select(col("vid").as("id_b"), col("v").as("vb"),
+      col("n").as("nb"), col("list_id"))
+    val dropped = a.join(b, "list_id")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        round(CosineKNN.dot(col("va"), col("vb")) / (col("na") * col("nb")), 9))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_b").as("vid"))
+      .distinct()
+    val out = lists.select(col("vid"), col("list_id"))
+      .join(dropped.withColumn("__drop", lit(true)), Seq("vid"), "left")
+      .select(col("vid").as(idCol), col("list_id"),
+        coalesce(!col("__drop"), lit(true)).as("kept"))
+    NearDup.materializeAndRelease(out, "semdedup", lists)
+  }
+}

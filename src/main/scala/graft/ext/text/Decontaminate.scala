@@ -1,0 +1,47 @@
+package graft.ext.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark-contamination detection: find training documents that
+  * share n-gram shingles with an evaluation/benchmark split — the
+  * standard decontamination pass every LLM training pipeline runs
+  * before training (GPT-3 appendix C / PaLM-style n-gram overlap;
+  * real deployments use 8–13-gram windows, scaled down here because
+  * the synthetic corpus is tiny).
+  *
+  * Scale posture: the eval side is a benchmark suite — thousands of
+  * documents against a 100 TB train corpus — so its distinct n-gram
+  * set is broadcast and the train side never shuffles: the plan is
+  * scan → shingle (codegen HOFs, map-only) → broadcast hash join →
+  * partial-agg count. No all-pairs comparison, no shuffle of train
+  * data at any point.
+  */
+object Decontaminate {
+
+  /** Distinct n-gram overlap counts: one row per CONTAMINATED train
+    * document — (id, n_overlap) where n_overlap = number of distinct
+    * shingles shared with ANY eval document. Clean documents are
+    * absent (inner join), so the output is benchmark-sized, not
+    * corpus-sized.
+    *
+    * @param isEval row predicate selecting the benchmark split
+    */
+  def overlaps(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isEval: Column,
+      n: Int): DataFrame = {
+    def grams(df: DataFrame) = df.select(col(idCol).as("doc"),
+      explode(TextFunctions.shingles(col(textCol), n)).as("g"))
+    // the eval filter pushes to the scan, so the shingle expression
+    // only ever evaluates over the (tiny) benchmark split here
+    val evalGrams = grams(docs.filter(isEval)).select(col("g")).distinct()
+    grams(docs.filter(!isEval))
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col("doc"))
+      .agg(count_distinct(col("g")).as("n_overlap"))
+      .select(col("doc").as(idCol), col("n_overlap"))
+  }
+}

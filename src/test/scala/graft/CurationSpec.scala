@@ -1,0 +1,108 @@
+package graft
+
+import graft.ext.dedup.SemanticDedup
+import graft.ext.similarity.IvfKNN
+import graft.ext.text.{Decontaminate, ShardPacker, TextFunctions}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators: SemDeDup verdict semantics,
+  * decontamination overlap counting, and the two-level distributed
+  * prefix sum behind shard packing. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("semantic dedup: keeps lowest id per near-dup pair, one verdict per vector") {
+    val e = Tables(spark, sf, "embeddings")
+    val cents = IvfKNN.sampledCentroids(e, "vec_id", "embedding", 8)
+    val v = SemanticDedup.verdicts(e, "vec_id", "embedding", cents, threshold = 0.3)
+    val rows = v.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.length == e.count())
+    assert(rows.map(_._1).distinct.length == rows.length)
+    val dropped = rows.filter(!_._3)
+    assert(dropped.nonEmpty, "threshold 0.3 should drop some vectors at sf0.001")
+    // every dropped vector has a lower-id kept-or-dropped partner in
+    // the SAME cluster with cosine >= threshold; verify one level via
+    // recomputation on the driver (corpus is 500 vectors here)
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      math.rint(d / (math.sqrt(na) * math.sqrt(nb)) * 1e9) / 1e9
+    }
+    val byCluster = rows.groupBy(_._2)
+    dropped.foreach { case (id, cluster, _) =>
+      val partners = byCluster(cluster).filter(_._1 < id)
+      assert(partners.exists(p => cos(vecs(p._1), vecs(id)) >= 0.3),
+        s"dropped vector $id has no qualifying lower-id partner")
+    }
+    // a cluster's lowest-id member can never be dropped
+    byCluster.values.foreach { members =>
+      val lowest = members.minBy(_._1)
+      assert(lowest._3, s"lowest id ${lowest._1} of cluster ${lowest._2} was dropped")
+    }
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "semantic dedup leaked cached RDDs")
+  }
+
+  test("decontamination: finds planted n-gram overlap, skips clean docs") {
+    val df = Seq(
+      (0L, "alpha beta gamma delta"),          // eval (id % 2 == 0 below)
+      (1L, "zz alpha beta gamma yy"),          // train, shares trigram
+      (3L, "totally unrelated words here"),    // train, clean
+      (5L, "alpha beta gamma alpha beta gamma") // train, one DISTINCT shared trigram + "gamma alpha beta"... distinct grams shared = 2? see below
+    ).toDF("doc_id", "text")
+    val out = Decontaminate.overlaps(df, "doc_id", "text",
+      isEval = $"doc_id" % 2 === 0, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shares exactly "alpha beta gamma"; doc 3 clean (absent);
+    // doc 5's distinct trigrams are {alpha beta gamma, beta gamma alpha,
+    // gamma alpha beta} of which only the first occurs in the eval doc
+    assert(out == Map(1L -> 1L, 5L -> 1L))
+  }
+
+  test("decontamination on corpus: every flagged doc truly shares a trigram") {
+    val docs = Tables(spark, sf, "documents")
+    val flagged = Decontaminate.overlaps(docs, "doc_id", "text",
+      isEval = $"doc_id" % 97 === 0, n = 3)
+    // cross-check the top flagged doc by recomputing its shingle
+    // intersection directly
+    val evalGrams = docs.filter($"doc_id" % 97 === 0)
+      .select(explode(TextFunctions.shingles($"text", 3)).as("g"))
+      .distinct().as[String].collect().toSet
+    val check = docs.filter($"doc_id" % 97 =!= 0)
+      .select($"doc_id", TextFunctions.shingles($"text", 3).as("sh"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).count(evalGrams))
+      .filter(_._2 > 0).toMap
+    val got = flagged.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == check.map { case (k, v) => k -> v.toLong })
+  }
+
+  test("shard packing: two-level prefix sum equals the single global window") {
+    val docs = Tables(spark, sf, "documents")
+    val packed = ShardPacker.packShards(docs, "doc_id", "text",
+      budget = 1000L, bucketWidth = 37L) // width deliberately != any id pattern
+    val naive = docs.select($"doc_id",
+        TextFunctions.tokenCount($"text").as("n_tokens"))
+      .withColumn("cum_tokens",
+        sum($"n_tokens").over(Window.orderBy($"doc_id")))
+      .withColumn("shard_id",
+        floor(($"cum_tokens" - $"n_tokens") / 1000L).cast("long"))
+    val diff = packed.as("p").join(naive.as("n"), "doc_id")
+      .filter($"p.cum_tokens" =!= $"n.cum_tokens" ||
+        $"p.shard_id" =!= $"n.shard_id")
+    assert(diff.count() == 0)
+    // shard ids are contiguous from 0 and non-decreasing in id order
+    val shards = packed.orderBy($"doc_id").select($"shard_id").as[Long].collect()
+    assert(shards.head == 0L)
+    assert(shards.sliding(2).forall(w => w.length < 2 || w(1) - w(0) >= 0))
+    assert(shards.distinct.sorted.sameElements(0L to shards.max))
+  }
+}
