@@ -27,7 +27,7 @@ object CurationQueries {
     * so the DuckDB oracle derives the identical codebook in SQL). */
   private def qSemanticDedup(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
-    val cents = IvfKNN.sampledCentroids(e, "vec_id", "embedding", 16)
+    val cents = IvfKNN.cachedSampledCentroids(e, "vec_id", "embedding", 16, dir)
     SemanticDedup.verdicts(e, "vec_id", "embedding", cents, threshold = 0.3)
       .orderBy(col("vec_id"))
   }

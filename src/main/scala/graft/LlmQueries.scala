@@ -419,7 +419,7 @@ object LlmQueries {
     * replay exactly in DuckDB. */
   private def qKnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val cents = IvfKNN.sampledCentroids(e, "vec_id", "embedding", 16)
+    val cents = IvfKNN.cachedSampledCentroids(e, "vec_id", "embedding", 16, dir)
     IvfKNN.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
       cents, k = 5, nprobe = 4)
       .orderBy(col("query_id"), col("rank"))

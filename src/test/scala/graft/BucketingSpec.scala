@@ -12,8 +12,8 @@ class BucketingSpec extends SparkSpec {
 
   test("q_bucketed_join consumes the bucket layout: no exchange under the join") {
     val sf = "/root/testdata/sf0.001"
-    val (joined, teardown) = ScaleQueries.bucketedJoinPlan(spark, sf)
-    try {
+    val joined = ScaleQueries.bucketedJoinPlan(spark, sf)
+    locally {
       val plan = joined.queryExecution.executedPlan.toString
       // the join itself must consume the bucket layout directly: no
       // exchange below the SortMergeJoin (the agg above may shuffle)
@@ -33,6 +33,6 @@ class BucketingSpec extends SparkSpec {
       val got = joined.collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(got == expected)
-    } finally teardown()
+    } // layout persists for the session (amortized at-rest tables)
   }
 }
