@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.dedup.SemanticDedup
+import graft.ext.dedup.{DupGroups, NearDup, SemanticDedup}
 import graft.ext.similarity.IvfKNN
 import graft.ext.text.{Decontaminate, ShardPacker}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -125,13 +125,52 @@ object CurationQueries {
       |  CAST(FLOOR((cum_tokens - n_tokens) / 2000.0) AS BIGINT) AS shard_id
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Transitive dup groups over the exact-Jaccard pair list (the same
+    * bounded pair set docs_jaccard_pairs registers); the oracle
+    * replays min-label reachability with a recursive CTE, so the
+    * iterative Spark fixpoint is pinned to the declarative transitive
+    * closure exactly. */
+  private def qDupGroups(s: SparkSession, dir: String): DataFrame = {
+    val pairs = NearDup.jaccardPairsBruteForce(
+      Tables(s, dir, "documents").filter(col("doc_id") < 200),
+      "doc_id", "text", shingleSize = 1, threshold = 0.9)
+    DupGroups.groups(pairs, "doc_a", "doc_b")
+      .orderBy(col("id"))
+  }
+
+  private val qDupGroupsSql =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id,
+      |    list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks
+      |  FROM documents WHERE doc_id < 200),
+      |p AS (
+      |  SELECT * FROM (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |      CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |        len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+      |    FROM t a, t b
+      |    WHERE a.doc_id < b.doc_id)
+      |  WHERE jaccard >= 0.9),
+      |e AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM p
+      |  UNION
+      |  SELECT doc_b, doc_a FROM p),
+      |reach(id, r) AS (
+      |  SELECT src, src FROM e
+      |  UNION
+      |  SELECT x.id, e.dst FROM reach x JOIN e ON e.src = x.r)
+      |SELECT id, MIN(r) AS group_id
+      |FROM reach GROUP BY id ORDER BY id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_semantic_dedup" -> (qSemanticDedup _),
     "docs_decontaminate" -> (qDecontaminate _),
-    "docs_pack_shards"   -> (qPackShards _))
+    "docs_pack_shards"   -> (qPackShards _),
+    "docs_dup_groups"    -> (qDupGroups _))
 
   val oracles: Map[String, String] = Map(
     "emb_semantic_dedup" -> qSemanticDedupSql,
     "docs_decontaminate" -> qDecontaminateSql,
-    "docs_pack_shards"   -> qPackShardsSql)
+    "docs_pack_shards"   -> qPackShardsSql,
+    "docs_dup_groups"    -> qDupGroupsSql)
 }

@@ -1,0 +1,87 @@
+package graft.ext.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Transitive duplicate GROUPS from a near-dup PAIR list — the step
+  * between pair mining ([[NearDup]] / [[SemanticDedup]]) and
+  * group-level keep-one-per-cluster: near-duplication is not
+  * transitive, so A≈B and B≈C must collapse into one group {A,B,C}
+  * before a keep rule can act on it. Connected components via
+  * iterative min-label propagation:
+  *
+  *   label(v) ← min(label(v), min label over v's neighbors)
+  *
+  * repeated until fixpoint; every member ends up labeled with the
+  * smallest doc id reachable from it (the canonical group id).
+  *
+  * Scale posture: each round is ONE shuffle join (edges ⋈ labels,
+  * both keyed by vertex) plus a hash-agg min — no driver-side graph.
+  * Rounds needed = the component diameter, and near-dup components
+  * are overwhelmingly tiny cliques (diameter ≤ 2–3); the classic
+  * worst case (a long chain) is handled by the iteration cap. For
+  * billion-edge general graphs production systems use the
+  * large-star/small-star variant (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", SoCC'14) — same per-round
+  * plan shape, fewer rounds; the simple form is kept here because
+  * dedup graphs are diameter-bounded. Each round CHECKPOINTS its
+  * label frame (`localCheckpoint`, eager): caching alone would NOT
+  * cut the logical plan, and an iterated join+union grows the plan
+  * tree exponentially with rounds — the classic iterative-Spark trap;
+  * checkpointing per round is the idiom GraphX and MLlib iterations
+  * use to keep the plan constant-size.
+  */
+object DupGroups {
+
+  /** `localCheckpoint` persists its RDD OUTSIDE the cache manager, so
+    * `Dataset.unpersist` cannot release it; free the underlying RDD
+    * directly off the checkpointed plan's scan node. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
+  /** (id, group_id) for every vertex that appears in `pairs`;
+    * group_id = min reachable id. Vertices not in any pair are absent
+    * (callers can left-join and coalesce to self). */
+  def groups(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxRounds: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("__m"))
+      .select(col("src").as("id"), least(col("src"), col("__m")).as("label"))
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // neighbor minimum in one join+agg; keep own label via the union
+      val next = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("label"))
+        .union(labels)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      val changed = next.as("n")
+        .join(labels.as("p"), "id")
+        .filter(col("n.label") =!= col("p.label"))
+        .count()
+      freeCheckpoint(labels)
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"label propagation did not converge in $maxRounds rounds " +
+          "(component diameter exceeds the cap — raise maxRounds)")
+    val out = labels.select(col("id"), col("label").as("group_id"))
+    try NearDup.materializeAndRelease(out, "dupgroups", edges)
+    finally freeCheckpoint(labels)
+  }
+}

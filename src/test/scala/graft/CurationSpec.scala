@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.dedup.SemanticDedup
+import graft.ext.dedup.{DupGroups, SemanticDedup}
 import graft.ext.similarity.IvfKNN
 import graft.ext.text.{Decontaminate, ShardPacker, TextFunctions}
 import org.apache.spark.sql.expressions.Window
@@ -83,6 +83,25 @@ class CurationSpec extends SparkSpec {
       .filter(_._2 > 0).toMap
     val got = flagged.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == check.map { case (k, v) => k -> v.toLong })
+  }
+
+  test("dup groups: transitive chains collapse to min-id components") {
+    // two components: a transitive chain {1,5,9} (1-5, 5-9; 1 and 9
+    // never directly paired) and a pair {2,7}
+    val pairs = Seq((1L, 5L), (5L, 9L), (2L, 7L)).toDF("doc_a", "doc_b")
+    val got = DupGroups.groups(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 5L -> 1L, 9L -> 1L, 2L -> 2L, 7L -> 2L))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty, "dup groups leaked caches")
+  }
+
+  test("dup groups: a long path needs multiple propagation rounds and still converges") {
+    // path 10-9-8-...-0 with the min at one END: label 0 must walk the
+    // full diameter, exercising the fixpoint loop rather than round 1
+    val pairs = (0L until 10L).map(i => (i + 1, i)).toDF("doc_a", "doc_b")
+    val got = DupGroups.groups(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 10L).map(_ -> 0L).toMap)
   }
 
   test("shard packing: two-level prefix sum equals the single global window") {
