@@ -162,15 +162,86 @@ object CurationQueries {
       |SELECT id, MIN(r) AS group_id
       |FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  /** Temperature-based source mixing (α = 0.5): per-source sampling
+    * rates ∝ n_s^α — the standard flatten-the-distribution mix
+    * (multilingual/multi-corpus training recipes since GPT-3 /
+    * mT5) — then a DETERMINISTIC hash sample at that rate: keep doc
+    * iff polyhash(text) < floor(rate·P). The plan is two tiny
+    * aggregates broadcast back over the corpus and a map-only
+    * filter — no shuffle of the corpus itself, any-scale-safe.
+    *
+    * Cross-engine FP discipline: the α-weights are rounded to 6dp
+    * and summed as exact DECIMAL (double summation order would
+    * differ between engines); every remaining arithmetic step is an
+    * identical left-associated double chain, rounded to 9dp, and the
+    * keep decision compares INTEGERS (hash < floor(rate·P)), so no
+    * boundary can flip on the last ulp. */
+  private def qSourceMix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // the synthetic corpus's `source` labels are uniform, which makes
+    // every rate identical; derive a 70/20/10-skewed domain so the
+    // flattening is visible (head downsampled, tail kept near-whole)
+    val d = Tables(s, dir, "documents").withColumn("domain",
+      when(col("doc_id") % 10 < 7, lit("head"))
+        .when(col("doc_id") % 10 < 9, lit("mid"))
+        .otherwise(lit("tail")))
+    val st = d.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", round(sqrt(col("n_docs")), 6))
+    val tot = st.agg(
+      sum(col("w").cast(DecimalType(18, 6))).cast("double").as("wsum"),
+      sum(col("n_docs")).as("n_total"))
+    val rates = st.crossJoin(broadcast(tot))
+      .withColumn("rate",
+        round(least(lit(1.0),
+          col("w") / col("wsum") * lit(0.5) * col("n_total") / col("n_docs")), 9))
+      .select(col("domain"), col("rate"),
+        floor(col("rate") * lit(graft.functions.PolyHash.P)).cast("long").as("__cut"))
+    d.join(broadcast(rates), "domain")
+      .filter(graft.functions.PolyHash.polyhash(col("text"), 31) < col("__cut"))
+      .select(col("doc_id"), col("domain"), col("rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qSourceMixSql = {
+    val ph = graft.functions.PolyHash.duckdbSql("d.text", 31)
+    s"""WITH d AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN doc_id % 10 < 7 THEN 'head'
+       |         WHEN doc_id % 10 < 9 THEN 'mid'
+       |         ELSE 'tail' END AS domain
+       |  FROM documents),
+       |st AS (
+       |  SELECT domain, COUNT(*) AS n_docs,
+       |    round(sqrt(COUNT(*)), 6) AS w
+       |  FROM d GROUP BY domain),
+       |tot AS (
+       |  SELECT CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS wsum,
+       |    CAST(SUM(n_docs) AS BIGINT) AS n_total
+       |  FROM st),
+       |rates AS (
+       |  SELECT domain,
+       |    round(least(1.0, w / wsum * 0.5 * n_total / n_docs), 9) AS rate,
+       |    CAST(FLOOR(round(least(1.0, w / wsum * 0.5 * n_total / n_docs), 9)
+       |      * 1073741789) AS BIGINT) AS cut
+       |  FROM st, tot)
+       |SELECT d.doc_id, d.domain, r.rate
+       |FROM d JOIN rates r USING (domain)
+       |WHERE $ph < r.cut
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_semantic_dedup" -> (qSemanticDedup _),
     "docs_decontaminate" -> (qDecontaminate _),
     "docs_pack_shards"   -> (qPackShards _),
-    "docs_dup_groups"    -> (qDupGroups _))
+    "docs_dup_groups"    -> (qDupGroups _),
+    "docs_source_mix"    -> (qSourceMix _))
 
   val oracles: Map[String, String] = Map(
     "emb_semantic_dedup" -> qSemanticDedupSql,
     "docs_decontaminate" -> qDecontaminateSql,
     "docs_pack_shards"   -> qPackShardsSql,
-    "docs_dup_groups"    -> qDupGroupsSql)
+    "docs_dup_groups"    -> qDupGroupsSql,
+    "docs_source_mix"    -> qSourceMixSql)
 }

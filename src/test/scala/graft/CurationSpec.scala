@@ -14,10 +14,20 @@ class CurationSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  /** Cache-hygiene assertions must be DELTA-based: the shared test
+    * session may carry other suites' persisted RDDs. */
+  private def newPersistedAfter[T](body: => T): (T, Set[Int]) = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val r = body
+    (r, spark.sparkContext.getPersistentRDDs.keySet.toSet -- before)
+  }
+
   test("semantic dedup: keeps lowest id per near-dup pair, one verdict per vector") {
     val e = Tables(spark, sf, "embeddings")
     val cents = IvfKNN.sampledCentroids(e, "vec_id", "embedding", 8)
-    val v = SemanticDedup.verdicts(e, "vec_id", "embedding", cents, threshold = 0.3)
+    val (v, leaked) = newPersistedAfter(
+      SemanticDedup.verdicts(e, "vec_id", "embedding", cents, threshold = 0.3))
+    assert(leaked.isEmpty, s"semantic dedup leaked cached RDDs: $leaked")
     val rows = v.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     assert(rows.length == e.count())
     assert(rows.map(_._1).distinct.length == rows.length)
@@ -47,8 +57,6 @@ class CurationSpec extends SparkSpec {
       val lowest = members.minBy(_._1)
       assert(lowest._3, s"lowest id ${lowest._1} of cluster ${lowest._2} was dropped")
     }
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "semantic dedup leaked cached RDDs")
   }
 
   test("decontamination: finds planted n-gram overlap, skips clean docs") {
@@ -89,10 +97,10 @@ class CurationSpec extends SparkSpec {
     // two components: a transitive chain {1,5,9} (1-5, 5-9; 1 and 9
     // never directly paired) and a pair {2,7}
     val pairs = Seq((1L, 5L), (5L, 9L), (2L, 7L)).toDF("doc_a", "doc_b")
-    val got = DupGroups.groups(pairs, "doc_a", "doc_b")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (grouped, leaked) = newPersistedAfter(DupGroups.groups(pairs, "doc_a", "doc_b"))
+    val got = grouped.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 5L -> 1L, 9L -> 1L, 2L -> 2L, 7L -> 2L))
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty, "dup groups leaked caches")
+    assert(leaked.isEmpty, s"dup groups leaked caches: $leaked")
   }
 
   test("dup groups: a long path needs multiple propagation rounds and still converges") {
