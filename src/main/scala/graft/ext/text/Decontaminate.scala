@@ -33,8 +33,16 @@ object Decontaminate {
       textCol: String,
       isEval: Column,
       n: Int): DataFrame = {
-    def grams(df: DataFrame) = df.select(col(idCol).as("doc"),
-      explode(TextFunctions.shingles(col(textCol), n)).as("g"))
+    // spread rows BEFORE shingling: a single-file corpus scans as one
+    // partition, and without the exchange the whole CPU-heavy
+    // shingle+explode(+join+partial-agg, all fused into the scan
+    // stage) runs on one task while the rest of the cluster idles —
+    // measured 6.5s → 1.4s at sf0.1 (same barrier NearDup.shingleSets
+    // uses)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    def grams(df: DataFrame) = df.repartition(par, col(idCol))
+      .select(col(idCol).as("doc"),
+        explode(TextFunctions.shingles(col(textCol), n)).as("g"))
     // the eval filter pushes to the scan, so the shingle expression
     // only ever evaluates over the (tiny) benchmark split here
     val evalGrams = grams(docs.filter(isEval)).select(col("g")).distinct()
