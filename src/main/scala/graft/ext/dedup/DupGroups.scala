@@ -54,25 +54,32 @@ object DupGroups {
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .cache()
-    var labels = edges.groupBy(col("src"))
+    // `ckpt` is the raw checkpointed frame (freeCheckpoint needs its
+    // plan to BE the LogicalRDD scan); `labels` is the (id, label)
+    // view consumed by the next round
+    var ckpt = edges.groupBy(col("src"))
       .agg(min(col("dst")).as("__m"))
       .select(col("src").as("id"), least(col("src"), col("__m")).as("label"))
       .localCheckpoint(true)
+    var labels = ckpt
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      // neighbor minimum in one join+agg; keep own label via the union
+      // neighbor minimum in one join+agg, carrying the previous label
+      // through the aggregation (every id has exactly one self row, so
+      // max(prev) recovers it past the nulls the edge side pads) —
+      // convergence detection is then a SCAN of the just-checkpointed
+      // frame, not a second shuffle join per round
       val next = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
-        .select(col("src").as("id"), col("label"))
-        .union(labels)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .select(col("src").as("id"), col("label"), lit(null).cast("long").as("prev"))
+        .union(labels.select(col("id"), col("label"), col("label").as("prev")))
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"), max(col("prev")).as("prev"))
         .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.as("p"), "id")
-        .filter(col("n.label") =!= col("p.label"))
-        .count()
-      freeCheckpoint(labels)
-      labels = next
+      val changed = next.filter(col("label") =!= col("prev")).count()
+      freeCheckpoint(ckpt)
+      ckpt = next
+      labels = next.select(col("id"), col("label"))
       converged = changed == 0
       round += 1
     }
@@ -82,6 +89,6 @@ object DupGroups {
           "(component diameter exceeds the cap — raise maxRounds)")
     val out = labels.select(col("id"), col("label").as("group_id"))
     try NearDup.materializeAndRelease(out, "dupgroups", edges)
-    finally freeCheckpoint(labels)
+    finally freeCheckpoint(ckpt)
   }
 }
