@@ -167,13 +167,53 @@ object ScaleQueries {
       |  TRUE AS within_bound
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ----------------------------------------------------- sketch quantiles
+
+  /** GK-sketch quantiles next to the exact form — the same
+    * single-pass-mergeable-state story as [[qApproxDistinct]], for
+    * percentiles: at 100 TB the exact percentile sorts every group on
+    * the reducers, while `approx_percentile` keeps a bounded summary
+    * with map-side merge. The exact values (interpolated, rounded to
+    * 6dp — both engines interpolate linearly; rounding absorbs the
+    * last-ulp difference in the interpolation formula) are
+    * oracle-computed; the sketch lands inside a 5% band around them,
+    * asserted as a stable boolean (accuracy 10000 ⇒ ~0.01% rank
+    * error, so the band holds for any partitioning of the data). */
+  private def qApproxQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50_exact"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95_exact"),
+        expr("approx_percentile(value, 0.5, 10000)").as("__a50"),
+        expr("approx_percentile(value, 0.95, 10000)").as("__a95"))
+      .select(
+        $"event_type", $"p50_exact", $"p95_exact",
+        (abs($"__a50" - $"p50_exact") <=
+          greatest(abs($"p50_exact") * 0.05, lit(0.05))).as("p50_in_band"),
+        (abs($"__a95" - $"p95_exact") <=
+          greatest(abs($"p95_exact") * 0.05, lit(0.05))).as("p95_in_band"))
+      .orderBy($"event_type")
+  }
+
+  private val qApproxQuantilesSql =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 6) AS p50_exact,
+      |  round(quantile_cont(value, 0.95), 6) AS p95_exact,
+      |  TRUE AS p50_in_band,
+      |  TRUE AS p95_in_band
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_salted_join"    -> (qSaltedJoin _),
-    "q_bucketed_join"  -> (qBucketedJoin _),
-    "q_approx_distinct" -> (qApproxDistinct _))
+    "q_salted_join"      -> (qSaltedJoin _),
+    "q_bucketed_join"    -> (qBucketedJoin _),
+    "q_approx_distinct"  -> (qApproxDistinct _),
+    "q_approx_quantiles" -> (qApproxQuantiles _))
 
   val oracles: Map[String, String] = Map(
-    "q_salted_join"    -> qSaltedJoinSql,
-    "q_bucketed_join"  -> qBucketedJoinSql,
-    "q_approx_distinct" -> qApproxDistinctSql)
+    "q_salted_join"      -> qSaltedJoinSql,
+    "q_bucketed_join"    -> qBucketedJoinSql,
+    "q_approx_distinct"  -> qApproxDistinctSql,
+    "q_approx_quantiles" -> qApproxQuantilesSql)
 }
