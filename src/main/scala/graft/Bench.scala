@@ -14,11 +14,13 @@ import org.apache.spark.sql.SparkSession
   * Noise control (this host has shown 1.6× total drift between
   * identical binaries hours apart): each query runs
   * `SPARK_GRAFT_REPEAT` times (default 2) and the reported time is the
-  * MIN — the estimator least sensitive to transient host load — with
-  * the per-rep times and the 1-minute load average before/after kept
-  * in the same JSON line so a future round can tell a regression from
-  * a noisy host. `SPARK_GRAFT_ONLY=q1,q2` restricts the run for
-  * isolated adjudication reruns.
+  * MIN — the estimator least sensitive to transient host load. The
+  * per-rep times and the 1-minute load average before/after go to
+  * `BENCH_DETAIL.json` in the working directory (NOT the stdout line:
+  * the harness tails stdout, and the round-3 inline detail overflowed
+  * the capture window, losing that round's bench) — read the detail
+  * file to tell a regression from a noisy host. `SPARK_GRAFT_ONLY=
+  * q1,q2` restricts the run for isolated adjudication reruns.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -77,7 +79,7 @@ object Bench {
     // arrays pushed the line past the window and the whole bench was
     // lost ("parsed": null). So: stdout gets ONE COMPACT line
     // (ms precision, min-of-N only); the full per-rep detail and load
-    // averages go to BENCH_DETAIL.json next to the repo for humans.
+    // averages go to BENCH_DETAIL.json in the working directory.
     def ms(t: Double) = (math.rint(t * 1000) / 1000).toString
     def fmtTimes(ts: Seq[Double]) = ts.map(ms).mkString("[", ",", "]")
     val qs = results.map { case (k, ts, err) =>
@@ -95,7 +97,11 @@ object Bench {
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
       try w.println(detail) finally w.close()
-    } catch { case _: Throwable => () }
+    } catch {
+      // the detail file is best-effort (the stdout line is the record
+      // of note) — but never swallow fatal errors
+      case scala.util.control.NonFatal(_) => ()
+    }
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
       s""""queries":$qs,"failed":$rc,"sf":"$sfDir"}""")
     spark.stop()

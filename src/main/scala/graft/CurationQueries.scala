@@ -166,9 +166,10 @@ object CurationQueries {
     * rates ∝ n_s^α — the standard flatten-the-distribution mix
     * (multilingual/multi-corpus training recipes since GPT-3 /
     * mT5) — then a DETERMINISTIC hash sample at that rate: keep doc
-    * iff polyhash(text) < floor(rate·P). The plan is two tiny
-    * aggregates broadcast back over the corpus and a map-only
-    * filter — no shuffle of the corpus itself, any-scale-safe.
+    * iff polyhash(text) < floor(rate·P). The plan is ONE corpus
+    * aggregate (3-row result collected as mix metadata, like the IVF
+    * codebook), a broadcast rate table, and a map-only filter — no
+    * shuffle of the corpus itself, any-scale-safe.
     *
     * Cross-engine FP discipline: the α-weights are rounded to 6dp
     * and summed as exact DECIMAL (double summation order would
@@ -185,8 +186,16 @@ object CurationQueries {
       when(col("doc_id") % 10 < 7, lit("head"))
         .when(col("doc_id") % 10 < 9, lit("mid"))
         .otherwise(lit("tail")))
-    val st = d.groupBy(col("domain"))
-      .agg(count(lit(1)).as("n_docs"))
+    // the per-domain counts are mix METADATA (3 rows) — run the
+    // corpus aggregate once and rebuild the stats as a literal frame,
+    // instead of embedding the aggregate's lineage in both the wsum
+    // subplan and the rates side (which would execute the full-corpus
+    // pass twice); all rate arithmetic stays in Spark expressions so
+    // the rounding semantics match the already-verified oracle chain
+    import s.implicits._
+    val stLocal = d.groupBy(col("domain")).agg(count(lit(1)).as("n_docs"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val st = stLocal.toDF("domain", "n_docs")
       .withColumn("w", round(sqrt(col("n_docs")), 6))
     val tot = st.agg(
       sum(col("w").cast(DecimalType(18, 6))).cast("double").as("wsum"),

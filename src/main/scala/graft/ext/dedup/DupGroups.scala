@@ -64,31 +64,38 @@ object DupGroups {
     var labels = ckpt
     var round = 0
     var converged = false
-    while (!converged && round < maxRounds) {
-      // neighbor minimum in one join+agg, carrying the previous label
-      // through the aggregation (every id has exactly one self row, so
-      // max(prev) recovers it past the nulls the edge side pads) —
-      // convergence detection is then a SCAN of the just-checkpointed
-      // frame, not a second shuffle join per round
-      val next = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
-        .select(col("src").as("id"), col("label"), lit(null).cast("long").as("prev"))
-        .union(labels.select(col("id"), col("label"), col("label").as("prev")))
-        .groupBy(col("id"))
-        .agg(min(col("label")).as("label"), max(col("prev")).as("prev"))
-        .localCheckpoint(true)
-      val changed = next.filter(col("label") =!= col("prev")).count()
+    try {
+      while (!converged && round < maxRounds) {
+        // neighbor minimum in one join+agg, carrying the previous
+        // label through the aggregation (every id has exactly one self
+        // row, so max(prev) recovers it past the nulls the edge side
+        // pads) — convergence detection is then a SCAN of the
+        // just-checkpointed frame, not a second shuffle join per round
+        val next = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+          .select(col("src").as("id"), col("label"), lit(null).cast("long").as("prev"))
+          .union(labels.select(col("id"), col("label"), col("label").as("prev")))
+          .groupBy(col("id"))
+          .agg(min(col("label")).as("label"), max(col("prev")).as("prev"))
+          .localCheckpoint(true)
+        val changed = next.filter(col("label") =!= col("prev")).count()
+        freeCheckpoint(ckpt)
+        ckpt = next
+        labels = next.select(col("id"), col("label"))
+        converged = changed == 0
+        round += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"label propagation did not converge in $maxRounds rounds " +
+            "(component diameter exceeds the cap — raise maxRounds)")
+      val out = labels.select(col("id"), col("label").as("group_id"))
+      NearDup.materializeAndRelease(out, "dupgroups", edges)
+    } finally {
+      // release on EVERY path (incl. the non-convergence throw and a
+      // mid-round failure) — edges is also passed to
+      // materializeAndRelease above, but unpersist is idempotent
       freeCheckpoint(ckpt)
-      ckpt = next
-      labels = next.select(col("id"), col("label"))
-      converged = changed == 0
-      round += 1
+      edges.unpersist()
     }
-    if (!converged)
-      throw new IllegalStateException(
-        s"label propagation did not converge in $maxRounds rounds " +
-          "(component diameter exceeds the cap — raise maxRounds)")
-    val out = labels.select(col("id"), col("label").as("group_id"))
-    try NearDup.materializeAndRelease(out, "dupgroups", edges)
-    finally freeCheckpoint(ckpt)
   }
 }

@@ -53,7 +53,7 @@ object IvfKNN {
       .map { case (r, i) => mk(i, r.getSeq[Float](0).toArray) }
 
   private val codebookMemo =
-    new scala.collection.concurrent.TrieMap[(String, Int), Seq[Centroid]]
+    new scala.collection.concurrent.TrieMap[(String, String, String, Int), Seq[Centroid]]
 
   /** [[sampledCentroids]] memoized per (source, k). A real IVF index
     * trains its codebook once when the index is built and every query
@@ -65,7 +65,7 @@ object IvfKNN {
   def cachedSampledCentroids(
       corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       source: String): Seq[Centroid] =
-    codebookMemo.getOrElseUpdate((source, k),
+    codebookMemo.getOrElseUpdate((source, idCol, vecCol, k),
       sampledCentroids(corpus, idCol, vecCol, k))
 
   /** Lloyd refinement: assign (map stage) → per-dimension mean (one

@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale posture: the eval side is a benchmark suite — thousands of
   * documents against a 100 TB train corpus — so its distinct n-gram
-  * set is broadcast and the train side never shuffles: the plan is
-  * scan → shingle (codegen HOFs, map-only) → broadcast hash join →
-  * partial-agg count. No all-pairs comparison, no shuffle of train
-  * data at any point.
+  * set is broadcast and the train side's JOIN never shuffles: shingle
+  * (codegen HOFs, map-only) → broadcast hash join → partial-agg
+  * count, no all-pairs comparison. The one exchange on the train side
+  * is a PARALLELISM barrier applied only when the scan has fewer
+  * partitions than the cluster (a single-file corpus scans as one
+  * task, serializing the CPU-heavy shingle stage); a many-file 100 TB
+  * corpus already scans wide and skips it.
   */
 object Decontaminate {
 
@@ -33,16 +36,20 @@ object Decontaminate {
       textCol: String,
       isEval: Column,
       n: Int): DataFrame = {
-    // spread rows BEFORE shingling: a single-file corpus scans as one
-    // partition, and without the exchange the whole CPU-heavy
-    // shingle+explode(+join+partial-agg, all fused into the scan
-    // stage) runs on one task while the rest of the cluster idles —
-    // measured 6.5s → 1.4s at sf0.1 (same barrier NearDup.shingleSets
-    // uses)
+    // spread rows BEFORE shingling when the scan is narrower than the
+    // cluster: a single-file corpus scans as one partition, and
+    // without the exchange the whole CPU-heavy shingle+explode
+    // (+join+partial-agg, all fused into the scan stage) runs on one
+    // task while the rest of the cluster idles — measured 6.5s → 1.4s
+    // at sf0.1 (same barrier NearDup.shingleSets uses). A wide scan
+    // skips the exchange entirely.
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    def grams(df: DataFrame) = df.repartition(par, col(idCol))
-      .select(col(idCol).as("doc"),
+    val narrow = docs.rdd.getNumPartitions < par
+    def grams(df: DataFrame) = {
+      val spread = if (narrow) df.repartition(par, col(idCol)) else df
+      spread.select(col(idCol).as("doc"),
         explode(TextFunctions.shingles(col(textCol), n)).as("g"))
+    }
     // the eval filter pushes to the scan, so the shingle expression
     // only ever evaluates over the (tiny) benchmark split here
     val evalGrams = grams(docs.filter(isEval)).select(col("g")).distinct()
