@@ -102,4 +102,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
       p.take(3000))
   }
+
+  test("decontamination joins the broadcast eval grams; the train side never sort-merge-joins") {
+    val p = plan("docs_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("source mix is a broadcast rate table over a map-only corpus filter") {
+    val p = plan("docs_source_mix")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    // the corpus never hash-exchanges: the only exchanges are the
+    // 3-row literal-stats aggregate and the output range sort
+    assert(!p.contains("Exchange hashpartitioning(doc_id"), p.take(3000))
+    assert(!p.contains("Exchange hashpartitioning(domain"), p.take(3000))
+  }
+
+  test("shard packing's corpus window is bucket-partitioned; only bucket totals sort globally") {
+    val p = plan("docs_pack_shards")
+    // the per-row cumulative sum must carry the bucket partition key
+    assert(p.contains("Window ") && p.contains("windowspecdefinition"), p.take(4000))
+    val corpusWindows = p.linesIterator.filter(l =>
+      l.contains("Window ") && l.contains("__cum")).toSeq
+    assert(corpusWindows.forall(_.contains("__b")),
+      s"corpus cumsum window lost its bucket partition key:\n${corpusWindows.mkString("\n")}")
+  }
 }
