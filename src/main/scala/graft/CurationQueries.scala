@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.dedup.{DupGroups, NearDup, SemanticDedup}
+import graft.ext.dedup.{BlockDedup, DupGroups, NearDup, SemanticDedup}
 import graft.ext.similarity.IvfKNN
 import graft.ext.text.{Decontaminate, ShardPacker}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -162,6 +162,39 @@ object CurationQueries {
       |SELECT id, MIN(r) AS group_id
       |FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  /** Block-level (paragraph) dedup: 20-token blocks, first occurrence
+    * wins corpus-wide, documents reconstructed from surviving blocks
+    * ([[graft.ext.dedup.BlockDedup]]). */
+  private def qBlockDedup(s: SparkSession, dir: String): DataFrame =
+    BlockDedup.dedupBlocks(Tables(s, dir, "documents"), "doc_id", "text",
+      blockTokens = 20)
+      .orderBy(col("doc_id"))
+
+  private val qBlockDedupSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(trim(text)) = 0 THEN []
+      |         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, i AS pos,
+      |    array_to_string(toks[i*20+1 : i*20+20], ' ') AS block
+      |  FROM t, (SELECT unnest(range(1000)) AS i)
+      |  WHERE i < ceil(len(toks) / 20.0)),
+      |kept AS (
+      |  SELECT doc_id, pos, block FROM b
+      |  QUALIFY row_number() OVER (PARTITION BY block ORDER BY doc_id, pos) = 1),
+      |nb AS (SELECT doc_id, COUNT(*) AS n_blocks FROM b GROUP BY doc_id),
+      |nk AS (
+      |  SELECT doc_id, COUNT(*) AS n_kept,
+      |    string_agg(block, ' ' ORDER BY pos) AS text_kept
+      |  FROM kept GROUP BY doc_id)
+      |SELECT nb.doc_id, nb.n_blocks,
+      |  COALESCE(nk.n_kept, 0) AS n_kept,
+      |  COALESCE(nk.text_kept, '') AS text_kept
+      |FROM nb LEFT JOIN nk ON nk.doc_id = nb.doc_id
+      |ORDER BY nb.doc_id""".stripMargin
+
   /** Temperature-based source mixing (α = 0.5): per-source sampling
     * rates ∝ n_s^α — the standard flatten-the-distribution mix
     * (multilingual/multi-corpus training recipes since GPT-3 /
@@ -245,12 +278,14 @@ object CurationQueries {
     "docs_decontaminate" -> (qDecontaminate _),
     "docs_pack_shards"   -> (qPackShards _),
     "docs_dup_groups"    -> (qDupGroups _),
-    "docs_source_mix"    -> (qSourceMix _))
+    "docs_source_mix"    -> (qSourceMix _),
+    "docs_block_dedup"   -> (qBlockDedup _))
 
   val oracles: Map[String, String] = Map(
     "emb_semantic_dedup" -> qSemanticDedupSql,
     "docs_decontaminate" -> qDecontaminateSql,
     "docs_pack_shards"   -> qPackShardsSql,
     "docs_dup_groups"    -> qDupGroupsSql,
-    "docs_source_mix"    -> qSourceMixSql)
+    "docs_source_mix"    -> qSourceMixSql,
+    "docs_block_dedup"   -> qBlockDedupSql)
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.dedup.{DupGroups, SemanticDedup}
+import graft.ext.dedup.{BlockDedup, DupGroups, SemanticDedup}
 import graft.ext.similarity.IvfKNN
 import graft.ext.text.{Decontaminate, ShardPacker, TextFunctions}
 import org.apache.spark.sql.expressions.Window
@@ -110,6 +110,20 @@ class CurationSpec extends SparkSpec {
     val got = DupGroups.groups(pairs, "doc_a", "doc_b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == (0L to 10L).map(_ -> 0L).toMap)
+  }
+
+  test("block dedup: repeated block survives only at its first occurrence") {
+    // doc 1 and doc 2 share an identical 4-token block; doc 2 also has
+    // a unique tail block. blockTokens=4 so each phrase is one block.
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta unique tail block here"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = BlockDedup.dedupBlocks(df, "doc_id", "text", blockTokens = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((1L, 1L, "alpha beta gamma delta")))
+    assert(out(2L) == ((2L, 1L, "unique tail block here")))
+    assert(!out.contains(3L)) // empty doc has no blocks
   }
 
   test("shard packing: two-level prefix sum equals the single global window") {
