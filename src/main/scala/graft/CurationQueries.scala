@@ -195,6 +195,89 @@ object CurationQueries {
       |FROM nb LEFT JOIN nk ON nk.doc_id = nb.doc_id
       |ORDER BY nb.doc_id""".stripMargin
 
+  /** The composed end-to-end curation pass — the flagship shape of
+    * this layer: quality gate → language gate → exact dedup (lowest
+    * id per fingerprint) → deterministic hash downsample, all in ONE
+    * declarative plan (scan → map-only scoring → one fingerprint
+    * shuffle → map-only sample). Every stage reuses an operator that
+    * is also individually oracle-checked, and the composition is
+    * hash-checked end-to-end here. */
+  private def qCurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.text.TextFunctions
+    val scored = Tables(s, dir, "documents").select(
+      col("doc_id"), col("text"),
+      TextFunctions.qualityScore(col("text")).as("quality"),
+      TextFunctions.langId(col("text")).as("lang_pred"),
+      TextFunctions.fingerprint(col("text")).as("__fp"))
+      .filter(col("quality") >= 0.55 && col("lang_pred") === "en")
+    scored.groupBy(col("__fp"))
+      .agg(min_by(
+        struct(col("doc_id"), col("text"), col("quality"), col("lang_pred")),
+        col("doc_id")).as("__r"))
+      .select(col("__r.*"))
+      .filter(TextFunctions.hashSampleKeep(col("text"), 128))
+      .select(col("doc_id"), col("quality"), col("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qCurationPipelineSql = {
+    val allStops = graft.ext.text.TextFunctions.stopwords
+      .flatMap(_._2).map(w => s"'$w'").mkString(",")
+    def hits(lang: String) = {
+      val words = graft.ext.text.TextFunctions.stopwords.toMap
+        .apply(lang).map(w => s"'$w'").mkString(",")
+      s"len(list_filter(toks, t -> t IN ($words)))"
+    }
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN len(trim(text)) = 0 THEN []
+       |         ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, text, toks,
+       |    CAST(len(toks) AS DOUBLE) AS n_tok,
+       |    CAST(len(list_filter(toks, t -> t IN ($allStops))) AS DOUBLE) AS stop_hits,
+       |    CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) AS tok_chars,
+       |    CAST(length(text) AS DOUBLE) AS n_ch,
+       |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
+       |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digit
+       |  FROM t),
+       |sc AS (
+       |  SELECT doc_id, text, toks,
+       |    LEAST(n_tok / 100.0, 1.0) * 0.3 +
+       |    (CASE WHEN n_tok = 0 THEN 0.0 ELSE stop_hits / n_tok END) * 0.3 +
+       |    (CASE WHEN n_tok = 0 THEN 0.5
+       |          WHEN tok_chars / n_tok >= 3 AND tok_chars / n_tok <= 10 THEN 1.0
+       |          ELSE 0.5 END) * 0.2 +
+       |    (1.0 - CASE WHEN n_ch = 0 THEN 0.0 ELSE n_punct / n_ch END) * 0.1 +
+       |    (1.0 - CASE WHEN n_ch = 0 THEN 0.0 ELSE n_digit / n_ch END) * 0.1 AS quality
+       |  FROM m),
+       |lg AS (
+       |  SELECT doc_id, ${hits("en")} AS s_en, ${hits("de")} AS s_de,
+       |         ${hits("es")} AS s_es, ${hits("fr")} AS s_fr
+       |  FROM t),
+       |lp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN s_en + s_de + s_es + s_fr = 0 THEN 'und'
+       |         WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |         WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |         WHEN s_es >= s_fr THEN 'es'
+       |         ELSE 'fr' END AS lang_pred
+       |  FROM lg),
+       |gated AS (
+       |  SELECT sc.doc_id, sc.text, sc.quality, lp.lang_pred,
+       |    substr(sha256(regexp_replace(regexp_replace(lower(trim(sc.text)),
+       |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), 1, 16) AS fp
+       |  FROM sc JOIN lp ON lp.doc_id = sc.doc_id
+       |  WHERE sc.quality >= 0.55 AND lp.lang_pred = 'en'),
+       |deduped AS (
+       |  SELECT doc_id, text, quality, lang_pred FROM gated
+       |  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1)
+       |SELECT doc_id, quality, lang_pred FROM deduped
+       |WHERE substr(md5(text), 1, 2) < '80'
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Temperature-based source mixing (α = 0.5): per-source sampling
     * rates ∝ n_s^α — the standard flatten-the-distribution mix
     * (multilingual/multi-corpus training recipes since GPT-3 /
@@ -279,7 +362,8 @@ object CurationQueries {
     "docs_pack_shards"   -> (qPackShards _),
     "docs_dup_groups"    -> (qDupGroups _),
     "docs_source_mix"    -> (qSourceMix _),
-    "docs_block_dedup"   -> (qBlockDedup _))
+    "docs_block_dedup"   -> (qBlockDedup _),
+    "docs_curation_pipeline" -> (qCurationPipeline _))
 
   val oracles: Map[String, String] = Map(
     "emb_semantic_dedup" -> qSemanticDedupSql,
@@ -287,5 +371,6 @@ object CurationQueries {
     "docs_pack_shards"   -> qPackShardsSql,
     "docs_dup_groups"    -> qDupGroupsSql,
     "docs_source_mix"    -> qSourceMixSql,
-    "docs_block_dedup"   -> qBlockDedupSql)
+    "docs_block_dedup"   -> qBlockDedupSql,
+    "docs_curation_pipeline" -> qCurationPipelineSql)
 }
