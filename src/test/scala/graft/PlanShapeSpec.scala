@@ -103,6 +103,31 @@ class PlanShapeSpec extends SparkSpec {
       p.take(3000))
   }
 
+  test("runtime bloom-filter pruning injects on a selective fact-fact shuffle join") {
+    // At 100 TB a selective dim filter should prune the fact scan at
+    // RUNTIME via Spark's injected bloom filter (the fact side's scan
+    // exceeds the 10GB application-side default there). Locally the
+    // scans are tiny, so open the size gates and pin that the
+    // engine's plain declarative join composes with the injection —
+    // nothing in our operators blocks the rewrite.
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      import spark.implicits._
+      val li = Tables(spark, sf, "lineitem")
+      val ord = Tables(spark, sf, "orders").filter($"o_orderpriority" === "1-URGENT")
+      val p = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority").count()
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"), p.take(3000))
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("decontamination joins the broadcast eval grams; the train side never sort-merge-joins") {
     val p = plan("docs_decontaminate")
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
