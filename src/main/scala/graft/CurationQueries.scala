@@ -162,6 +162,33 @@ object CurationQueries {
       |SELECT id, MIN(r) AS group_id
       |FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  /** The at-scale pairs→components flow: dup groups over the
+    * LSH-bucketed embedding near-dup pairs (no brute-force stage
+    * anywhere — hyperplane buckets mine the pairs, label propagation
+    * collapses them). The oracle nests the full emb_neardup_pairs
+    * replay inside the recursive closure. */
+  private def qEmbDupGroups(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.ext.similarity.CosineKNN.nearDupPairs(
+      Tables(s, dir, "embeddings"), "vec_id", "embedding",
+      threshold = 0.3, numPlanes = 4, dim = 64)
+    DupGroups.groups(pairs, "doc_a", "doc_b")
+      .orderBy(col("id"))
+  }
+
+  private lazy val qEmbDupGroupsSql =
+    s"""WITH RECURSIVE p AS (
+       |  SELECT doc_a, doc_b FROM (${LlmQueries.qEmbNearDupSql})),
+       |e AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM p
+       |  UNION
+       |  SELECT doc_b, doc_a FROM p),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM e
+       |  UNION
+       |  SELECT x.id, e.dst FROM reach x JOIN e ON e.src = x.r)
+       |SELECT id, MIN(r) AS group_id
+       |FROM reach GROUP BY id ORDER BY id""".stripMargin
+
   /** Block-level (paragraph) dedup: 20-token blocks, first occurrence
     * wins corpus-wide, documents reconstructed from surviving blocks
     * ([[graft.ext.dedup.BlockDedup]]). */
@@ -363,7 +390,8 @@ object CurationQueries {
     "docs_dup_groups"    -> (qDupGroups _),
     "docs_source_mix"    -> (qSourceMix _),
     "docs_block_dedup"   -> (qBlockDedup _),
-    "docs_curation_pipeline" -> (qCurationPipeline _))
+    "docs_curation_pipeline" -> (qCurationPipeline _),
+    "emb_dup_groups"     -> (qEmbDupGroups _))
 
   val oracles: Map[String, String] = Map(
     "emb_semantic_dedup" -> qSemanticDedupSql,
@@ -372,5 +400,6 @@ object CurationQueries {
     "docs_dup_groups"    -> qDupGroupsSql,
     "docs_source_mix"    -> qSourceMixSql,
     "docs_block_dedup"   -> qBlockDedupSql,
-    "docs_curation_pipeline" -> qCurationPipelineSql)
+    "docs_curation_pipeline" -> qCurationPipelineSql,
+    "emb_dup_groups"     -> qEmbDupGroupsSql)
 }

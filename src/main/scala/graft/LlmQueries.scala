@@ -485,7 +485,7 @@ object LlmQueries {
       threshold = 0.3, numPlanes = 4, dim = 64)
       .orderBy(col("doc_a"), col("doc_b"))
 
-  private lazy val qEmbNearDupSql: String = {
+  private[graft] lazy val qEmbNearDupSql: String = {
     val planes = CosineKNN.hyperplanes(4, 64)
     s"""WITH ${lshCtes(planes)},
        |cand AS (
