@@ -100,6 +100,35 @@ object StreamingEtl {
         graft.ext.text.TextFunctions.fingerprint(col(textCol)))
       .dropDuplicates("fingerprint")
 
+  /** Streaming decontamination: flag incoming documents that share
+    * n-gram shingles with a STATIC benchmark split — a stream-static
+    * join, the standard shape for enriching/filtering a stream
+    * against reference data. The static side's distinct gram set is
+    * broadcast (stateless join — no streaming state at all), and the
+    * per-doc overlap count aggregates in update mode. At scale the
+    * static side is a benchmark suite (tiny) while the stream is the
+    * ingest firehose; the stream side never shuffles before the
+    * match. */
+  def decontaminateStream(
+      docStream: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    import graft.ext.text.TextFunctions
+    val evalGrams = evalDocs
+      .select(explode(TextFunctions.shingles(col(textCol), n)).as("g"))
+      .distinct()
+    // plain count, not count_distinct (unsupported on streams): the
+    // shingle arrays are already per-doc distinct and a document is
+    // one stream row, so the exploded (doc, gram) pairs are unique
+    docStream
+      .select(col(idCol), explode(TextFunctions.shingles(col(textCol), n)).as("g"))
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
   /** Streaming upsert sink: every micro-batch MERGEs into a keyed
     * parquet table via foreachBatch + ParquetUpsertSink — the
     * streaming twin of the reference's ON CONFLICT loader, giving

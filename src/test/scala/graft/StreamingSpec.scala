@@ -117,6 +117,24 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-static decontamination flags overlapping docs with no stream state") {
+    implicit val sqlCtx = spark.sqlContext
+    val evalDocs = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingEtl.decontaminateStream(
+        input.toDS().toDF("doc_id", "text"), evalDocs, "doc_id", "text", n = 3)
+      .writeStream.format("memory").queryName("streamdecon")
+      .outputMode(OutputMode.Update).start()
+    input.addData((1L, "zz alpha beta gamma yy"), (2L, "clean words only here"))
+    q.processAllAvailable()
+    input.addData((3L, "beta gamma delta trailing"))
+    q.processAllAvailable()
+    val got = spark.table("streamdecon")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 3L -> 1L), got.toString)
+    q.stop()
+  }
+
   test("foreachBatch upsert sink is last-write-wins across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val root = tmpDir("streamupsert")
