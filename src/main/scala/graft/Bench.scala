@@ -80,8 +80,11 @@ object Bench {
     // lost ("parsed": null). So: stdout gets ONE COMPACT line
     // (ms precision, min-of-N only); the full per-rep detail and load
     // averages go to BENCH_DETAIL.json in the working directory.
-    def ms(t: Double) = (math.rint(t * 1000) / 1000).toString
-    def fmtTimes(ts: Seq[Double]) = ts.map(ms).mkString("[", ",", "]")
+    // 10ms precision on the stdout line (noise on this host is far
+    // coarser); full ms precision lives in the detail file
+    def ms(t: Double) = (math.rint(t * 100) / 100).toString
+    def fmtTimes(ts: Seq[Double]) =
+      ts.map(t => (math.rint(t * 1000) / 1000).toString).mkString("[", ",", "]")
     val qs = results.map { case (k, ts, err) =>
       "\"" + k + "\":" + (if (err.isDefined) "null" else ms(ts.min))
     }.mkString("{", ",", "}")
