@@ -231,13 +231,21 @@ object CurationQueries {
     * hash-checked end-to-end here. */
   private def qCurationPipeline(s: SparkSession, dir: String): DataFrame = {
     import graft.ext.text.TextFunctions
-    val scored = Tables(s, dir, "documents").select(
+    // cache between the scoring projection and the quality/lang gate:
+    // Catalyst pushes the gate's predicate THROUGH the spread exchange
+    // into the (one-task) scan stage — the round-1 re-eval pitfall —
+    // so without this barrier the whole scoring chain evaluates
+    // serially; the filter must sit ABOVE the cache point
+    val scored = graft.operators.Spread.wide(
+      Tables(s, dir, "documents"), col("doc_id")).select(
       col("doc_id"), col("text"),
       TextFunctions.qualityScore(col("text")).as("quality"),
       TextFunctions.langId(col("text")).as("lang_pred"),
       TextFunctions.fingerprint(col("text")).as("__fp"))
+      .cache()
+    val out = scored
       .filter(col("quality") >= 0.55 && col("lang_pred") === "en")
-    scored.groupBy(col("__fp"))
+      .groupBy(col("__fp"))
       .agg(min_by(
         struct(col("doc_id"), col("text"), col("quality"), col("lang_pred")),
         col("doc_id")).as("__r"))
@@ -245,6 +253,7 @@ object CurationQueries {
       .filter(TextFunctions.hashSampleKeep(col("text"), 128))
       .select(col("doc_id"), col("quality"), col("lang_pred"))
       .orderBy(col("doc_id"))
+    NearDup.materializeAndRelease(out, "curation", scored)
   }
 
   private val qCurationPipelineSql = {

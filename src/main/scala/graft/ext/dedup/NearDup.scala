@@ -33,7 +33,7 @@ object NearDup {
     * materialize: near-dup pair sets are orders of magnitude smaller
     * than the corpus by construction (bucketed candidates + verify
     * filter), so the barrier is O(pairs), not O(corpus). */
-  private[dedup] def materializeAndRelease(
+  private[graft] def materializeAndRelease(
       out: DataFrame, tag: String, caches: DataFrame*): DataFrame = {
     val spark = out.sparkSession
     try {

@@ -36,20 +36,14 @@ object Decontaminate {
       textCol: String,
       isEval: Column,
       n: Int): DataFrame = {
-    // spread rows BEFORE shingling when the scan is narrower than the
-    // cluster: a single-file corpus scans as one partition, and
-    // without the exchange the whole CPU-heavy shingle+explode
-    // (+join+partial-agg, all fused into the scan stage) runs on one
-    // task while the rest of the cluster idles — measured 6.5s → 1.4s
-    // at sf0.1 (same barrier NearDup.shingleSets uses). A wide scan
-    // skips the exchange entirely.
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val narrow = docs.rdd.getNumPartitions < par
-    def grams(df: DataFrame) = {
-      val spread = if (narrow) df.repartition(par, col(idCol)) else df
-      spread.select(col(idCol).as("doc"),
-        explode(TextFunctions.shingles(col(textCol), n)).as("g"))
-    }
+    // spread rows BEFORE shingling (see graft.operators.Spread: the
+    // CPU-heavy shingle+explode+join+partial-agg chain would fuse
+    // into a one-task scan stage on a single-file corpus — measured
+    // 6.5s → 1.4s at sf0.1; a wide scan passes through untouched)
+    def grams(df: DataFrame) =
+      graft.operators.Spread.wide(df, col(idCol))
+        .select(col(idCol).as("doc"),
+          explode(TextFunctions.shingles(col(textCol), n)).as("g"))
     // the eval filter pushes to the scan, so the shingle expression
     // only ever evaluates over the (tiny) benchmark split here
     val evalGrams = grams(docs.filter(isEval)).select(col("g")).distinct()
