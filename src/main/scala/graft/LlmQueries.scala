@@ -512,6 +512,118 @@ object LlmQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ----------------------------------------------------- lloyd ivf training
+
+  /** One exact Lloyd refinement of the 8-entry IVF codebook, reported
+    * as per-list assignment stats: how many vectors each inverted
+    * list holds under the seed codebook vs the trained one, and how
+    * many left each seed list. Integer output, but a single cosine
+    * mismatch anywhere in the iteration flips an assignment and
+    * changes a count — so the oracle (which recomputes the ENTIRE
+    * iteration in SQL: seed assignment, decimal per-dim means,
+    * stabilized reassignment) checks the full training step.
+    *
+    * Scale shape: training is one corpus scan + a K·dim hash
+    * aggregate (driver-held codebook, memoized per corpus like a real
+    * index build); the stats pass is ONE more corpus scan — both
+    * assignments are pure codegen projections — and the k×k confusion
+    * matrix it aggregates is index metadata, collected like the
+    * codebook itself. */
+  private def qIvfLloyd(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val e = emb(s, dir)
+    val seed = IvfKNN.cachedSampledCentroids(e, "vec_id", "embedding", k, dir)
+    val trained = IvfKNN.cachedLloydCodebook(e, "vec_id", "embedding", k, 64, dir)
+    val cells = e.select(
+        IvfKNN.nearestCentroid(col("embedding"), seed).as("list0"),
+        IvfKNN.nearestCentroidStable(col("embedding"), trained).as("list1"))
+      .groupBy(col("list0"), col("list1")).agg(count(lit(1)).as("n"))
+      .collect()
+    val cntSeed = new Array[Long](k)
+    val cntLloyd = new Array[Long](k)
+    val departed = new Array[Long](k)
+    cells.foreach { r =>
+      val l0 = r.getLong(0).toInt; val l1 = r.getLong(1).toInt; val n = r.getLong(2)
+      cntSeed(l0) += n
+      cntLloyd(l1) += n
+      if (l0 != l1) departed(l0) += n
+    }
+    import s.implicits._
+    (0 until k).map(i => (i.toLong, cntSeed(i), cntLloyd(i), departed(i)))
+      .toDF("list_id", "cnt_seed", "cnt_lloyd", "departed")
+      .orderBy(col("list_id"))
+  }
+
+  private val qIvfLloydSql =
+    """WITH cent AS (
+      |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+      |norms AS (
+      |  SELECT vec_id, SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nn
+      |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+      |cnorm AS (
+      |  SELECT cid, SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS cn
+      |  FROM (SELECT cid, unnest(cv) AS x FROM cent) GROUP BY cid),
+      |vcd AS (
+      |  SELECT vec_id, cid, SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot
+      |  FROM (SELECT e.vec_id, c.cid, unnest(e.embedding) AS x, unnest(c.cv) AS y
+      |        FROM embeddings e, cent c)
+      |  GROUP BY vec_id, cid),
+      |vccos AS (
+      |  SELECT v.vec_id, v.cid,
+      |    round(v.dot / (sqrt(n.nn) * sqrt(cn.cn)), 9) AS cos
+      |  FROM vcd v
+      |  JOIN norms n ON n.vec_id = v.vec_id
+      |  JOIN cnorm cn ON cn.cid = v.cid),
+      |assign0 AS (
+      |  SELECT vec_id, cid AS list0 FROM vccos
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) = 1),
+      |dmean AS (
+      |  SELECT list0 AS list_id, pos,
+      |    CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS m
+      |  FROM (SELECT a.list0, unnest(e.embedding) AS x, unnest(range(64)) AS pos
+      |        FROM embeddings e JOIN assign0 a ON a.vec_id = e.vec_id)
+      |  GROUP BY list0, pos),
+      |seeddim AS (
+      |  SELECT list_id, pos, CAST(sx AS DOUBLE) AS sx
+      |  FROM (SELECT cid AS list_id, unnest(range(64)) AS pos, unnest(cv) AS sx FROM cent)),
+      |tcent AS (
+      |  SELECT s.list_id, s.pos, COALESCE(m.m, s.sx) AS m
+      |  FROM seeddim s LEFT JOIN dmean m ON m.list_id = s.list_id AND m.pos = s.pos),
+      |tnorm AS (
+      |  SELECT list_id,
+      |    sqrt(CAST(SUM(CAST(round(m * m, 12) AS DECIMAL(38,12))) AS DOUBLE)) AS tn
+      |  FROM tcent GROUP BY list_id),
+      |vtd AS (
+      |  SELECT v.vec_id, t.list_id,
+      |    CAST(SUM(CAST(round(CAST(v.x AS DOUBLE) * t.m, 12) AS DECIMAL(38,12))) AS DOUBLE) AS dt
+      |  FROM (SELECT vec_id, unnest(range(64)) AS pos, unnest(embedding) AS x FROM embeddings) v
+      |  JOIN tcent t ON t.pos = v.pos
+      |  GROUP BY v.vec_id, t.list_id),
+      |scored1 AS (
+      |  SELECT d.vec_id, d.list_id, round(d.dt / tn.tn, 9) AS score
+      |  FROM vtd d JOIN tnorm tn ON tn.list_id = d.list_id),
+      |assign1 AS (
+      |  SELECT vec_id, list_id AS list1 FROM scored1
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, list_id) = 1),
+      |j AS (
+      |  SELECT a0.vec_id, a0.list0, a1.list1
+      |  FROM assign0 a0 JOIN assign1 a1 ON a1.vec_id = a0.vec_id),
+      |c0 AS (SELECT list0 AS list_id, COUNT(*) AS cnt_seed FROM j GROUP BY list0),
+      |c1 AS (SELECT list1 AS list_id, COUNT(*) AS cnt_lloyd FROM j GROUP BY list1),
+      |dep AS (
+      |  SELECT list0 AS list_id, COUNT(*) AS departed FROM j
+      |  WHERE list0 <> list1 GROUP BY list0),
+      |ids AS (SELECT CAST(range AS BIGINT) AS list_id FROM range(8))
+      |SELECT i.list_id,
+      |  COALESCE(c0.cnt_seed, 0) AS cnt_seed,
+      |  COALESCE(c1.cnt_lloyd, 0) AS cnt_lloyd,
+      |  COALESCE(dep.departed, 0) AS departed
+      |FROM ids i
+      |LEFT JOIN c0 ON c0.list_id = i.list_id
+      |LEFT JOIN c1 ON c1.list_id = i.list_id
+      |LEFT JOIN dep ON dep.list_id = i.list_id
+      |ORDER BY i.list_id""".stripMargin
+
   // -------------------------------------------- pii / repetition / sampling
 
   /** PII scrub pass over synthetic contact-bearing text derived from
@@ -728,6 +840,7 @@ object LlmQueries {
     "emb_knn_exact"       -> (qKnnExact _),
     "emb_knn_lsh"         -> (qKnnLsh _),
     "emb_knn_ivf"         -> (qKnnIvf _),
+    "emb_ivf_lloyd"       -> (qIvfLloyd _),
     "emb_neardup_pairs"   -> (qEmbNearDup _),
     "multimodal_knn"      -> (qMultimodalKnn _),
     "multimodal_meta"     -> (qMultimodalMeta _),
@@ -751,6 +864,7 @@ object LlmQueries {
     "emb_knn_exact"      -> qKnnExactSql,
     "emb_knn_lsh"        -> qKnnLshSql,
     "emb_knn_ivf"        -> qKnnIvfSql,
+    "emb_ivf_lloyd"      -> qIvfLloydSql,
     "emb_neardup_pairs"  -> qEmbNearDupSql,
     "multimodal_knn"     -> qMultimodalKnnSql,
     "multimodal_meta"    -> qMultimodalMetaSql,

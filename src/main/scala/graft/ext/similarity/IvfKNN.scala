@@ -2,6 +2,7 @@ package graft.ext.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** IVF (inverted-file) approximate nearest neighbor — the second
   * scale path next to [[CosineKNN.lshTopK]], with the classic
@@ -95,6 +96,100 @@ object IvfKNN {
       centroids = centroids.map(c => means.get(c.id).map(mk(c.id, _)).getOrElse(c))
     }
     centroids
+  }
+
+  // ------------------------------------------------- exact Lloyd iteration
+
+  /** A trained codebook entry. Unlike the float seed [[Centroid]],
+    * the vector is the double per-dimension mean and the norm is
+    * accumulated order-independently (see [[stableNorm]]) so the same
+    * values fall out of any engine that follows the recipe. */
+  case class DCentroid(id: Int, vec: Array[Double], norm: Double)
+
+  private val dec12 = DecimalType(38, 12)
+
+  /** |v| where v² terms are rounded to 12 decimals and summed as
+    * exact decimals — order-independent, so a DuckDB GROUP BY (which
+    * guarantees no accumulation order) reproduces it bit-for-bit:
+    * `sqrt(CAST(SUM(CAST(round(m*m,12) AS DECIMAL(38,12))) AS DOUBLE))`. */
+  def stableNorm(v: Array[Double]): Double = {
+    var s = java.math.BigDecimal.ZERO
+    v.foreach { m =>
+      s = s.add(new java.math.BigDecimal(m * m)
+        .setScale(12, java.math.RoundingMode.HALF_UP))
+    }
+    math.sqrt(s.doubleValue)
+  }
+
+  /** ONE exact Lloyd refinement of a seed codebook:
+    *
+    *  - assign every vector to its nearest seed centroid (the same
+    *    9-dp cosine / lower-id tie rule as [[nearestCentroid]]);
+    *  - new centroid = per-dimension mean, accumulated as
+    *    DECIMAL(18,6) (order-independent) and divided in double —
+    *    one posexplode + one hash aggregate, K·dim output rows;
+    *  - empty lists keep their seed centroid (standard Lloyd fix).
+    *
+    * Every step is deterministic and replayable in ANSI SQL, so the
+    * trained codebook — although collected to the driver like any IVF
+    * index metadata — is cross-engine reproducible and the registered
+    * query's DuckDB oracle recomputes it from scratch. */
+  def lloydOnceExact(
+      corpus: DataFrame, vecCol: String, seed: Seq[Centroid], dim: Int): Seq[DCentroid] = {
+    val sums = corpus
+      .select(nearestCentroid(col(vecCol), seed).as("list_id"), posexplode(col(vecCol)))
+      .groupBy(col("list_id"), col("pos"))
+      .agg((sum(col("col").cast("double").cast(DecimalType(18, 6))).cast("double") /
+        count(lit(1))).as("m"))
+      .collect()
+    val byList = sums.groupBy(_.getLong(0)).map { case (cid, rows) =>
+      val dims = new Array[Double](dim)
+      rows.foreach(r => dims(r.getInt(1)) = r.getDouble(2))
+      cid.toInt -> dims
+    }
+    seed.map { c =>
+      val v = byList.getOrElse(c.id, c.vec.map(_.toDouble))
+      DCentroid(c.id, v, stableNorm(v))
+    }
+  }
+
+  private val lloydMemo =
+    new scala.collection.concurrent.TrieMap[(String, String, String, Int), Seq[DCentroid]]
+
+  /** [[lloydOnceExact]] from the cached seed, memoized per
+    * (corpus, k) — training is index-build cost, paid once. */
+  def cachedLloydCodebook(
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int, dim: Int,
+      source: String): Seq[DCentroid] =
+    lloydMemo.getOrElseUpdate((source, idCol, vecCol, k),
+      lloydOnceExact(corpus, vecCol,
+        cachedSampledCentroids(corpus, idCol, vecCol, k, source), dim))
+
+  /** Dot of a vector with a trained centroid, products rounded to 12
+    * decimals and folded in DECIMAL(38,12) — the accumulation is
+    * order-independent, unlike a plain double fold, so a SQL engine
+    * summing the same products under GROUP BY gets the identical
+    * double out. Still a pure codegen'd projection (array literal +
+    * `zip_with`/`aggregate`). */
+  private def dotStable(vec: Column, c: DCentroid): Column = {
+    val cv = array(c.vec.toIndexedSeq.map(lit): _*)
+    aggregate(
+      zip_with(vec, cv, (x, m) => round(x.cast("double") * m, 12).cast(dec12)),
+      lit(java.math.BigDecimal.ZERO).cast(dec12),
+      (acc, y) => (acc + y).cast(dec12)
+    ).cast("double")
+  }
+
+  /** Nearest TRAINED centroid as a pure projection. The ranking score
+    * is round(dot/|c|, 9) — cosine with the per-row |v| factor
+    * dropped (constant within a row, so the argmax is unchanged) —
+    * which keeps the whole comparison inside the order-independent
+    * stable-dot arithmetic. Ties break to the lower centroid id. */
+  def nearestCentroidStable(vec: Column, cents: Seq[DCentroid]): Column = {
+    val entries = cents.map(c =>
+      struct(round(dotStable(vec, c) / lit(c.norm), 9).as("score"),
+        lit(-c.id).as("negid")))
+    (-array_max(array(entries: _*)).getField("negid")).cast("long")
   }
 
   /** Cosine to one codebook entry (vector literal folded into the

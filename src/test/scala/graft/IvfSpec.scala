@@ -91,4 +91,31 @@ class IvfSpec extends SparkSpec {
     val rTrained = recallWith(trained)
     assert(rTrained >= rSampled - 0.05, s"trained $rTrained vs sampled $rSampled")
   }
+
+  test("exact Lloyd step: counts conserve the corpus, movement is real, result is stable") {
+    val out = SparkEntry.queries("emb_ivf_lloyd")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = emb.count()
+    assert(out.map(_._2).sum == n, "seed counts must cover the corpus")
+    assert(out.map(_._3).sum == n, "trained counts must cover the corpus")
+    // training actually changed the partition of the corpus
+    assert(out.map(_._4).sum > 0, "Lloyd step moved no vectors")
+    // departures only come from lists that had members under the seed
+    assert(out.forall { case (_, s, _, d) => d <= s })
+    // deterministic end-to-end (memoized codebook + exact arithmetic)
+    val again = SparkEntry.queries("emb_ivf_lloyd")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.sameElements(again))
+  }
+
+  test("stable-quantizer assignment is a pure map: no shuffle/window/crossJoin") {
+    val seed = IvfKNN.sampledCentroids(emb, "vec_id", "embedding", 8)
+    val trained = IvfKNN.lloydOnceExact(emb, "embedding", seed, 64)
+    val p = emb.select(IvfKNN.nearestCentroidStable($"embedding", trained))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(2000))
+  }
 }
