@@ -223,15 +223,65 @@ object ScaleQueries {
       |  TRUE AS p95_in_band
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ----------------------------------------------------------- range join
+
+  /** Pure time-range join (no equi key): for every `error` event's
+    * 5-minute window, count the site-wide `purchase` events inside it
+    * and sum their value. Spark's native plan for the inequality-only
+    * condition is a BroadcastNestedLoopJoin — O(|err|·|purch|)
+    * comparisons and a broadcast that dies at scale.
+    * [[graft.operators.RangeJoin]] rewrites it to a bucket equi-join
+    * (each window spans ≤2 five-minute buckets) + residual filter;
+    * the DuckDB oracle runs the NAIVE inequality join, so the hash
+    * match proves the rewrite is exact, empty windows included. */
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+    val err = ev.filter($"event_type" === "error").select(
+      $"event_id".as("err_id"), $"ts".as("w_start"),
+      ($"ts" + expr("INTERVAL 5 MINUTES")).as("w_end"))
+    val purch = ev.filter($"event_type" === "purchase")
+      .select($"ts".as("p_ts"), $"value".as("p_value"))
+    val hits = graft.operators.RangeJoin
+      .pointInInterval(purch, err, "p_ts", "w_start", "w_end", bucketWidthSec = 300L)
+      .groupBy($"err_id")
+      .agg(count(lit(1)).as("n_purchases"), dsum($"p_value").as("purchase_value"))
+    err.join(hits, Seq("err_id"), "left")
+      .select($"err_id",
+        coalesce($"n_purchases", lit(0L)).as("n_purchases"),
+        coalesce($"purchase_value", lit(0.0)).as("purchase_value"))
+      .orderBy($"err_id")
+  }
+
+  private val qRangeJoinSql =
+    """WITH err AS (
+      |  SELECT event_id AS err_id, ts AS w_start, ts + INTERVAL 5 MINUTE AS w_end
+      |  FROM events WHERE event_type = 'error'),
+      |purch AS (
+      |  SELECT ts AS p_ts, value AS p_value FROM events
+      |  WHERE event_type = 'purchase'),
+      |hits AS (
+      |  SELECT e.err_id, COUNT(*) AS n_purchases,
+      |    CAST(SUM(CAST(p.p_value AS DECIMAL(18,6))) AS DOUBLE) AS purchase_value
+      |  FROM err e JOIN purch p ON p.p_ts >= e.w_start AND p.p_ts <= e.w_end
+      |  GROUP BY e.err_id)
+      |SELECT e.err_id,
+      |  COALESCE(h.n_purchases, 0) AS n_purchases,
+      |  COALESCE(h.purchase_value, 0.0) AS purchase_value
+      |FROM err e LEFT JOIN hits h ON h.err_id = e.err_id
+      |ORDER BY e.err_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_salted_join"      -> (qSaltedJoin _),
     "q_bucketed_join"    -> (qBucketedJoin _),
+    "q_range_join"       -> (qRangeJoin _),
     "q_approx_distinct"  -> (qApproxDistinct _),
     "q_approx_quantiles" -> (qApproxQuantiles _))
 
   val oracles: Map[String, String] = Map(
     "q_salted_join"      -> qSaltedJoinSql,
     "q_bucketed_join"    -> qBucketedJoinSql,
+    "q_range_join"       -> qRangeJoinSql,
     "q_approx_distinct"  -> qApproxDistinctSql,
     "q_approx_quantiles" -> qApproxQuantilesSql)
 }

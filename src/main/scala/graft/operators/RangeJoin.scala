@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval join WITHOUT an equi key — the case Spark plans
+  * as a BroadcastNestedLoopJoin (or, worse, a cartesian product): for
+  * every interval row, find the point rows with
+  * `start <= point_ts <= end`.
+  *
+  * Scale path: discretize time into fixed-width buckets and turn the
+  * inequality into an equi-join. Each point belongs to exactly ONE
+  * bucket; each interval is exploded into every bucket it overlaps
+  * (⌈len/width⌉+1 rows). Joining on the bucket id then applying the
+  * residual `BETWEEN` filter yields each qualifying (interval, point)
+  * pair exactly once — no dedup needed, because the point's single
+  * bucket can meet a given interval copy only once.
+  *
+  * Cost model: one hash-partitioned shuffle on the bucket id on each
+  * side (both time-local, so co-partitioning survives for repeated
+  * joins at rest), interval duplication bounded by the bucket-count
+  * span. Pick `bucketWidthSec` on the order of the typical interval
+  * length: too small inflates the interval side, too large inflates
+  * the per-bucket candidate pairs. Hot buckets (load spikes) are
+  * plain join skew — AQE skew-join splits them, since this is an
+  * ordinary equi-join after the rewrite.
+  */
+object RangeJoin {
+
+  /** @param points   point side; `pointTs` timestamp column
+    * @param intervals interval side; `[startCol, endCol]` closed bounds
+    * @param bucketWidthSec time-bucket width in seconds
+    * @return inner-joined rows: all interval columns + all point
+    *         columns (names must not collide). */
+  def pointInInterval(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointTs: String,
+      startCol: String,
+      endCol: String,
+      bucketWidthSec: Long): DataFrame = {
+    val w = lit(bucketWidthSec * 1000000L)
+    val pb = points.withColumn("__bucket", floor(unix_micros(col(pointTs)) / w))
+    val ib = intervals.withColumn("__bucket",
+      explode(sequence(
+        floor(unix_micros(col(startCol)) / w),
+        floor(unix_micros(col(endCol)) / w))))
+    ib.join(pb, Seq("__bucket"))
+      .filter(col(pointTs) >= col(startCol) && col(pointTs) <= col(endCol))
+      .drop("__bucket")
+  }
+}
