@@ -271,10 +271,53 @@ object ScaleQueries {
       |FROM err e LEFT JOIN hits h ON h.err_id = e.err_id
       |ORDER BY e.err_id""".stripMargin
 
+  // -------------------------------------------------------- z-order layout
+
+  /** Z-order clustering audit over events: bucket user (10 bits,
+    * masked) and hour-since-2024-01-01 (10 bits), interleave into a
+    * 20-bit z-value, and report per-tile (top-6-bit z-prefix) counts
+    * with each dimension's min/max. A z-prefix tile fixes the top 3
+    * bits of BOTH dimensions, so every tile's ub and hb ranges are
+    * ≤ 127 out of 1023 — the bounded-both-dims property that makes
+    * file skipping work on either predicate once the table is laid
+    * out by z-value ([[graft.operators.ZOrder.cluster]]; ZOrderSpec
+    * measures the at-rest file stats). The oracle replays the exact
+    * interleave arithmetic, generated from the same loop. */
+  private def qZOrder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables(s, dir, "events").select(
+      $"user_id".bitwiseAND(lit(1023L)).as("ub"),
+      (expr("unix_micros(ts) div 3600000000") - lit(473352L))
+        .bitwiseAND(lit(1023L)).as("hb"))
+    base
+      .withColumn("zkey", graft.operators.ZOrder.zValue($"ub", $"hb", 10))
+      .withColumn("tile", shiftright($"zkey", 14))
+      .groupBy($"tile")
+      .agg(count(lit(1)).as("n_events"),
+        min($"ub").as("ub_min"), max($"ub").as("ub_max"),
+        min($"hb").as("hb_min"), max($"hb").as("hb_max"))
+      .orderBy($"tile")
+  }
+
+  private val qZOrderSql = {
+    val z = graft.operators.ZOrder.zValueSql("ub", "hb", 10)
+    s"""WITH base AS (
+       |  SELECT (user_id & 1023) AS ub,
+       |    (((epoch_us(ts) // 3600000000) - 473352) & 1023) AS hb
+       |  FROM events),
+       |z AS (SELECT ub, hb, $z AS zkey FROM base)
+       |SELECT (zkey >> 14) AS tile, COUNT(*) AS n_events,
+       |  MIN(ub) AS ub_min, MAX(ub) AS ub_max,
+       |  MIN(hb) AS hb_min, MAX(hb) AS hb_max
+       |FROM z GROUP BY zkey >> 14
+       |ORDER BY tile""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_salted_join"      -> (qSaltedJoin _),
     "q_bucketed_join"    -> (qBucketedJoin _),
     "q_range_join"       -> (qRangeJoin _),
+    "q_zorder_layout"    -> (qZOrder _),
     "q_approx_distinct"  -> (qApproxDistinct _),
     "q_approx_quantiles" -> (qApproxQuantiles _))
 
@@ -282,6 +325,7 @@ object ScaleQueries {
     "q_salted_join"      -> qSaltedJoinSql,
     "q_bucketed_join"    -> qBucketedJoinSql,
     "q_range_join"       -> qRangeJoinSql,
+    "q_zorder_layout"    -> qZOrderSql,
     "q_approx_distinct"  -> qApproxDistinctSql,
     "q_approx_quantiles" -> qApproxQuantilesSql)
 }
