@@ -129,6 +129,55 @@ object StreamingEtl {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** End-to-end streaming curation: continuous ingestion of raw
+    * documents into a curated training corpus —
+    *
+    *  1. cross-batch exact dedup upstream of the sink (fingerprint +
+    *     `dropDuplicates`, the only STATEFUL stage: state size =
+    *     distinct fingerprints, one long per doc);
+    *  2. per micro-batch (foreachBatch gives batch semantics):
+    *     quality gate, n-gram decontamination against the static eval
+    *     split (exploded grams semi-joined to the broadcast gram set,
+    *     then a left-anti back onto the batch — the batch twin of
+    *     [[decontaminateStream]]), PII scrub on the survivors;
+    *  3. append survivors to the curated corpus path.
+    *
+    * Everything per-batch is stateless and broadcast-joined, so the
+    * firehose side never shuffles; the pipeline restarts exactly-once
+    * from the checkpoint like any foreachBatch sink. */
+  def curationStream(
+      docStream: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      outDir: String,
+      checkpointDir: String,
+      n: Int = 3,
+      minQuality: Double = 0.3): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.ext.text.TextFunctions
+    val evalGrams = evalDocs
+      .select(explode(TextFunctions.shingles(col(textCol), n)).as("g"))
+      .distinct()
+    docStream
+      .withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
+      .dropDuplicates("fingerprint")
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val good = batch.filter(TextFunctions.qualityScore(col(textCol)) >= minQuality)
+        val contaminated = good
+          .select(col(idCol), explode(TextFunctions.shingles(col(textCol), n)).as("g"))
+          .join(broadcast(evalGrams), Seq("g"))
+          .select(col(idCol)).distinct()
+        good.join(contaminated, Seq(idCol), "left_anti")
+          .withColumn(textCol, TextFunctions.scrubPii(col(textCol)))
+          .drop("fingerprint")
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+  }
+
   /** Streaming upsert sink: every micro-batch MERGEs into a keyed
     * parquet table via foreachBatch + ParquetUpsertSink — the
     * streaming twin of the reference's ON CONFLICT loader, giving

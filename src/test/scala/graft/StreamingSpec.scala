@@ -135,6 +135,34 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming curation pipeline: dedup + quality gate + decontamination + scrub") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("streamcuration")
+    val evalDocs = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingEtl.curationStream(
+      input.toDS().toDF("doc_id", "text"), evalDocs, "doc_id", "text",
+      s"$root/corpus", s"$root/ckpt", minQuality = 0.35)
+    input.addData(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (2L, "The  QUICK brown fox jumps over the lazy dog and runs far away home"),
+      (3L, "!!!???!!!"),
+      (4L, "we suspect alpha beta gamma is part of the holdout benchmark split"),
+      (5L, "please write to bob@example.com for all of the remaining details here"))
+    q.processAllAvailable()
+    input.addData(
+      (6L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (7L, "a completely different document with plenty of ordinary words in it"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$root/corpus")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 2 deduped in-batch, 6 deduped ACROSS batches, 3 quality-gated,
+    // 4 decontaminated against the eval split; 1, 5, 7 survive
+    assert(out.keySet == Set(1L, 5L, 7L), out.keySet.toString)
+    assert(out(5L).contains("<EMAIL>") && !out(5L).contains("@"), out(5L))
+  }
+
   test("foreachBatch upsert sink is last-write-wins across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val root = tmpDir("streamupsert")
