@@ -313,11 +313,54 @@ object ScaleQueries {
        |ORDER BY tile""".stripMargin
   }
 
+  // ------------------------------------------------- incremental aggregates
+
+  /** Incremental aggregate maintenance: per-user stats kept up to
+    * date across batches by MERGING materialized partial aggregates
+    * instead of re-scanning history — the algebraic-aggregate
+    * property Spark uses inside one query (partial + final agg),
+    * applied ACROSS batch boundaries with parquet state. Batch 1's
+    * partials are written out; batch 2 only aggregates its own rows
+    * and merges (sum+sum, min(min), max(max), decimal sums so merge
+    * order can't change the total). The DuckDB oracle recomputes the
+    * stats from the FULL corpus in one pass — the hash match proves
+    * merge ≡ recompute exactly, which is what lets a 100 TB pipeline
+    * update daily aggregates by touching only the new day's data. */
+  private def qIncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events").select($"event_id", $"user_id", $"value", $"ts")
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy($"user_id").agg(
+        count(lit(1)).as("n_events"),
+        sum($"value".cast(dec)).as("sum_dec"),
+        min($"ts").as("first_ts"), max($"ts").as("last_ts"))
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_incr").toString + "/state"
+    partial(ev.filter($"event_id" % 2 === 0)).write.parquet(state)
+    s.read.parquet(state)
+      .unionByName(partial(ev.filter($"event_id" % 2 === 1)))
+      .groupBy($"user_id").agg(
+        sum($"n_events").as("n_events"),
+        sum($"sum_dec").as("sum_dec"),
+        min($"first_ts").as("first_ts"), max($"last_ts").as("last_ts"))
+      .select($"user_id", $"n_events".as("n_events"),
+        $"sum_dec".cast("double").as("total_value"),
+        $"first_ts", $"last_ts")
+      .orderBy($"user_id")
+  }
+
+  private val qIncrementalAggSql =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+      |  MIN(ts) AS first_ts, MAX(ts) AS last_ts
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_salted_join"      -> (qSaltedJoin _),
     "q_bucketed_join"    -> (qBucketedJoin _),
     "q_range_join"       -> (qRangeJoin _),
     "q_zorder_layout"    -> (qZOrder _),
+    "q_incremental_agg"  -> (qIncrementalAgg _),
     "q_approx_distinct"  -> (qApproxDistinct _),
     "q_approx_quantiles" -> (qApproxQuantiles _))
 
@@ -326,6 +369,7 @@ object ScaleQueries {
     "q_bucketed_join"    -> qBucketedJoinSql,
     "q_range_join"       -> qRangeJoinSql,
     "q_zorder_layout"    -> qZOrderSql,
+    "q_incremental_agg"  -> qIncrementalAggSql,
     "q_approx_distinct"  -> qApproxDistinctSql,
     "q_approx_quantiles" -> qApproxQuantilesSql)
 }
