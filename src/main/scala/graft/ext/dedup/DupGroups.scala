@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions._
   * repeated until fixpoint; every member ends up labeled with the
   * smallest doc id reachable from it (the canonical group id).
   *
+  * Below `maxDriverEdges` the edge list — already orders of magnitude
+  * smaller than the corpus, since near-dup mining caps bucket sizes —
+  * is collected and solved with one-pass union-find on the driver
+  * (identical min-label result, zero iterative jobs); the
+  * distributed fixpoint below describes the past-the-gate path.
+  *
   * Scale posture: each round is ONE shuffle join (edges ⋈ labels,
   * both keyed by vertex) plus a hash-agg min — no driver-side graph.
   * Rounds needed = the component diameter, and near-dup components
@@ -49,11 +55,50 @@ object DupGroups {
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxRounds: Int = 20): DataFrame = {
+      maxRounds: Int = 20,
+      maxDriverEdges: Long = 2000000L): DataFrame = {
     val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .cache()
+    // ADAPTIVE PATH CHOICE. The dup-pair graph is orders of magnitude
+    // smaller than the corpus by construction (near-dup mining is
+    // bucket-capped), and each propagation round costs several jobs
+    // of fixed latency — on a sparse graph the iteration is pure
+    // overhead. Under the gate, collect the edge list (the same
+    // bounded data the pair queries already return) and run one-pass
+    // union-find on the driver: identical min-label result, zero
+    // iterative jobs. Past the gate — an actually-dense graph — the
+    // distributed fixpoint below takes over.
+    val nEdges = edges.count()
+    if (nEdges <= maxDriverEdges) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.get(x) != x) {
+          parent.put(x, parent.get(parent.get(x))) // path halving
+          x = parent.get(x)
+        }
+        x
+      }
+      val local = edges.collect()
+      edges.unpersist()
+      local.foreach { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
+        // link the larger root under the smaller: every vertex starts
+        // as its own root, so a component's final root is its min id
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+      parent.keySet().forEach(id => out += ((id, find(id))))
+      return out.toSeq.toDF("id", "group_id")
+    }
     // `ckpt` is the raw checkpointed frame (freeCheckpoint needs its
     // plan to BE the LogicalRDD scan); `labels` is the (id, label)
     // view consumed by the next round

@@ -105,11 +105,25 @@ class CurationSpec extends SparkSpec {
 
   test("dup groups: a long path needs multiple propagation rounds and still converges") {
     // path 10-9-8-...-0 with the min at one END: label 0 must walk the
-    // full diameter, exercising the fixpoint loop rather than round 1
+    // full diameter, exercising the fixpoint loop rather than round 1.
+    // maxDriverEdges = 0 forces the DISTRIBUTED path (the size gate
+    // would otherwise solve this tiny graph on the driver)
     val pairs = (0L until 10L).map(i => (i + 1, i)).toDF("doc_a", "doc_b")
-    val got = DupGroups.groups(pairs, "doc_a", "doc_b")
+    val got = DupGroups.groups(pairs, "doc_a", "doc_b", maxDriverEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == (0L to 10L).map(_ -> 0L).toMap)
+  }
+
+  test("dup groups: driver union-find and distributed propagation agree exactly") {
+    val rnd = new scala.util.Random(23)
+    // random sparse graph over 80 vertices: chains, cliques, isolates
+    val pairs = Seq.fill(60)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(p => p._1 != p._2).toDF("doc_a", "doc_b")
+    val viaDriver = DupGroups.groups(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaCluster = DupGroups.groups(pairs, "doc_a", "doc_b", maxDriverEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == viaCluster)
   }
 
   test("block dedup: repeated block survives only at its first occurrence") {
