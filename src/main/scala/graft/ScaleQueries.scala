@@ -355,12 +355,41 @@ object ScaleQueries {
       |  MIN(ts) AS first_ts, MAX(ts) AS last_ts
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ----------------------------------------------------------- heavy hitters
+
+  /** Frequent-items (heavy hitters) via the mergeable Misra–Gries
+    * sketch [[graft.functions.TopKFreq]]: one bounded O(k) buffer per
+    * task, counts merged with the Agarwal-et-al reduction — where the
+    * exact pattern (GROUP BY key ORDER BY count DESC LIMIT k) must
+    * shuffle every distinct key. The registered instance keeps the
+    * result hash-checkable by running with capacity ABOVE the true
+    * key cardinality (5 event types, k = 8): no reduction ever fires,
+    * so the sketch degenerates to exact counts and the oracle is a
+    * plain GROUP BY. The approximation regime (cardinality > k,
+    * bounded underestimates) is pinned in FreqSketchSpec. */
+  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .agg(graft.functions.TopKFreq.topFreq($"event_type", 8).as("tk"))
+      .select(posexplode($"tk"))
+      .select((($"pos") + 1).cast("long").as("rank"),
+        $"col.key".as("event_type"), $"col.cnt".as("n_events"))
+      .orderBy($"rank")
+  }
+
+  private val qHeavyHittersSql =
+    """SELECT
+      |  CAST(row_number() OVER (ORDER BY COUNT(*) DESC, event_type) AS BIGINT) AS rank,
+      |  event_type, COUNT(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY rank""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_salted_join"      -> (qSaltedJoin _),
     "q_bucketed_join"    -> (qBucketedJoin _),
     "q_range_join"       -> (qRangeJoin _),
     "q_zorder_layout"    -> (qZOrder _),
     "q_incremental_agg"  -> (qIncrementalAgg _),
+    "q_heavy_hitters"    -> (qHeavyHitters _),
     "q_approx_distinct"  -> (qApproxDistinct _),
     "q_approx_quantiles" -> (qApproxQuantiles _))
 
@@ -370,6 +399,7 @@ object ScaleQueries {
     "q_range_join"       -> qRangeJoinSql,
     "q_zorder_layout"    -> qZOrderSql,
     "q_incremental_agg"  -> qIncrementalAggSql,
+    "q_heavy_hitters"    -> qHeavyHittersSql,
     "q_approx_distinct"  -> qApproxDistinctSql,
     "q_approx_quantiles" -> qApproxQuantilesSql)
 }
