@@ -488,6 +488,43 @@ object AnalyticsQueries {
       |  ON p.user_id = c.user_id AND c.ts <= p.ts
       |ORDER BY p.event_id""".stripMargin
 
+  /** As-of with a freshness tolerance: same lookup as q_asof, but a
+    * click more than 30 minutes older than the purchase is no match
+    * (pandas merge_asof `tolerance` semantics — the staleness guard
+    * every feature-lookup pipeline wants). One projection on top of
+    * the same single-shuffle as-of plan. */
+  private def qAsOfTolerance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts",
+        $"event_id".as("last_click_id"), $"ts".as("last_click_ts"))
+    graft.operators.AsOfJoin(purchases, clicks, "user_id", "ts", "ts",
+      Seq("last_click_id", "last_click_ts"),
+      tolerance = Some(expr("INTERVAL 30 MINUTES")))
+      .select($"event_id", $"user_id", $"ts",
+        coalesce($"last_click_id", lit(-1L)).as("last_click_id"),
+        coalesce($"last_click_ts", lit("1970-01-01 00:00:00").cast("timestamp"))
+          .as("last_click_ts"))
+      .orderBy($"event_id")
+  }
+
+  private val qAsOfToleranceSql =
+    """WITH j AS (
+      |  SELECT p.event_id, p.user_id, p.ts,
+      |    c.event_id AS click_id, c.ts AS click_ts
+      |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |    ON p.user_id = c.user_id AND c.ts <= p.ts)
+      |SELECT event_id, user_id, ts,
+      |  COALESCE(CASE WHEN click_ts >= ts - INTERVAL 30 MINUTE THEN click_id END,
+      |           -1) AS last_click_id,
+      |  COALESCE(CASE WHEN click_ts >= ts - INTERVAL 30 MINUTE THEN click_ts END,
+      |           TIMESTAMP '1970-01-01 00:00:00') AS last_click_ts
+      |FROM j ORDER BY event_id""".stripMargin
+
   // ------------------------------------------------------------------ pivot
 
   /** Pivot: per-user event-type counts as columns. The value set is
@@ -864,6 +901,7 @@ object AnalyticsQueries {
     "q_click_not_purchase" -> (qSetOps _),
     "q_top_orders_per_cust" -> (qTopPerGroup _),
     "q_asof_last_click"    -> (qAsOf _),
+    "q_asof_tolerance"     -> (qAsOfTolerance _),
     "q_pivot_user_events"  -> (qPivot _),
     "q_hourly_tumbling"    -> (qHourly _),
     "q_quantiles_argmax"   -> (qQuantiles _),
@@ -893,6 +931,7 @@ object AnalyticsQueries {
     "q_click_not_purchase" -> qSetOpsSql,
     "q_top_orders_per_cust" -> qTopPerGroupSql,
     "q_asof_last_click"    -> qAsOfSql,
+    "q_asof_tolerance"     -> qAsOfToleranceSql,
     "q_pivot_user_events"  -> qPivotSql,
     "q_hourly_tumbling"    -> qHourlySql,
     "q_quantiles_argmax"   -> qQuantilesSql,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -29,17 +29,27 @@ object AsOfJoin {
   /** @param keyCol  equi-key column name present on both sides
     * @param leftTs  event-time column on the left (probe) side
     * @param rightTs event-time column on the right (reference) side
-    * @param payload right-side columns to attach */
+    * @param payload right-side columns to attach
+    * @param tolerance optional max staleness (an interval column,
+    *        e.g. `expr("INTERVAL 30 MINUTES")`): a match older than
+    *        `leftTs - tolerance` is nulled out — pandas
+    *        `merge_asof(tolerance=...)` semantics, the usual
+    *        freshness guard in feature-lookup pipelines. Applied
+    *        AFTER the carry-forward, so it costs one projection, not
+    *        a second window. */
   def apply(
       left: DataFrame,
       right: DataFrame,
       keyCol: String,
       leftTs: String,
       rightTs: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String],
+      tolerance: Option[Column] = None): DataFrame = {
 
     val leftCols = left.columns.toSeq
-    val payloadStruct = struct(payload.map(col): _*)
+    // the right event time rides inside the payload struct so the
+    // tolerance check can see it after the carry-forward
+    val payloadStruct = struct(payload.map(col) :+ col(rightTs).as("__rts"): _*)
     val payloadType = right.select(payloadStruct).schema.head.dataType
 
     val taggedRight = right.select(
@@ -54,9 +64,14 @@ object AsOfJoin {
     val w = Window.partitionBy(col("__key"))
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    taggedRight.unionByName(taggedLeft)
+    val carried = taggedRight.unionByName(taggedLeft)
       .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(leftCols.map(col(_)) ++ payload.map(c => col(s"__p.$c").as(c)): _*)
+    val gated = tolerance match {
+      case Some(tol) => carried.withColumn("__p",
+        when(col("__p.__rts") >= col("__ts") - tol, col("__p")))
+      case None => carried
+    }
+    gated.select(leftCols.map(col(_)) ++ payload.map(c => col(s"__p.$c").as(c)): _*)
   }
 }

@@ -36,4 +36,15 @@ class AsOfJoinSpec extends SparkSpec {
     // a naive last(ignoreNulls) per column would leak "older"
     assert(got.head.isNullAt(3))
   }
+
+  test("tolerance nulls matches older than the staleness window") {
+    val left = Seq((1L, "u1", ts(10)), (2L, "u1", ts(60))).toDF("id", "key", "ts")
+    val right = Seq(("u1", ts(8), "fresh-for-1")).toDF("key", "ts", "tag")
+    val got = AsOfJoin(left, right, "key", "ts", "ts", Seq("tag"),
+        tolerance = Some(org.apache.spark.sql.functions.expr("INTERVAL 10 MINUTES")))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(got == Map(
+      1L -> Some("fresh-for-1"), // 2 minutes stale: within tolerance
+      2L -> None))               // 52 minutes stale: gated out
+  }
 }
