@@ -512,6 +512,62 @@ object LlmQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ------------------------------------------------------- retrieval ranking
+
+  /** TF-IDF document ranking with INTEGER-scaled idf weights: query =
+    * the corpus's 10 most frequent tokens (deterministic: count desc,
+    * token asc), per-term weight `w = N·10⁶ div df` (integer
+    * division — exact in every engine, unlike `ln`, which is why the
+    * oracle-checked ranking uses this surrogate while real BM25 lives
+    * in [[graft.ext.text.Bm25]] under a Scala-reference spec). Plan:
+    * two passes over the token stream (query-term discovery, then
+    * tf pre-filtered to those terms before any shuffle), two tiny
+    * aggregates (tf, df), broadcast weights, one partial-aggregated
+    * per-doc sum, TakeOrdered top-50. */
+  private def qTermRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val toks = d.select($"doc_id",
+      explode(TextFunctions.tokens($"text")).as("tok"))
+    val top = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"tok").limit(10).select($"tok")
+    val tf = toks.join(broadcast(top), Seq("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val n = d.count() // corpus size: one scalar of index metadata
+    val w = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+      .select($"tok", expr(s"CAST(${n * 1000000L} AS BIGINT) div df").as("w"))
+    val scored = tf.join(broadcast(w), Seq("tok"))
+      .groupBy($"doc_id").agg(sum($"tf" * $"w").as("score"))
+    val top50 = scored.orderBy($"score".desc, $"doc_id").limit(50)
+    top50.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy($"score".desc, $"doc_id")).cast("long"))
+      .select($"rank", $"doc_id", $"score")
+      .orderBy($"rank")
+  }
+
+  private val qTermRankSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents WHERE len(trim(text)) > 0),
+      |top AS (
+      |  SELECT tok FROM toks GROUP BY tok ORDER BY COUNT(*) DESC, tok LIMIT 10),
+      |tf AS (
+      |  SELECT t.doc_id, t.tok, COUNT(*) AS tf
+      |  FROM toks t JOIN top USING (tok) GROUP BY t.doc_id, t.tok),
+      |w AS (
+      |  SELECT tok,
+      |    (SELECT COUNT(*) FROM documents) * 1000000 // COUNT(*) AS w
+      |  FROM tf GROUP BY tok),
+      |s AS (
+      |  SELECT tf.doc_id, CAST(SUM(tf.tf * w.w) AS BIGINT) AS score
+      |  FROM tf JOIN w USING (tok) GROUP BY tf.doc_id)
+      |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+      |  doc_id, score
+      |FROM s
+      |QUALIFY rank <= 50
+      |ORDER BY rank""".stripMargin
+
   // ----------------------------------------------------- lloyd ivf training
 
   /** One exact Lloyd refinement of the 8-entry IVF codebook, reported
@@ -841,6 +897,7 @@ object LlmQueries {
     "emb_knn_lsh"         -> (qKnnLsh _),
     "emb_knn_ivf"         -> (qKnnIvf _),
     "emb_ivf_lloyd"       -> (qIvfLloyd _),
+    "docs_term_rank"      -> (qTermRank _),
     "emb_neardup_pairs"   -> (qEmbNearDup _),
     "multimodal_knn"      -> (qMultimodalKnn _),
     "multimodal_meta"     -> (qMultimodalMeta _),
@@ -865,6 +922,7 @@ object LlmQueries {
     "emb_knn_lsh"        -> qKnnLshSql,
     "emb_knn_ivf"        -> qKnnIvfSql,
     "emb_ivf_lloyd"      -> qIvfLloydSql,
+    "docs_term_rank"     -> qTermRankSql,
     "emb_neardup_pairs"  -> qEmbNearDupSql,
     "multimodal_knn"     -> qMultimodalKnnSql,
     "multimodal_meta"    -> qMultimodalMetaSql,
