@@ -512,6 +512,26 @@ object LlmQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ------------------------------------------------------ train/val/test split
+
+  /** Deterministic 3-way dataset split (80/10/10 train/val/test) from
+    * the content hash: split(d) = polyhash(text) mod 10 bucketed by
+    * integer compare — pure map, no shuffle, stable across runs and
+    * engines, and content-keyed so exact duplicates always land in
+    * the SAME split (no train/test leakage from dup content). */
+  private def qSplit(s: SparkSession, dir: String): DataFrame = {
+    val h = graft.functions.PolyHash.polyhash(col("text"), 31) % 10
+    docs(s, dir).select(col("doc_id"),
+        when(h < 8, "train").when(h === 8, "val").otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val qSplitSql =
+    s"""SELECT doc_id,
+       |  CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'val' ELSE 'test' END AS split
+       |FROM (SELECT doc_id, ${ph("text", 31)} % 10 AS h FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------- retrieval ranking
 
   /** TF-IDF document ranking with INTEGER-scaled idf weights: query =
@@ -898,6 +918,7 @@ object LlmQueries {
     "emb_knn_ivf"         -> (qKnnIvf _),
     "emb_ivf_lloyd"       -> (qIvfLloyd _),
     "docs_term_rank"      -> (qTermRank _),
+    "docs_split"          -> (qSplit _),
     "emb_neardup_pairs"   -> (qEmbNearDup _),
     "multimodal_knn"      -> (qMultimodalKnn _),
     "multimodal_meta"     -> (qMultimodalMeta _),
@@ -923,6 +944,7 @@ object LlmQueries {
     "emb_knn_ivf"        -> qKnnIvfSql,
     "emb_ivf_lloyd"      -> qIvfLloydSql,
     "docs_term_rank"     -> qTermRankSql,
+    "docs_split"         -> qSplitSql,
     "emb_neardup_pairs"  -> qEmbNearDupSql,
     "multimodal_knn"     -> qMultimodalKnnSql,
     "multimodal_meta"    -> qMultimodalMetaSql,

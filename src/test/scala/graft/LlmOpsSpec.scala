@@ -152,4 +152,23 @@ class LlmOpsSpec extends SparkSpec {
       else assert(r.media.length == orig(r.id))
     }
   }
+
+  test("train/val/test split: total cover, ~80/10/10, content-keyed (dups co-split)") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("docs_split")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val n = Tables(spark, dir, "documents").count()
+    assert(out.size == n)
+    val frac = out.values.groupBy(identity).view.mapValues(_.size.toDouble / n).toMap
+    assert(frac("train") > 0.7 && frac("train") < 0.9, frac.toString)
+    assert(frac.getOrElse("val", 0.0) < 0.2 && frac.getOrElse("test", 0.0) < 0.2)
+    // identical content always lands in the same split (leakage guard)
+    import spark.implicits._
+    val dupA = Seq((1L, "same content here"), (2L, "same content here"),
+      (3L, "other text")).toDF("doc_id", "text").createOrReplaceTempView("____tmp")
+    val h = graft.functions.PolyHash.polyhash(org.apache.spark.sql.functions.col("text"), 31) % 10
+    val splits = spark.table("____tmp")
+      .select($"doc_id", h.as("h")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(splits(1L) == splits(2L))
+  }
 }
