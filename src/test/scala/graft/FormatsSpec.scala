@@ -44,4 +44,23 @@ class FormatsSpec extends SparkSpec {
     assert(back.orderBy($"c_custkey").collect()
       .sameElements(sample.orderBy($"c_custkey").collect()))
   }
+
+  test("schema evolution: mergeSchema unions columns across parquet batches") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("evolve") + "/t"
+    // batch 1: (id, a); batch 2 adds column b — the additive-column
+    // evolution every long-lived ingest table goes through
+    Seq((1L, "x")).toDF("id", "a").write.parquet(dir)
+    Seq((2L, "y", 9L)).toDF("id", "a", "b").write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "a", "b"))
+    val rows = merged.orderBy($"id")
+      .select($"id", $"a", $"b").collect()
+    assert(rows(0).getLong(0) == 1L && rows(0).isNullAt(2)) // old rows: b null
+    assert(rows(1).getLong(0) == 2L && rows(1).getLong(2) == 9L)
+    // without mergeSchema the footer-sampled schema may drop b — the
+    // explicit option is the contract the ingest jobs rely on
+    assert(spark.read.option("mergeSchema", "true").parquet(dir)
+      .filter(col("b").isNotNull).count() == 1)
+  }
 }

@@ -103,6 +103,21 @@ class PlanShapeSpec extends SparkSpec {
       p.take(3000))
   }
 
+  test("docs_split is a pure map over the scan: no exchange except the output sort") {
+    val p = plan("docs_split")
+    // exactly one exchange: the rangepartitioning for the ORDER BY
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, p.take(2000))
+    assert(p.contains("rangepartitioning"), p.take(2000))
+  }
+
+  test("docs_term_rank broadcasts the term list and weights onto the token stream") {
+    val p = plan("docs_term_rank")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(3000))
+  }
+
   test("runtime bloom-filter pruning injects on a selective fact-fact shuffle join") {
     // At 100 TB a selective dim filter should prune the fact scan at
     // RUNTIME via Spark's injected bloom filter (the fact side's scan
