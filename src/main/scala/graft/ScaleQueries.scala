@@ -271,6 +271,36 @@ object ScaleQueries {
       |FROM err e LEFT JOIN hits h ON h.err_id = e.err_id
       |ORDER BY e.err_id""".stripMargin
 
+  /** Interval-overlap self-join: pairs of error events whose 5-minute
+    * windows intersect (concurrent incidents). Same bucket rewrite as
+    * q_range_join but interval×interval — a pair can share several
+    * buckets, so [[graft.operators.RangeJoin.intervalOverlap]] emits
+    * it only in the first bucket both occupy (no dedup stage). Oracle
+    * is the naive inequality self-join. */
+  private def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+    def wins(idAs: String, sAs: String, eAs: String) =
+      ev.filter($"event_type" === "error").select(
+        $"event_id".as(idAs), $"ts".as(sAs),
+        ($"ts" + expr("INTERVAL 5 MINUTES")).as(eAs))
+    graft.operators.RangeJoin.intervalOverlap(
+        wins("err_a", "a_start", "a_end"), wins("err_b", "b_start", "b_end"),
+        "a_start", "a_end", "b_start", "b_end", bucketWidthSec = 300L)
+      .filter($"err_a" < $"err_b")
+      .select($"err_a", $"err_b")
+      .orderBy($"err_a", $"err_b")
+  }
+
+  private val qIntervalJoinSql =
+    """WITH e AS (
+      |  SELECT event_id, ts AS s, ts + INTERVAL 5 MINUTE AS e
+      |  FROM events WHERE event_type = 'error')
+      |SELECT a.event_id AS err_a, b.event_id AS err_b
+      |FROM e a JOIN e b
+      |  ON a.event_id < b.event_id AND a.s <= b.e AND b.s <= a.e
+      |ORDER BY err_a, err_b""".stripMargin
+
   // -------------------------------------------------------- z-order layout
 
   /** Z-order clustering audit over events: bucket user (10 bits,
@@ -387,6 +417,7 @@ object ScaleQueries {
     "q_salted_join"      -> (qSaltedJoin _),
     "q_bucketed_join"    -> (qBucketedJoin _),
     "q_range_join"       -> (qRangeJoin _),
+    "q_interval_join"    -> (qIntervalJoin _),
     "q_zorder_layout"    -> (qZOrder _),
     "q_incremental_agg"  -> (qIncrementalAgg _),
     "q_heavy_hitters"    -> (qHeavyHitters _),
@@ -397,6 +428,7 @@ object ScaleQueries {
     "q_salted_join"      -> qSaltedJoinSql,
     "q_bucketed_join"    -> qBucketedJoinSql,
     "q_range_join"       -> qRangeJoinSql,
+    "q_interval_join"    -> qIntervalJoinSql,
     "q_zorder_layout"    -> qZOrderSql,
     "q_incremental_agg"  -> qIncrementalAggSql,
     "q_heavy_hitters"    -> qHeavyHittersSql,

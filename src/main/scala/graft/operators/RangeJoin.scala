@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Point-in-interval join WITHOUT an equi key — the case Spark plans
@@ -47,6 +47,34 @@ object RangeJoin {
         floor(unix_micros(col(endCol)) / w))))
     ib.join(pb, Seq("__bucket"))
       .filter(col(pointTs) >= col(startCol) && col(pointTs) <= col(endCol))
+      .drop("__bucket")
+  }
+
+  /** Interval-OVERLAP join (interval × interval, closed bounds):
+    * pairs where `[ls, le]` and `[rs, re]` intersect. Both sides
+    * explode into their spanned buckets and equi-join on the bucket —
+    * but unlike the point case a pair can now share SEVERAL buckets,
+    * so each pair is emitted only in the FIRST bucket both occupy:
+    * `bucket == max(bucket(ls), bucket(rs))` (the later start lies
+    * inside both intervals whenever they overlap, so that bucket is
+    * shared and unique) — dedup-free, no distinct stage. */
+  def intervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      lStart: String,
+      lEnd: String,
+      rStart: String,
+      rEnd: String,
+      bucketWidthSec: Long): DataFrame = {
+    val w = lit(bucketWidthSec * 1000000L)
+    def bucket(c: String): Column = floor(unix_micros(col(c)) / w)
+    val lb = left.withColumn("__bucket",
+      explode(sequence(bucket(lStart), bucket(lEnd))))
+    val rb = right.withColumn("__bucket",
+      explode(sequence(bucket(rStart), bucket(rEnd))))
+    lb.join(rb, Seq("__bucket"))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("__bucket") === greatest(bucket(lStart), bucket(rStart)))
       .drop("__bucket")
   }
 }

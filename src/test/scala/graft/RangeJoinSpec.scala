@@ -54,4 +54,29 @@ class RangeJoinSpec extends SparkSpec {
       .groupBy($"err_id", $"p_id").count()
     assert(df.filter($"count" > 1).isEmpty)
   }
+
+  private def winsA = err.select($"err_id".as("a_id"),
+    $"w_start".as("a_start"), $"w_end".as("a_end"))
+  private def winsB = err.select($"err_id".as("b_id"),
+    $"w_start".as("b_start"), $"w_end".as("b_end"))
+
+  test("interval overlap equals the naive inequality self-join, exactly once per pair") {
+    val naive = winsA.join(winsB,
+        $"a_id" < $"b_id" && $"a_start" <= $"b_end" && $"b_start" <= $"a_end")
+      .select($"a_id", $"b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.nonEmpty)
+    def viaBuckets(width: Long): Seq[(Long, Long)] =
+      RangeJoin.intervalOverlap(winsA, winsB,
+          "a_start", "a_end", "b_start", "b_end", width)
+        .filter($"a_id" < $"b_id")
+        .select($"a_id", $"b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = viaBuckets(300L)
+    assert(got.toSet == naive)
+    assert(got.size == naive.size, "a pair was emitted in more than one bucket")
+    // width-invariance: narrow buckets (intervals span many) still exact
+    val narrow = viaBuckets(60L)
+    assert(narrow.toSet == naive && narrow.size == naive.size)
+  }
 }
