@@ -16,6 +16,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** SQL-first entry point: register every corpus table as a temp
+    * view (same names the oracles use) plus the graft native
+    * functions, so `spark.sql("SELECT fvec_dot(...) FROM embeddings")`
+    * works verbatim. Views are lazy — no data is read here. */
+  def registerViews(spark: SparkSession, sfDir: String): Unit = {
+    all.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+    graft.functions.FloatVectorDot.register(spark)
+    graft.functions.SimHash64.register(spark)
+    graft.functions.TopKFreq.register(spark)
+  }
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name != "events")
       return spark.read.parquet(s"$sfDir/$name.parquet")

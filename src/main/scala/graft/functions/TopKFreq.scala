@@ -159,4 +159,13 @@ object TopKFreq {
   /** Column-API form: `topFreq(keyCol, k)` aggregate. */
   def topFreq(key: Column, k: Int): Column =
     Bridge.column(TopKFreq(Bridge.expression(key), k).toAggregateExpression())
+
+  /** Register `topk_freq(key, k)` for SQL use; `k` must be an
+    * integer literal (it sizes the sketch at plan time). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_freq",
+      exprs => TopKFreq(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue()),
+      "built-in")
 }

@@ -163,6 +163,33 @@ class StreamingSpec extends SparkSpec {
     assert(out(5L).contains("<EMAIL>") && !out(5L).contains("@"), out(5L))
   }
 
+  test("curation pipeline recovers dedup state from the checkpoint across restarts") {
+    val root = tmpDir("curationrestart")
+    val landing = s"$root/landing"
+    new java.io.File(landing).mkdirs()
+    val evalDocs = Seq((100L, "benchmark holdout grams nothing shares")).toDF("doc_id", "text")
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema("doc_id LONG, text STRING").json(landing)
+      val q = StreamingEtl.curationStream(stream, evalDocs, "doc_id", "text",
+        s"$root/corpus", s"$root/ckpt", minQuality = 0.0)
+      q.processAllAvailable()
+      q.stop()
+    }
+    writeLanding(landing, "b1.json",
+      """{"doc_id":1,"text":"the quick brown fox jumps over the lazy dog tonight"}""")
+    runOnce()
+    // a SEPARATE run (new query instance, same checkpoint): the
+    // duplicate of doc 1 must still be suppressed — dedup state came
+    // back from the checkpoint, not from the in-memory query
+    writeLanding(landing, "b2.json",
+      """{"doc_id":2,"text":"THE  quick  BROWN fox jumps over the lazy dog tonight"}""",
+      """{"doc_id":3,"text":"an entirely different document about ordinary daily things"}""")
+    runOnce()
+    val ids = spark.read.parquet(s"$root/corpus")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L), ids.toString)
+  }
+
   test("foreachBatch upsert sink is last-write-wins across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val root = tmpDir("streamupsert")
