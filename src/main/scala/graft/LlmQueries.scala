@@ -700,6 +700,123 @@ object LlmQueries {
       |LEFT JOIN dep ON dep.list_id = i.list_id
       |ORDER BY i.list_id""".stripMargin
 
+  /** Second Lloyd iteration, same reporting shape as emb_ivf_lloyd
+    * but comparing iteration 1 vs iteration 2 assignments — the
+    * multi-iteration training loop, exactly replayed. The oracle SQL
+    * is GENERATED: one CTE block per iteration from [[lloydIterCtes]]
+    * (every iteration uses the same stabilized decimal arithmetic, so
+    * the chain extends mechanically), stacked on the shared seed-
+    * assignment prefix. */
+  private def qIvfLloyd2(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val e = emb(s, dir)
+    val t1 = IvfKNN.cachedLloydTrain(e, "vec_id", "embedding", k, 64, dir, iterations = 1)
+    val t2 = IvfKNN.cachedLloydTrain(e, "vec_id", "embedding", k, 64, dir, iterations = 2)
+    val cells = e.select(
+        IvfKNN.nearestCentroidStable(col("embedding"), t1).as("l1"),
+        IvfKNN.nearestCentroidStable(col("embedding"), t2).as("l2"))
+      .groupBy(col("l1"), col("l2")).agg(count(lit(1)).as("n"))
+      .collect()
+    val cnt1 = new Array[Long](k)
+    val cnt2 = new Array[Long](k)
+    val departed = new Array[Long](k)
+    cells.foreach { r =>
+      val l1 = r.getLong(0).toInt; val l2 = r.getLong(1).toInt; val n = r.getLong(2)
+      cnt1(l1) += n
+      cnt2(l2) += n
+      if (l1 != l2) departed(l1) += n
+    }
+    import s.implicits._
+    (0 until k).map(i => (i.toLong, cnt1(i), cnt2(i), departed(i)))
+      .toDF("list_id", "cnt_t1", "cnt_t2", "departed")
+      .orderBy(col("list_id"))
+  }
+
+  /** One exact-Lloyd iteration as DuckDB CTEs; `tcent{i-1}` must
+    * already exist (`tcent0` = the seed as doubles). Mirrors
+    * [[IvfKNN.lloydOnceExact]]/[[IvfKNN.lloydStepExact]] formula for
+    * formula. */
+  private def lloydIterCtes(i: Int): String = {
+    val (pa, pl) = if (i == 1) ("assign0", "list0") else (s"assign${i - 1}", s"list${i - 1}")
+    s"""dmean$i AS (
+       |  SELECT $pl AS list_id, pos,
+       |    CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS m
+       |  FROM (SELECT a.$pl, unnest(e.embedding) AS x, unnest(range(64)) AS pos
+       |        FROM embeddings e JOIN $pa a ON a.vec_id = e.vec_id)
+       |  GROUP BY $pl, pos),
+       |tcent$i AS (
+       |  SELECT p.list_id, p.pos, COALESCE(m.m, p.m) AS m
+       |  FROM tcent${i - 1} p LEFT JOIN dmean$i m
+       |    ON m.list_id = p.list_id AND m.pos = p.pos),
+       |tnorm$i AS (
+       |  SELECT list_id,
+       |    sqrt(CAST(SUM(CAST(round(m * m, 12) AS DECIMAL(38,12))) AS DOUBLE)) AS tn
+       |  FROM tcent$i GROUP BY list_id),
+       |vtd$i AS (
+       |  SELECT v.vec_id, t.list_id,
+       |    CAST(SUM(CAST(round(CAST(v.x AS DOUBLE) * t.m, 12) AS DECIMAL(38,12))) AS DOUBLE) AS dt
+       |  FROM vdim v JOIN tcent$i t ON t.pos = v.pos
+       |  GROUP BY v.vec_id, t.list_id),
+       |scored$i AS (
+       |  SELECT d.vec_id, d.list_id, round(d.dt / tn.tn, 9) AS score
+       |  FROM vtd$i d JOIN tnorm$i tn ON tn.list_id = d.list_id),
+       |assign$i AS (
+       |  SELECT vec_id, list_id AS list$i FROM scored$i
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, list_id) = 1)""".stripMargin
+  }
+
+  private lazy val qIvfLloyd2Sql = {
+    val prefix =
+      """WITH cent AS (
+        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+        |norms AS (
+        |  SELECT vec_id, SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nn
+        |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+        |cnorm AS (
+        |  SELECT cid, SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS cn
+        |  FROM (SELECT cid, unnest(cv) AS x FROM cent) GROUP BY cid),
+        |vcd AS (
+        |  SELECT vec_id, cid, SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot
+        |  FROM (SELECT e.vec_id, c.cid, unnest(e.embedding) AS x, unnest(c.cv) AS y
+        |        FROM embeddings e, cent c)
+        |  GROUP BY vec_id, cid),
+        |vccos AS (
+        |  SELECT v.vec_id, v.cid,
+        |    round(v.dot / (sqrt(n.nn) * sqrt(cn.cn)), 9) AS cos
+        |  FROM vcd v
+        |  JOIN norms n ON n.vec_id = v.vec_id
+        |  JOIN cnorm cn ON cn.cid = v.cid),
+        |assign0 AS (
+        |  SELECT vec_id, cid AS list0 FROM vccos
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) = 1),
+        |tcent0 AS (
+        |  SELECT list_id, pos, CAST(sx AS DOUBLE) AS m
+        |  FROM (SELECT cid AS list_id, unnest(range(64)) AS pos, unnest(cv) AS sx FROM cent)),
+        |vdim AS (
+        |  SELECT vec_id, unnest(range(64)) AS pos, unnest(embedding) AS x FROM embeddings)""".stripMargin
+    val iters = (1 to 2).map(lloydIterCtes).mkString(",\n")
+    val tail =
+      """j AS (
+        |  SELECT a1.vec_id, a1.list1, a2.list2
+        |  FROM assign1 a1 JOIN assign2 a2 ON a2.vec_id = a1.vec_id),
+        |c1 AS (SELECT list1 AS list_id, COUNT(*) AS cnt_t1 FROM j GROUP BY list1),
+        |c2 AS (SELECT list2 AS list_id, COUNT(*) AS cnt_t2 FROM j GROUP BY list2),
+        |dep AS (
+        |  SELECT list1 AS list_id, COUNT(*) AS departed FROM j
+        |  WHERE list1 <> list2 GROUP BY list1),
+        |ids AS (SELECT CAST(range AS BIGINT) AS list_id FROM range(8))
+        |SELECT i.list_id,
+        |  COALESCE(c1.cnt_t1, 0) AS cnt_t1,
+        |  COALESCE(c2.cnt_t2, 0) AS cnt_t2,
+        |  COALESCE(dep.departed, 0) AS departed
+        |FROM ids i
+        |LEFT JOIN c1 ON c1.list_id = i.list_id
+        |LEFT JOIN c2 ON c2.list_id = i.list_id
+        |LEFT JOIN dep ON dep.list_id = i.list_id
+        |ORDER BY i.list_id""".stripMargin
+    s"$prefix,\n$iters,\n$tail"
+  }
+
   // -------------------------------------------- pii / repetition / sampling
 
   /** PII scrub pass over synthetic contact-bearing text derived from
@@ -917,6 +1034,7 @@ object LlmQueries {
     "emb_knn_lsh"         -> (qKnnLsh _),
     "emb_knn_ivf"         -> (qKnnIvf _),
     "emb_ivf_lloyd"       -> (qIvfLloyd _),
+    "emb_ivf_lloyd2"      -> (qIvfLloyd2 _),
     "docs_term_rank"      -> (qTermRank _),
     "docs_split"          -> (qSplit _),
     "emb_neardup_pairs"   -> (qEmbNearDup _),
@@ -943,6 +1061,7 @@ object LlmQueries {
     "emb_knn_lsh"        -> qKnnLshSql,
     "emb_knn_ivf"        -> qKnnIvfSql,
     "emb_ivf_lloyd"      -> qIvfLloydSql,
+    "emb_ivf_lloyd2"     -> qIvfLloyd2Sql,
     "docs_term_rank"     -> qTermRankSql,
     "docs_split"         -> qSplitSql,
     "emb_neardup_pairs"  -> qEmbNearDupSql,

@@ -153,17 +153,52 @@ object IvfKNN {
     }
   }
 
-  private val lloydMemo =
-    new scala.collection.concurrent.TrieMap[(String, String, String, Int), Seq[DCentroid]]
+  /** One FURTHER exact Lloyd step from an already-trained codebook:
+    * assignment via the stabilized quantizer, means and fallbacks as
+    * in [[lloydOnceExact]] (an empty list keeps its previous trained
+    * centroid — norm included, since it was stabilized from the same
+    * values). */
+  def lloydStepExact(
+      corpus: DataFrame, vecCol: String, cents: Seq[DCentroid], dim: Int): Seq[DCentroid] = {
+    val sums = corpus
+      .select(nearestCentroidStable(col(vecCol), cents).as("list_id"), posexplode(col(vecCol)))
+      .groupBy(col("list_id"), col("pos"))
+      .agg((sum(col("col").cast("double").cast(DecimalType(18, 6))).cast("double") /
+        count(lit(1))).as("m"))
+      .collect()
+    val byList = sums.groupBy(_.getLong(0)).map { case (cid, rows) =>
+      val dims = new Array[Double](dim)
+      rows.foreach(r => dims(r.getInt(1)) = r.getDouble(2))
+      cid.toInt -> dims
+    }
+    cents.map { c =>
+      byList.get(c.id).map(v => DCentroid(c.id, v, stableNorm(v))).getOrElse(c)
+    }
+  }
 
-  /** [[lloydOnceExact]] from the cached seed, memoized per
-    * (corpus, k) — training is index-build cost, paid once. */
+  private val lloydMemo =
+    new scala.collection.concurrent.TrieMap[(String, String, String, Int, Int), Seq[DCentroid]]
+
+  /** [[lloydOnceExact]] + (iterations-1) × [[lloydStepExact]] from
+    * the cached seed, memoized per (corpus, k, iterations) —
+    * training is index-build cost, paid once. */
+  def cachedLloydTrain(
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int, dim: Int,
+      source: String, iterations: Int): Seq[DCentroid] =
+    lloydMemo.getOrElseUpdate((source, idCol, vecCol, k, iterations), {
+      if (iterations == 1)
+        lloydOnceExact(corpus, vecCol,
+          cachedSampledCentroids(corpus, idCol, vecCol, k, source), dim)
+      else
+        lloydStepExact(corpus, vecCol,
+          cachedLloydTrain(corpus, idCol, vecCol, k, dim, source, iterations - 1), dim)
+    })
+
+  /** Back-compat name for the single-iteration codebook. */
   def cachedLloydCodebook(
       corpus: DataFrame, idCol: String, vecCol: String, k: Int, dim: Int,
       source: String): Seq[DCentroid] =
-    lloydMemo.getOrElseUpdate((source, idCol, vecCol, k),
-      lloydOnceExact(corpus, vecCol,
-        cachedSampledCentroids(corpus, idCol, vecCol, k, source), dim))
+    cachedLloydTrain(corpus, idCol, vecCol, k, dim, source, iterations = 1)
 
   /** Dot of a vector with a trained centroid, products rounded to 12
     * decimals and folded in DECIMAL(38,12) — the accumulation is
@@ -184,12 +219,16 @@ object IvfKNN {
     * is round(dot/|c|, 9) — cosine with the per-row |v| factor
     * dropped (constant within a row, so the argmax is unchanged) —
     * which keeps the whole comparison inside the order-independent
-    * stable-dot arithmetic. Ties break to the lower centroid id. */
+    * stable-dot arithmetic. Implemented as first-position-of-max over
+    * the score array (centroids listed in id order), so ties break to
+    * the lower centroid id — field-name-free on purpose: a struct
+    * argmax loses its field aliases when the projection is rewritten
+    * around a Generate (CleanupAliases), which broke this expression
+    * next to a posexplode. */
   def nearestCentroidStable(vec: Column, cents: Seq[DCentroid]): Column = {
-    val entries = cents.map(c =>
-      struct(round(dotStable(vec, c) / lit(c.norm), 9).as("score"),
-        lit(-c.id).as("negid")))
-    (-array_max(array(entries: _*)).getField("negid")).cast("long")
+    val scores = array(
+      cents.sortBy(_.id).map(c => round(dotStable(vec, c) / lit(c.norm), 9)): _*)
+    (array_position(scores, array_max(scores)) - 1).cast("long")
   }
 
   /** Cosine to one codebook entry (vector literal folded into the
