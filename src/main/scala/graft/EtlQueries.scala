@@ -180,7 +180,58 @@ object EtlQueries {
   private val qUpsertPartitionedSql =
     upsertQualifySql(" CAST(ts AS DATE) AS event_date,", ", event_date")
 
+  /** Data-quality gate over events (graft.ext.profile.Expectations —
+    * the Deequ-style suite): five row-level constraints as
+    * conditional counts in ONE aggregation pass plus the key-
+    * uniqueness set check. A deliberately violated range bound keeps
+    * the failure path honest (one check must report violations). */
+  private def qExpectations(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.profile.Expectations._
+    validate(
+      events(s, dir),
+      Seq(
+        notNull("event_id_not_null", col("event_id")),
+        notNull("user_id_not_null", col("user_id")),
+        inSet("event_type_known", col("event_type"),
+          Seq("click", "view", "purchase", "error", "signup")),
+        inRange("ts_in_window", col("ts"),
+          lit("2024-01-01 00:00:00").cast("timestamp"),
+          lit("2024-01-31 23:59:59.999999").cast("timestamp")),
+        // deliberately tight bound: values run ~0..100, so this check
+        // FAILS and proves violations are counted, not just zeros
+        inRange("value_under_50", col("value"), lit(0.0), lit(50.0))),
+      uniqueKey = Some(("event_id_unique", col("event_id"))))
+  }
+
+  private val qExpectationsSql =
+    """WITH agg AS (
+      |  SELECT
+      |    SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS c_event_id_not_null,
+      |    SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS c_user_id_not_null,
+      |    SUM(CASE WHEN event_type IS NULL
+      |             OR event_type NOT IN ('click','view','purchase','error','signup')
+      |        THEN 1 ELSE 0 END) AS c_event_type_known,
+      |    SUM(CASE WHEN ts IS NULL OR ts < TIMESTAMP '2024-01-01 00:00:00'
+      |             OR ts > TIMESTAMP '2024-01-31 23:59:59.999999'
+      |        THEN 1 ELSE 0 END) AS c_ts_in_window,
+      |    SUM(CASE WHEN value IS NULL OR value < 0.0 OR value > 50.0
+      |        THEN 1 ELSE 0 END) AS c_value_under_50,
+      |    COUNT(*) - COUNT(DISTINCT event_id) AS c_event_id_unique,
+      |    COUNT(*) AS n
+      |  FROM events)
+      |SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+      |  CAST(n AS BIGINT) AS n_rows, n_violations = 0 AS pass
+      |FROM (
+      |  SELECT 'event_id_not_null' AS check_name, c_event_id_not_null AS n_violations, n FROM agg
+      |  UNION ALL SELECT 'user_id_not_null', c_user_id_not_null, n FROM agg
+      |  UNION ALL SELECT 'event_type_known', c_event_type_known, n FROM agg
+      |  UNION ALL SELECT 'ts_in_window', c_ts_in_window, n FROM agg
+      |  UNION ALL SELECT 'value_under_50', c_value_under_50, n FROM agg
+      |  UNION ALL SELECT 'event_id_unique', c_event_id_unique, n FROM agg)
+      |ORDER BY check_name""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_expectations"       -> (qExpectations _),
     "etl_normalize"          -> (qNormalize _),
     "etl_keygen"             -> (qKeygen _),
     "etl_dedup_first"        -> (qDedup _),
@@ -190,6 +241,7 @@ object EtlQueries {
     "etl_upsert_partitioned" -> (qUpsertPartitioned _))
 
   val oracles: Map[String, String] = Map(
+    "etl_expectations"       -> qExpectationsSql,
     "etl_normalize"          -> qNormalizeSql,
     "etl_keygen"             -> qKeygenSql,
     "etl_dedup_first"        -> qDedupSql,
