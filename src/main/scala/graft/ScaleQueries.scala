@@ -385,6 +385,41 @@ object ScaleQueries {
       |  MIN(ts) AS first_ts, MAX(ts) AS last_ts
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Incremental DISTINCT maintenance — the sketch analog of
+    * [[qIncrementalAgg]]: counts and sums merge exactly, but distinct
+    * counts need a mergeable summary, so batch 1's per-group HLL
+    * sketches (Spark's DataSketches `hll_sketch_agg`) are
+    * materialized to parquet state and batch 2 only sketches its own
+    * rows; `hll_union_agg` merges the stored and fresh sketches with
+    * no rescan of history. The estimate is checked against the exact
+    * distinct as an in-band boolean (the sketch is deterministic, and
+    * at these per-group cardinalities DataSketches HLL is in exact
+    * sparse mode — but the CLAIM stays the sketch's actual ±5%
+    * guarantee, per the q_approx_quantiles convention). */
+  private def qIncrementalDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events").select($"event_id", $"event_type", $"user_id")
+    def sk(df: DataFrame): DataFrame =
+      df.groupBy($"event_type").agg(hll_sketch_agg($"user_id").as("sk"))
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_incr_distinct").toString + "/state"
+    sk(ev.filter($"event_id" % 2 === 0)).write.parquet(state)
+    val merged = s.read.parquet(state)
+      .unionByName(sk(ev.filter($"event_id" % 2 === 1)))
+      .groupBy($"event_type").agg(hll_union_agg($"sk").as("sk"))
+      .select($"event_type", hll_sketch_estimate($"sk").as("est"))
+    val exact = ev.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_exact"))
+    exact.join(merged, Seq("event_type"))
+      .select($"event_type", $"n_exact",
+        (abs($"est" - $"n_exact") <= $"n_exact" * 0.05).as("est_in_band"))
+      .orderBy($"event_type")
+  }
+
+  private val qIncrementalDistinctSql =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, TRUE AS est_in_band
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ----------------------------------------------------------- heavy hitters
 
   /** Frequent-items (heavy hitters) via the mergeable Misra–Gries
@@ -421,6 +456,7 @@ object ScaleQueries {
     "q_zorder_layout"    -> (qZOrder _),
     "q_incremental_agg"  -> (qIncrementalAgg _),
     "q_heavy_hitters"    -> (qHeavyHitters _),
+    "q_incremental_distinct" -> (qIncrementalDistinct _),
     "q_approx_distinct"  -> (qApproxDistinct _),
     "q_approx_quantiles" -> (qApproxQuantiles _))
 
@@ -432,6 +468,7 @@ object ScaleQueries {
     "q_zorder_layout"    -> qZOrderSql,
     "q_incremental_agg"  -> qIncrementalAggSql,
     "q_heavy_hitters"    -> qHeavyHittersSql,
+    "q_incremental_distinct" -> qIncrementalDistinctSql,
     "q_approx_distinct"  -> qApproxDistinctSql,
     "q_approx_quantiles" -> qApproxQuantilesSql)
 }
