@@ -39,7 +39,11 @@ object Expectations {
       checks: Seq[Check],
       uniqueKey: Option[(String, Column)] = None): DataFrame = {
     val aggs =
-      checks.map(ch => sum(when(ch.violated, 1L).otherwise(0L)).as(ch.name)) ++
+      // coalesce: sum over ZERO rows is null, which would NPE when
+      // unboxed into a primitive Long below — an empty frame must
+      // report zero violations, not crash
+      checks.map(ch =>
+        coalesce(sum(when(ch.violated, 1L).otherwise(0L)), lit(0L)).as(ch.name)) ++
         uniqueKey.map { case (n, c) =>
           (count(lit(1)) - count_distinct(c)).as(n)
         }.toSeq :+

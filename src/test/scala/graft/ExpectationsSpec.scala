@@ -30,6 +30,15 @@ class ExpectationsSpec extends SparkSpec {
     assert(out("id_unique") == ((2L, false)))
   }
 
+  test("an empty frame reports zero violations for every check (no NPE)") {
+    val df = Seq.empty[(Long, String)].toDF("id", "kind")
+    val out = Expectations.validate(df,
+      Seq(notNull("id_not_null", $"id")),
+      uniqueKey = Some(("id_unique", $"id"))).collect()
+    assert(out.length == 2)
+    assert(out.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L && r.getBoolean(3)))
+  }
+
   test("a clean frame passes every check") {
     val df = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "kind", "v")
     val out = Expectations.validate(df,
