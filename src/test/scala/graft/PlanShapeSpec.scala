@@ -103,6 +103,14 @@ class PlanShapeSpec extends SparkSpec {
       p.take(3000))
   }
 
+  test("range and interval registry queries never nested-loop") {
+    for (q <- Seq("q_range_join", "q_interval_join")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoop"), s"$q:\n${p.take(2000)}")
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(2000)}")
+    }
+  }
+
   test("docs_split is a pure map over the scan: no exchange except the output sort") {
     val p = plan("docs_split")
     // exactly one exchange: the rangepartitioning for the ORDER BY
