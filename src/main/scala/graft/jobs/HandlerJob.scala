@@ -35,13 +35,33 @@ object HandlerJob {
     Dedup(keyed, KeyGen.columnName)
   }
 
+  /** Optional data-quality gate evaluated on each entity's READY
+    * frame (normalized/keyed/deduped) before its upsert: checks that
+    * fail BLOCK that entity's promotion — the write never happens and
+    * the violation report lands in the monitor store's error column,
+    * exactly like any other per-entity failure (other entities
+    * proceed). Built from [[graft.ext.profile.Expectations]]. */
+  case class QualityGate(checks: Seq[graft.ext.profile.Expectations.Check])
+
+  final class QualityGateViolation(report: String)
+    extends RuntimeException(s"quality gate failed: $report")
+
+  private def enforceGate(ready: DataFrame, gate: QualityGate): Unit = {
+    val failed = graft.ext.profile.Expectations.validate(ready, gate.checks)
+      .filter(!org.apache.spark.sql.functions.col("pass"))
+      .collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}/${r.getLong(2)}")
+    if (failed.nonEmpty) throw new QualityGateViolation(failed.mkString(", "))
+  }
+
   def run(
       spark: SparkSession,
       store: MonitorStore,
       warehouseDir: String,
       schemas: Seq[EntitySchema],
       workflowId: String,
-      now: Instant = Instant.now()): Result = {
+      now: Instant = Instant.now(),
+      qualityGate: Option[QualityGate] = None): Result = {
 
     require(
       try { UUID.fromString(workflowId); true } catch { case _: Exception => false },
@@ -70,6 +90,7 @@ object HandlerJob {
         try {
           ready = entityPipeline(byEntity(entity), schema).cache()
           val n = ready.count()
+          qualityGate.foreach(enforceGate(ready, _))
           ParquetUpsertSink.upsert(
             spark, ready, s"$warehouseDir/${schema.targetTable}", KeyGen.columnName)
           store.recordHandler(HandlerExecution(

@@ -66,6 +66,51 @@ class JobsSpec extends SparkSpec {
     assert(store.handlerRows().size == 4)
   }
 
+  test("quality gate blocks one entity's promotion, records it, others proceed") {
+    import graft.ext.profile.Expectations._
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir("gate")
+    val landing = s"$root/landing"; Files.createDirectories(Paths.get(landing))
+    val store = new FileMonitorStore(spark, s"$root/monitor",
+      warehouseDir = Some(s"$root/tables"))
+    val schemas = EntitySchema.reference
+    store.migrate(schemas.map(_.targetTable))
+    writeLanding(landing, "a.json", hour0.plusSeconds(60),
+      """{"event": "update", "on": "vehicle", "at": "2022-11-24T10:02:11Z", "organization_id": "o", "data": {"id": "v-1", "location": {"lat": 99.5, "lng": 2.5, "at": "2022-11-24T10:02:10Z"}}}""",
+      """{"event": "create", "on": "operating_period", "at": "2022-11-24T10:00:05Z", "organization_id": "o", "data": {"id": "op-1", "start": "2022-11-24T08:00:00Z", "finish": "2022-11-24T20:00:00Z"}}""")
+    val wf = UUID.randomUUID().toString
+    IngestorJob.run(spark, store, landing, s"$root/staging",
+      Pipelines.unionSourceStruct(schemas), wf)
+    // vehicle_latitude 99.5 violates the [-90, 90] expectation;
+    // operating_period has no such column, so its checks pass — the
+    // gate evaluates per entity on the READY (normalized) frame
+    def gateFor = HandlerJob.QualityGate(Seq(
+      inRange("lat_in_range",
+        org.apache.spark.sql.functions
+          .coalesce(col("vehicle_latitude"), org.apache.spark.sql.functions.lit(0.0)),
+        org.apache.spark.sql.functions.lit(-90.0),
+        org.apache.spark.sql.functions.lit(90.0))))
+    // per-entity gates: only the vehicle schema carries the lat check
+    val res = HandlerJob.run(spark, store, s"$root/tables",
+      schemas.filter(_.entity == "vehicle"), wf, qualityGate = Some(gateFor))
+    assert(res.recordsInserted.isEmpty)
+    assert(res.failures.keySet == Set("vehicle"))
+    assert(res.failures("vehicle").contains("quality gate failed"),
+      res.failures("vehicle"))
+    // the blocked entity was NOT promoted (migrate() pre-creates the
+    // empty table dir, so an unreadable/empty parquet dir counts)
+    val promoted =
+      try spark.read.parquet(s"$root/tables/vehicle_location").count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    assert(promoted == 0L)
+    // and the violation is in the audit trail
+    val recorded = store.handlerRows()
+      .filter(r => r.getAs[String]("workflowId") == wf)
+    assert(recorded.exists(r =>
+      Option(r.getAs[String]("traceback")).exists(_.contains("quality gate failed"))),
+      recorded.mkString("; "))
+  }
+
   test("handler with no staged file is a clean no-op") {
     val root = tmpDir("noop")
     val store = new FileMonitorStore(spark, s"$root/monitor")
