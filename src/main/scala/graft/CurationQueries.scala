@@ -206,7 +206,8 @@ object CurationQueries {
       |b AS (
       |  SELECT doc_id, i AS pos,
       |    array_to_string(toks[i*20+1 : i*20+20], ' ') AS block
-      |  FROM t, (SELECT unnest(range(1000)) AS i)
+      |  FROM t, (SELECT unnest(range((
+      |    SELECT CAST(COALESCE(max(ceil(len(toks) / 20.0)), 0) AS BIGINT) FROM t))) AS i)
       |  WHERE i < ceil(len(toks) / 20.0)),
       |kept AS (
       |  SELECT doc_id, pos, block FROM b

@@ -38,6 +38,15 @@ object Expectations {
       df: DataFrame,
       checks: Seq[Check],
       uniqueKey: Option[(String, Column)] = None): DataFrame = {
+    // The report row is read back by column name, so names must be
+    // unique and must not collide with the reserved row-count slot —
+    // `getAs` silently resolves to the first match otherwise.
+    val allNames = checks.map(_.name) ++ uniqueKey.map(_._1).toSeq
+    require(!allNames.contains("__n"),
+      "Expectations: check name '__n' is reserved for the row count")
+    val dup = allNames.diff(allNames.distinct).distinct
+    require(dup.isEmpty,
+      s"Expectations: duplicate check name(s): ${dup.mkString(", ")}")
     val aggs =
       // coalesce: sum over ZERO rows is null, which would NPE when
       // unboxed into a primitive Long below — an empty frame must

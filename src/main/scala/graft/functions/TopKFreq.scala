@@ -125,7 +125,11 @@ case class TopKFreq(
     val it = buffer.counts.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey)
+      // Length-prefixed raw UTF-8 (not writeUTF, whose 64 KiB modified-UTF-8
+      // ceiling would crash the shuffle on long keys).
+      val kb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length)
+      out.write(kb)
       out.writeLong(e.getValue)
     }
     out.flush()
@@ -138,7 +142,10 @@ case class TopKFreq(
     val n = in.readInt()
     var i = 0
     while (i < n) {
-      val key = in.readUTF()
+      val len = in.readInt()
+      val kb = new Array[Byte](len)
+      in.readFully(kb)
+      val key = new String(kb, java.nio.charset.StandardCharsets.UTF_8)
       val c = in.readLong()
       sk.counts.put(key, c)
       i += 1
@@ -165,7 +172,23 @@ object TopKFreq {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "topk_freq",
-      exprs => TopKFreq(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Number].intValue()),
+      exprs => {
+        def fail(msg: String): Nothing =
+          throw new org.apache.spark.sql.AnalysisException(
+            "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg))
+        if (exprs.length != 2)
+          fail(s"topk_freq(key, k) takes exactly 2 arguments, got ${exprs.length}")
+        val kExpr = exprs(1)
+        val integral = kExpr.dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }
+        if (!kExpr.foldable || !integral)
+          fail("topk_freq's second argument must be an integer literal " +
+            s"(it sizes the sketch at plan time), got ${kExpr.sql}")
+        if (exprs.head.resolved && exprs.head.dataType != StringType)
+          fail(s"topk_freq's key must be a string column, got ${exprs.head.dataType.sql}")
+        TopKFreq(exprs.head, kExpr.eval(null).asInstanceOf[Number].intValue())
+      },
       "built-in")
 }

@@ -140,11 +140,16 @@ object StreamingEtl {
     *     split (exploded grams semi-joined to the broadcast gram set,
     *     then a left-anti back onto the batch — the batch twin of
     *     [[decontaminateStream]]), PII scrub on the survivors;
-    *  3. append survivors to the curated corpus path.
+    *  3. land survivors in the curated corpus path, partitioned by
+    *     batch id and written with dynamic partition OVERWRITE — so a
+    *     replayed batch (crash between the parquet commit and the
+    *     offset commit) rewrites its own partition instead of
+    *     appending a duplicate copy. foreachBatch is at-least-once;
+    *     the idempotent per-batch write is what upgrades the OUTPUT
+    *     to effectively exactly-once.
     *
     * Everything per-batch is stateless and broadcast-joined, so the
-    * firehose side never shuffles; the pipeline restarts exactly-once
-    * from the checkpoint like any foreachBatch sink. */
+    * firehose side never shuffles. */
   def curationStream(
       docStream: DataFrame,
       evalDocs: DataFrame,
@@ -164,7 +169,7 @@ object StreamingEtl {
       .writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val good = batch.filter(TextFunctions.qualityScore(col(textCol)) >= minQuality)
         val contaminated = good
           .select(col(idCol), explode(TextFunctions.shingles(col(textCol), n)).as("g"))
@@ -173,7 +178,11 @@ object StreamingEtl {
         good.join(contaminated, Seq(idCol), "left_anti")
           .withColumn(textCol, TextFunctions.scrubPii(col(textCol)))
           .drop("fingerprint")
-          .write.mode("append").parquet(outDir)
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id")
+          .parquet(outDir)
       }
       .start()
   }

@@ -50,4 +50,22 @@ class ExpectationsSpec extends SparkSpec {
     assert(out.forall(_.getBoolean(3)))
     assert(out.forall(_.getLong(2) == 2L))
   }
+
+  test("reserved and duplicate check names are rejected up front") {
+    val df = Seq((1L, "a")).toDF("id", "kind")
+    val e1 = intercept[IllegalArgumentException] {
+      Expectations.validate(df, Seq(notNull("__n", $"id")))
+    }
+    assert(e1.getMessage.contains("reserved"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Expectations.validate(df,
+        Seq(notNull("same", $"id"), notNull("same", $"kind")))
+    }
+    assert(e2.getMessage.contains("duplicate"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      Expectations.validate(df, Seq(notNull("k", $"id")),
+        uniqueKey = Some(("k", $"id")))
+    }
+    assert(e3.getMessage.contains("duplicate"), e3.getMessage)
+  }
 }

@@ -59,4 +59,38 @@ class FreqSketchSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("ObjectHashAggregate"), p.take(2000))
   }
+
+  test("keys past the 64 KiB modified-UTF-8 ceiling survive the shuffle serde") {
+    // writeUTF would throw UTFDataFormatException here; the
+    // length-prefixed raw-UTF-8 serde must round-trip it through an
+    // actual partial/final aggregation (repartition forces the
+    // serialize/deserialize path to really run)
+    val big = "x" * 70000
+    val rows = (Seq.fill(5)(big) ++ Seq("small", "small", "é" * 40000))
+      .toDF("k").repartition(7)
+    val got = rows.agg(TopKFreq.topFreq($"k", 8).as("tk"))
+      .select(explode($"tk").as("e")).select($"e.key", $"e.cnt")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(big -> 5L, "small" -> 2L, ("é" * 40000) -> 1L))
+  }
+
+  test("SQL registration rejects a non-literal or non-integer k with a clear error") {
+    TopKFreq.register(spark)
+    Tables(spark, "/root/testdata/sf0.001", "events")
+      .createOrReplaceTempView("ev_topk_reg")
+    // happy path still works
+    assert(spark.sql("SELECT topk_freq(event_type, 5) FROM ev_topk_reg").count() == 1)
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT topk_freq(event_type, user_id) FROM ev_topk_reg").collect()
+    }
+    assert(e1.getMessage.contains("integer literal"), e1.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT topk_freq(event_type, 'five') FROM ev_topk_reg").collect()
+    }
+    assert(e2.getMessage.contains("integer literal"), e2.getMessage)
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT topk_freq(event_type) FROM ev_topk_reg").collect()
+    }
+    assert(e3.getMessage.contains("2 arguments"), e3.getMessage)
+  }
 }

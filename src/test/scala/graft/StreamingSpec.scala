@@ -190,6 +190,40 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(1L, 3L), ids.toString)
   }
 
+  test("a replayed micro-batch does not duplicate curated output (idempotent write)") {
+    val root = tmpDir("curationreplay")
+    val landing = s"$root/landing"
+    new java.io.File(landing).mkdirs()
+    val evalDocs = Seq((100L, "benchmark holdout grams nothing shares")).toDF("doc_id", "text")
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema("doc_id LONG, text STRING").json(landing)
+      val q = StreamingEtl.curationStream(stream, evalDocs, "doc_id", "text",
+        s"$root/corpus", s"$root/ckpt", minQuality = 0.0)
+      q.processAllAvailable()
+      q.stop()
+    }
+    writeLanding(landing, "b1.json",
+      """{"doc_id":1,"text":"the quick brown fox jumps over the lazy dog tonight"}""")
+    runOnce()
+    // simulate the crash window: parquet landed but the streaming
+    // commit marker didn't — on restart the engine replays the batch,
+    // and the per-batch dynamic partition overwrite must rewrite, not
+    // append
+    val commitDir = new java.io.File(s"$root/ckpt/commits")
+    val commits = commitDir.listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty)
+    val last = commits.last.getName
+    assert(commits.last.delete())
+    // the checksum sibling too, or the local FS refuses the rewrite
+    val crc = new java.io.File(commitDir, s".$last.crc")
+    if (crc.exists()) crc.delete()
+    runOnce()
+    val out = spark.read.parquet(s"$root/corpus")
+      .select($"doc_id").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L), s"replay duplicated rows: $out")
+  }
+
   test("foreachBatch upsert sink is last-write-wins across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val root = tmpDir("streamupsert")
