@@ -348,12 +348,22 @@ object CurationQueries {
     import s.implicits._
     val stLocal = d.groupBy(col("domain")).agg(count(lit(1)).as("n_docs"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // wsum / n_total are scalars over the 3 collected metadata rows —
+    // fold them driver-side (exact decimal sum of the same 6-dp
+    // values Spark's round(sqrt, 6) produces, so the arithmetic chain
+    // is unchanged) instead of crossJoin-ing a one-row aggregate
+    // frame, which planned as a (harmless but gate-tripping)
+    // BroadcastNestedLoopJoin
+    val wsum = stLocal.map { case (_, n) =>
+      java.math.BigDecimal.valueOf(math.sqrt(n.toDouble))
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+    }.foldLeft(java.math.BigDecimal.ZERO)(_ add _).doubleValue
+    val nTotal = stLocal.map(_._2).sum
     val st = stLocal.toDF("domain", "n_docs")
       .withColumn("w", round(sqrt(col("n_docs")), 6))
-    val tot = st.agg(
-      sum(col("w").cast(DecimalType(18, 6))).cast("double").as("wsum"),
-      sum(col("n_docs")).as("n_total"))
-    val rates = st.crossJoin(broadcast(tot))
+    val rates = st
+      .withColumn("wsum", lit(wsum))
+      .withColumn("n_total", lit(nTotal))
       .withColumn("rate",
         round(least(lit(1.0),
           col("w") / col("wsum") * lit(0.5) * col("n_total") / col("n_docs")), 9))

@@ -271,6 +271,50 @@ object ScaleQueries {
       |FROM err e LEFT JOIN hits h ON h.err_id = e.err_id
       |ORDER BY e.err_id""".stripMargin
 
+  /** q_range_join with OPEN (strict) bounds — real user SQL writes
+    * `s < p AND p < e` as often as the closed form, and the rewrite
+    * must not silently widen it: the bucket span is unchanged, only
+    * the residual comparison is strict. Oracle is the naive strict
+    * inequality join, so the hash match pins boundary rows (a
+    * purchase exactly at w_start/w_end) to EXCLUDED. */
+  private def qRangeJoinStrict(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+    val err = ev.filter($"event_type" === "error").select(
+      $"event_id".as("err_id"), $"ts".as("w_start"),
+      ($"ts" + expr("INTERVAL 5 MINUTES")).as("w_end"))
+    val purch = ev.filter($"event_type" === "purchase")
+      .select($"ts".as("p_ts"), $"value".as("p_value"))
+    val hits = graft.operators.RangeJoin
+      .pointInInterval(purch, err, "p_ts", "w_start", "w_end",
+        bucketWidthSec = 300L, closedStart = false, closedEnd = false)
+      .groupBy($"err_id")
+      .agg(count(lit(1)).as("n_purchases"), dsum($"p_value").as("purchase_value"))
+    err.join(hits, Seq("err_id"), "left")
+      .select($"err_id",
+        coalesce($"n_purchases", lit(0L)).as("n_purchases"),
+        coalesce($"purchase_value", lit(0.0)).as("purchase_value"))
+      .orderBy($"err_id")
+  }
+
+  private val qRangeJoinStrictSql =
+    """WITH err AS (
+      |  SELECT event_id AS err_id, ts AS w_start, ts + INTERVAL 5 MINUTE AS w_end
+      |  FROM events WHERE event_type = 'error'),
+      |purch AS (
+      |  SELECT ts AS p_ts, value AS p_value FROM events
+      |  WHERE event_type = 'purchase'),
+      |hits AS (
+      |  SELECT e.err_id, COUNT(*) AS n_purchases,
+      |    CAST(SUM(CAST(p.p_value AS DECIMAL(18,6))) AS DOUBLE) AS purchase_value
+      |  FROM err e JOIN purch p ON p.p_ts > e.w_start AND p.p_ts < e.w_end
+      |  GROUP BY e.err_id)
+      |SELECT e.err_id,
+      |  COALESCE(h.n_purchases, 0) AS n_purchases,
+      |  COALESCE(h.purchase_value, 0.0) AS purchase_value
+      |FROM err e LEFT JOIN hits h ON h.err_id = e.err_id
+      |ORDER BY e.err_id""".stripMargin
+
   /** Interval-overlap self-join: pairs of error events whose 5-minute
     * windows intersect (concurrent incidents). Same bucket rewrite as
     * q_range_join but interval×interval — a pair can share several
@@ -452,6 +496,7 @@ object ScaleQueries {
     "q_salted_join"      -> (qSaltedJoin _),
     "q_bucketed_join"    -> (qBucketedJoin _),
     "q_range_join"       -> (qRangeJoin _),
+    "q_range_join_strict" -> (qRangeJoinStrict _),
     "q_interval_join"    -> (qIntervalJoin _),
     "q_zorder_layout"    -> (qZOrder _),
     "q_incremental_agg"  -> (qIncrementalAgg _),
@@ -464,6 +509,7 @@ object ScaleQueries {
     "q_salted_join"      -> qSaltedJoinSql,
     "q_bucketed_join"    -> qBucketedJoinSql,
     "q_range_join"       -> qRangeJoinSql,
+    "q_range_join_strict" -> qRangeJoinStrictSql,
     "q_interval_join"    -> qIntervalJoinSql,
     "q_zorder_layout"    -> qZOrderSql,
     "q_incremental_agg"  -> qIncrementalAggSql,

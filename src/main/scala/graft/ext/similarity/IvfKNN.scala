@@ -56,17 +56,41 @@ object IvfKNN {
   private val codebookMemo =
     new scala.collection.concurrent.TrieMap[(String, String, String, Int), Seq[Centroid]]
 
-  /** [[sampledCentroids]] memoized per (source, k). A real IVF index
-    * trains its codebook once when the index is built and every query
-    * reuses it; recomputing the (deterministic) codebook per query
-    * would bill index-build cost to query latency. `source` must
-    * identify the corpus (e.g. its path) — the codebook rule is
-    * data-dependent only through the k lowest-id vectors, which are
-    * immutable for the read-only test corpora. */
+  /** Corpus snapshot token: file count + per-file (length, mtime)
+    * folded into one hash, read from the plan's already-materialized
+    * file listing. Folded into the memo keys so a corpus REWRITTEN in
+    * place (same path, new files) retrains instead of silently
+    * serving the stale codebook — the round-4 hygiene item. Non-file
+    * frames (in-memory tests) token as "mem", preserving plain
+    * per-source memoization. */
+  private def snapshotToken(corpus: DataFrame): String = {
+    val files = corpus.inputFiles.sorted
+    if (files.isEmpty) "mem"
+    else {
+      val conf = corpus.sparkSession.sessionState.newHadoopConf()
+      var acc = 17L
+      files.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        acc = acc * 31 + f.hashCode
+        acc = acc * 31 + st.getLen
+        acc = acc * 31 + st.getModificationTime
+      }
+      s"${files.length}:${java.lang.Long.toHexString(acc)}"
+    }
+  }
+
+  /** [[sampledCentroids]] memoized per (source snapshot, k). A real
+    * IVF index trains its codebook once when the index is built and
+    * every query reuses it; recomputing the (deterministic) codebook
+    * per query would bill index-build cost to query latency. `source`
+    * names the corpus (e.g. its path); the snapshot token invalidates
+    * the entry when the files under that path change. */
   def cachedSampledCentroids(
       corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       source: String): Seq[Centroid] =
-    codebookMemo.getOrElseUpdate((source, idCol, vecCol, k),
+    codebookMemo.getOrElseUpdate(
+      (source + "@" + snapshotToken(corpus), idCol, vecCol, k),
       sampledCentroids(corpus, idCol, vecCol, k))
 
   /** Lloyd refinement: assign (map stage) → per-dimension mean (one
@@ -180,12 +204,14 @@ object IvfKNN {
     new scala.collection.concurrent.TrieMap[(String, String, String, Int, Int), Seq[DCentroid]]
 
   /** [[lloydOnceExact]] + (iterations-1) × [[lloydStepExact]] from
-    * the cached seed, memoized per (corpus, k, iterations) —
-    * training is index-build cost, paid once. */
+    * the cached seed, memoized per (corpus snapshot, k, iterations) —
+    * training is index-build cost, paid once; a rewritten corpus gets
+    * a fresh snapshot token and so retrains. */
   def cachedLloydTrain(
       corpus: DataFrame, idCol: String, vecCol: String, k: Int, dim: Int,
       source: String, iterations: Int): Seq[DCentroid] =
-    lloydMemo.getOrElseUpdate((source, idCol, vecCol, k, iterations), {
+    lloydMemo.getOrElseUpdate(
+      (source + "@" + snapshotToken(corpus), idCol, vecCol, k, iterations), {
       if (iterations == 1)
         lloydOnceExact(corpus, vecCol,
           cachedSampledCentroids(corpus, idCol, vecCol, k, source), dim)

@@ -28,7 +28,12 @@ import org.apache.spark.sql.functions._
 object RangeJoin {
 
   /** @param points   point side; `pointTs` timestamp column
-    * @param intervals interval side; `[startCol, endCol]` closed bounds
+    * @param intervals interval side; `[startCol, endCol]` bounds —
+    *                  closed by default, open (strict) per end via
+    *                  `closedStart`/`closedEnd`. The bucket span is
+    *                  the same either way (a strictly-interior point
+    *                  still lands in a spanned bucket); only the
+    *                  residual comparison changes.
     * @param bucketWidthSec time-bucket width in seconds
     * @return inner-joined rows: all interval columns + all point
     *         columns (names must not collide). */
@@ -38,15 +43,19 @@ object RangeJoin {
       pointTs: String,
       startCol: String,
       endCol: String,
-      bucketWidthSec: Long): DataFrame = {
+      bucketWidthSec: Long,
+      closedStart: Boolean = true,
+      closedEnd: Boolean = true): DataFrame = {
     val w = lit(bucketWidthSec * 1000000L)
     val pb = points.withColumn("__bucket", floor(unix_micros(col(pointTs)) / w))
     val ib = intervals.withColumn("__bucket",
       explode(sequence(
         floor(unix_micros(col(startCol)) / w),
         floor(unix_micros(col(endCol)) / w))))
+    val lo = if (closedStart) col(pointTs) >= col(startCol) else col(pointTs) > col(startCol)
+    val hi = if (closedEnd) col(pointTs) <= col(endCol) else col(pointTs) < col(endCol)
     ib.join(pb, Seq("__bucket"))
-      .filter(col(pointTs) >= col(startCol) && col(pointTs) <= col(endCol))
+      .filter(lo && hi)
       .drop("__bucket")
   }
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.types.DataTypeUtils
-import org.apache.spark.sql.types.{ArrayType, LongType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DateType, LongType, TimestampType}
 
 /** Catalyst optimizer rule: rewrite an INNER join whose only
   * cross-side predicates are a timestamp band
@@ -44,12 +44,20 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   val bucketSecondsKey = "spark.graft.rangeJoin.bucketSeconds"
 
   /** (point, bound, pointIsLhs) readings of a single comparison:
-    * `a >= b` is "a above lower bound b" AND "b below upper bound a". */
+    * `a >= b` is "a above lower bound b" AND "b below upper bound a".
+    * Strict bounds read the same way — the bucket span arithmetic is
+    * identical (`s < p` still implies `bucket(s) <= bucket(p)`) and
+    * the ORIGINAL comparison is kept as the join residual, so
+    * open/closed semantics are enforced there. `BETWEEN` needs no
+    * case of its own: the analyzer desugars it into the >=/<= pair
+    * before the optimizer runs (pinned in RangeJoinRuleSpec). */
   private case class Band(point: Expression, bound: Expression, isLower: Boolean)
 
   private def readings(e: Expression): Seq[Band] = e match {
     case GreaterThanOrEqual(a, b) => Seq(Band(a, b, isLower = true), Band(b, a, isLower = false))
     case LessThanOrEqual(a, b)    => Seq(Band(a, b, isLower = false), Band(b, a, isLower = true))
+    case GreaterThan(a, b)        => Seq(Band(a, b, isLower = true), Band(b, a, isLower = false))
+    case LessThan(a, b)           => Seq(Band(a, b, isLower = false), Band(b, a, isLower = true))
     case _ => Seq.empty
   }
 
@@ -61,8 +69,13 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     else None
   }
 
+  /** Timestamp bands bucket on epoch micros; date bands on epoch
+    * days (type coercion has already made both comparison sides the
+    * same type, casts included — a cast-wrapped band is just an
+    * expression of the coerced type here). */
   private def usableBand(b: Band, left: LogicalPlan, right: LogicalPlan): Boolean =
-    b.point.dataType == TimestampType && b.bound.dataType == TimestampType &&
+    (b.point.dataType == TimestampType || b.point.dataType == DateType) &&
+      b.bound.dataType == b.point.dataType &&
       b.point.deterministic && b.bound.deterministic
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
@@ -93,10 +106,15 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       hit match {
         case None => j
         case Some((point, lower, upper, pointOnLeft)) =>
-          val widthMicros = Literal(
-            conf.getConfString(bucketSecondsKey, "300").toLong * 1000000L)
+          val bucketSeconds = conf.getConfString(bucketSecondsKey, "300").toLong
+          // dates bucket on epoch days (width at least one day)
+          val isDate = point.dataType == DateType
+          val width = Literal(
+            if (isDate) math.max(1L, bucketSeconds / 86400L)
+            else bucketSeconds * 1000000L)
           def bucket(e: Expression): Expression =
-            IntegralDivide(UnixMicros(e), widthMicros)
+            if (isDate) IntegralDivide(Cast(UnixDate(e), LongType), width)
+            else IntegralDivide(UnixMicros(e), width)
 
           val (pointSide, boundSide) = if (pointOnLeft) (left, right) else (right, left)
           // point side: one extra projected column

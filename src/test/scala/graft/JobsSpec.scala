@@ -66,6 +66,53 @@ class JobsSpec extends SparkSpec {
     assert(store.handlerRows().size == 4)
   }
 
+  test("a failed ingestor hour is retried: cursor ignores the traceback row") {
+    // the reference's retry contract (src/ingestor/ingestor.py:65-83 +
+    // src/helper/postgres.py:99-103): a failed run records its
+    // traceback, and the cursor MAX(fetch_hour) filters `traceback IS
+    // NULL`, so the next run fetches the SAME hour again
+    val root = tmpDir("retry")
+    val landing = s"$root/landing"; Files.createDirectories(Paths.get(landing))
+    val store = new FileMonitorStore(spark, s"$root/monitor",
+      warehouseDir = Some(s"$root/tables"))
+    val schemas = EntitySchema.reference
+    store.migrate(schemas.map(_.targetTable))
+    val source = Pipelines.unionSourceStruct(schemas)
+    writeLanding(landing, "a.json", hour0.plusSeconds(60),
+      """{"event": "update", "on": "vehicle", "at": "2022-11-24T10:02:11Z", "organization_id": "o", "data": {"id": "v-1", "location": {"lat": 1.5, "lng": 2.5, "at": "2022-11-24T10:02:10Z"}}}""")
+
+    // run 1: staging path is a regular FILE → the parquet write throws
+    // after the hour was chosen; the failure row must still land
+    val blocked = s"$root/staging_blocked"
+    Files.write(Paths.get(blocked), "not a directory".getBytes(StandardCharsets.UTF_8))
+    val wf1 = UUID.randomUUID().toString
+    intercept[Throwable] {
+      IngestorJob.run(spark, store, landing, blocked, source, wf1)
+    }
+    val failedRows = store.ingestorRows()
+    assert(failedRows.size == 1)
+    assert(failedRows.head.getAs[String]("traceback") != null,
+      "failure must record its traceback")
+    assert(failedRows.head.getAs[java.sql.Timestamp]("fetchedHour").toInstant == hour0)
+
+    // run 2: healthy staging dir → the SAME hour is fetched again
+    val wf2 = UUID.randomUUID().toString
+    val r2 = IngestorJob.run(spark, store, landing, s"$root/staging", source, wf2)
+    assert(r2.hour == hour0, s"failed hour must be retried, got ${r2.hour}")
+    assert(r2.filesFetched == 1 && r2.stagedPath.nonEmpty)
+    val rows = store.ingestorRows()
+    assert(rows.size == 2)
+    assert(rows.count(_.getAs[String]("traceback") != null) == 1)
+    assert(rows.count(_.getAs[String]("traceback") == null) == 1)
+    assert(rows.forall(
+      _.getAs[java.sql.Timestamp]("fetchedHour").toInstant == hour0))
+
+    // and only after the success does the cursor advance
+    val r3 = IngestorJob.run(spark, store, landing, s"$root/staging", source,
+      UUID.randomUUID().toString)
+    assert(r3.hour == hour0.plusSeconds(3600))
+  }
+
   test("quality gate blocks one entity's promotion, records it, others proceed") {
     import graft.ext.profile.Expectations._
     import org.apache.spark.sql.functions.col

@@ -75,6 +75,93 @@ class RangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("strict bounds (< / >) rewrite too, with the open residual enforced") {
+    val strict = err.join(purch, $"p_ts" > $"w_start" && $"p_ts" < $"w_end")
+    val expected = strict.select($"err_id", $"p_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    withRule {
+      val plan = strict.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+        plan.take(3000))
+      assert(plan.contains("__rj_bucket"), plan.take(3000))
+      val got = strict.select($"err_id", $"p_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected)
+      // and the open bound is genuinely enforced: a point AT the
+      // boundary joins under <= but must not under <
+      val boundary = err.select($"err_id".as("b_id"), $"w_start".as("b_ts"))
+      val closedHit = err.join(boundary, $"b_ts" >= $"w_start" && $"b_ts" <= $"w_end")
+        .filter($"err_id" === $"b_id")
+      val openHit = err.join(boundary, $"b_ts" > $"w_start" && $"b_ts" < $"w_end")
+        .filter($"err_id" === $"b_id")
+      assert(closedHit.count() > 0 && openHit.count() == 0)
+    }
+  }
+
+  test("SQL BETWEEN desugars into the band the rule rewrites") {
+    withRule {
+      err.createOrReplaceTempView("rj_err")
+      purch.createOrReplaceTempView("rj_purch")
+      val df = spark.sql(
+        """SELECT err_id, p_id FROM rj_err JOIN rj_purch
+          |ON p_ts BETWEEN w_start AND w_end""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("__rj_bucket"), plan.take(3000))
+      assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+        plan.take(3000))
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = naive.select($"err_id", $"p_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected)
+    }
+  }
+
+  test("DateType bands rewrite on epoch-day buckets, same rows") {
+    val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+      .select($"l_orderkey", $"l_shipdate".cast("date").as("ship_d"))
+      .filter($"l_orderkey" % 100 === 0)
+    val ord = Tables(spark, "/root/testdata/sf0.001", "orders")
+      .filter($"o_orderkey" % 500 === 0)
+      .select($"o_orderkey",
+        $"o_orderdate".cast("date").as("w_lo"),
+        date_add($"o_orderdate".cast("date"), 30).as("w_hi"))
+    val naiveD = ord.join(li, $"ship_d" >= $"w_lo" && $"ship_d" <= $"w_hi")
+    val expected = naiveD.select($"o_orderkey", $"l_orderkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty)
+    withRule {
+      val plan = naiveD.queryExecution.executedPlan.toString
+      assert(plan.contains("__rj_bucket"), plan.take(3000))
+      assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+        plan.take(3000))
+      val got = naiveD.select($"o_orderkey", $"l_orderkey").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected)
+    }
+  }
+
+  test("cast-wrapped bands match once coercion lands both sides on one type") {
+    // string literals coerced to timestamp: the band the rule sees is
+    // Cast(...)-wrapped but TimestampType on both sides
+    withRule {
+      val df = err.join(purch,
+        $"p_ts" >= $"w_start".cast("timestamp") && $"p_ts" <= $"w_end".cast("timestamp"))
+      assert(df.queryExecution.optimizedPlan.toString.contains("__rj_bucket"))
+    }
+  }
+
+  test("rule declines a mixed-type band (date bound against timestamp point is coerced, long is not)") {
+    withRule {
+      // LongType pseudo-times: no unix_micros/unix_date reading — the
+      // rule must leave the join alone rather than mis-bucket it
+      val p2 = purch.select($"p_id", unix_micros($"p_ts").as("p_us"))
+      val e2 = err.select($"err_id",
+        unix_micros($"w_start").as("s_us"), unix_micros($"w_end").as("e_us"))
+      val df = e2.join(p2, $"p_us" >= $"s_us" && $"p_us" <= $"e_us")
+      assert(!df.queryExecution.optimizedPlan.toString.contains("__rj_bucket"))
+    }
+  }
+
   test("GraftExtensions injects the rule at session build") {
     val prevDefault = SparkSession.getDefaultSession
     val prevActive = SparkSession.getActiveSession
