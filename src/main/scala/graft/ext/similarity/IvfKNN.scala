@@ -160,8 +160,14 @@ object IvfKNN {
     * query's DuckDB oracle recomputes it from scratch. */
   def lloydOnceExact(
       corpus: DataFrame, vecCol: String, seed: Seq[Centroid], dim: Int): Seq[DCentroid] = {
+    // assignment in its OWN select below the explode: a single
+    // select(quantizer, posexplode(v)) analyzes to Project(quantizer,…)
+    // ABOVE the Generate, re-evaluating the quantizer once per element
+    // (dim×, not 1×, per vector) — the shape that made exact training
+    // ~64× slower than the arithmetic itself
     val sums = corpus
-      .select(nearestCentroid(col(vecCol), seed).as("list_id"), posexplode(col(vecCol)))
+      .select(col(vecCol).as("__v"), nearestCentroid(col(vecCol), seed).as("list_id"))
+      .select(col("list_id"), posexplode(col("__v")))
       .groupBy(col("list_id"), col("pos"))
       .agg((sum(col("col").cast("double").cast(DecimalType(18, 6))).cast("double") /
         count(lit(1))).as("m"))
@@ -185,8 +191,9 @@ object IvfKNN {
   def lloydStepExact(
       corpus: DataFrame, vecCol: String, cents: Seq[DCentroid], dim: Int): Seq[DCentroid] = {
     val sums = corpus
-      .select(nearestCentroidStable(col(vecCol), cents).as("list_id"), posexplode(col(vecCol)))
-      .groupBy(col("list_id"), col("pos"))
+      .select(col(vecCol).as("__v"), nearestCentroidStable(col(vecCol), cents).as("list_id"))
+      .select(col("list_id"), posexplode(col("__v"))) // see lloydOnceExact: keep
+      .groupBy(col("list_id"), col("pos"))            // the quantizer below Generate
       .agg((sum(col("col").cast("double").cast(DecimalType(18, 6))).cast("double") /
         count(lit(1))).as("m"))
       .collect()
@@ -245,13 +252,29 @@ object IvfKNN {
     * is round(dot/|c|, 9) — cosine with the per-row |v| factor
     * dropped (constant within a row, so the argmax is unchanged) —
     * which keeps the whole comparison inside the order-independent
-    * stable-dot arithmetic. Implemented as first-position-of-max over
-    * the score array (centroids listed in id order), so ties break to
-    * the lower centroid id — field-name-free on purpose: a struct
-    * argmax loses its field aliases when the projection is rewritten
-    * around a Generate (CleanupAliases), which broke this expression
-    * next to a posexplode. */
+    * stable-dot arithmetic; ties break to the lower centroid id
+    * (centroids scored in id order, first max wins).
+    *
+    * Evaluates through the native
+    * [[graft.functions.NearestCentroidStable]] node — ONE expression
+    * instead of the K×dim round/decimal-fold tree, which dominated
+    * exact-Lloyd training cost (round-4 bench: 113.8 s first rep).
+    * [[nearestCentroidStableColumns]] keeps the original Column
+    * formulation; IvfSpec pins the two paths equal. */
   def nearestCentroidStable(vec: Column, cents: Seq[DCentroid]): Column = {
+    val sorted = cents.sortBy(_.id)
+    graft.functions.NearestCentroidStable(
+      vec, sorted.map(_.vec.toSeq), sorted.map(_.norm))
+  }
+
+  /** The original Column-API formulation of [[nearestCentroidStable]]
+    * (K per-centroid decimal folds + first-position-of-max — field-
+    * name-free on purpose: a struct argmax loses its field aliases
+    * when the projection is rewritten around a Generate
+    * (CleanupAliases), which broke this expression next to a
+    * posexplode). Kept as the executable spec of the arithmetic the
+    * native node replicates. */
+  def nearestCentroidStableColumns(vec: Column, cents: Seq[DCentroid]): Column = {
     val scores = array(
       cents.sortBy(_.id).map(c => round(dotStable(vec, c) / lit(c.norm), 9)): _*)
     (array_position(scores, array_max(scores)) - 1).cast("long")

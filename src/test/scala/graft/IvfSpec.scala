@@ -131,6 +131,37 @@ class IvfSpec extends SparkSpec {
     assert(retrained.map(_.vec.toSeq) == expect.map(_.vec.toSeq))
   }
 
+  test("native stable quantizer matches the Column decimal formulation exactly") {
+    val seed = IvfKNN.sampledCentroids(emb, "vec_id", "embedding", 8)
+    val trained = IvfKNN.lloydOnceExact(emb, "embedding", seed, 64)
+    // the whole corpus, both paths, row for row
+    val both = emb.select(
+        $"vec_id",
+        IvfKNN.nearestCentroidStable($"embedding", trained).as("native"),
+        IvfKNN.nearestCentroidStableColumns($"embedding", trained).as("columns"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2), s"vec ${r.getLong(0)}"))
+    // adversarial: negative components, duplicate centroids (score tie →
+    // both paths must break to the LOWER centroid id), double input arrays
+    val dup = trained.take(1).map(c => c.copy(id = trained.size)) // tie with id 0
+    val cents2 = (trained ++ dup).sortBy(_.id)
+    val rnd = new scala.util.Random(11)
+    val hard = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextGaussian() * (if (i % 3 == 0) -1 else 1))))
+      .toDF("vec_id", "embedding")
+    val both2 = hard.select(
+        IvfKNN.nearestCentroidStable($"embedding", cents2).as("native"),
+        IvfKNN.nearestCentroidStableColumns($"embedding", cents2).as("columns"))
+      .collect()
+    both2.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // the planted duplicate of centroid 0 always loses the tie to the
+    // lower id: no row may land on the duplicate's (last) slot
+    assert(both2.forall(_.getLong(0) != (cents2.size - 1).toLong))
+    assert(both2.exists(_.getLong(0) == 0L),
+      "tie case never exercised: no vector chose centroid 0")
+  }
+
   test("stable-quantizer assignment is a pure map: no shuffle/window/crossJoin") {
     val seed = IvfKNN.sampledCentroids(emb, "vec_id", "embedding", 8)
     val trained = IvfKNN.lloydOnceExact(emb, "embedding", seed, 64)
