@@ -86,6 +86,14 @@ object ScaleQueries {
   private val layoutMemo =
     new scala.collection.concurrent.TrieMap[String, (String, String)]
 
+  /** Build (or reuse) the at-rest bucketed layout for `dir` — the
+    * bench calls this explicitly so the one-time layout write is
+    * reported as a `build` line instead of hiding in a first rep. */
+  private[graft] def ensureBucketedLayout(s: SparkSession, dir: String): Unit = {
+    bucketedTables(s, dir)
+    ()
+  }
+
   private def bucketedTables(s: SparkSession, dir: String): (String, String) = {
     // memo hits must be re-validated against THIS session's catalog:
     // table registrations die with their SparkSession, so a new

@@ -170,7 +170,15 @@ object StreamingEtl {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val good = batch.filter(TextFunctions.qualityScore(col(textCol)) >= minQuality)
+        // the batch feeds TWO branches of the final plan (the anti-join
+        // probe and `contaminated`), and a foreachBatch batch re-executes
+        // its whole upstream — including the STATEFUL dedupe operator —
+        // once per branch (`persist()` does not reliably capture the
+        // localized batch plan; measured: state commits doubled).
+        // localCheckpoint materializes the batch ONCE and hands both
+        // branches the stored blocks: single state commit, half the work.
+        val b = batch.localCheckpoint()
+        val good = b.filter(TextFunctions.qualityScore(col(textCol)) >= minQuality)
         val contaminated = good
           .select(col(idCol), explode(TextFunctions.shingles(col(textCol), n)).as("g"))
           .join(broadcast(evalGrams), Seq("g"))

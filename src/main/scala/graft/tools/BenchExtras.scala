@@ -1,0 +1,188 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bench-side measurement of the costs the query loop deliberately
+  * amortizes away (round-4 verdict tasks 2 and 5):
+  *
+  *  - [[AtRestBuilds]]: every at-rest / index structure the engine
+  *    memoizes (IVF codebooks, bucketed layout, z-order layout) is
+  *    built here EXPLICITLY and timed, so BENCH_DETAIL carries the
+  *    one-time build cost as its own line instead of hiding it in a
+  *    first rep. Running the builds before the query loop also means
+  *    every query rep measures steady-state latency — build cost and
+  *    query latency stop contaminating each other.
+  *  - [[StreamBench]]: two-micro-batch throughput + state-store size
+  *    for the streaming curation paths, which were correctness-tested
+  *    but never measured.
+  *
+  * Both are bench HARNESS code: driver-side collects here are bench
+  * inputs (bounded by the bench SF), not engine operators.
+  */
+object AtRestBuilds {
+
+  /** (name, build action). Each action is idempotent per session —
+    * builds land in the same memos the registered queries consume, so
+    * the query loop that follows measures steady state. */
+  def all: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "ivf_exact_codebook_iter1" -> { (s, dir) =>
+      val e = graft.Tables(s, dir, "embeddings")
+      graft.ext.similarity.IvfKNN.cachedLloydTrain(
+        e, "vec_id", "embedding", k = 8, dim = 64, source = dir, iterations = 1)
+      ()
+    },
+    // incremental: iteration 1 is memoized by the line above, so this
+    // times exactly one further exact-Lloyd step
+    "ivf_exact_codebook_iter2" -> { (s, dir) =>
+      val e = graft.Tables(s, dir, "embeddings")
+      graft.ext.similarity.IvfKNN.cachedLloydTrain(
+        e, "vec_id", "embedding", k = 8, dim = 64, source = dir, iterations = 2)
+      ()
+    },
+    // the float production-path trainer (recall-oriented, not
+    // oracle-replayable) at the same k and two refinement passes
+    "ivf_float_codebook" -> { (s, dir) =>
+      val e = graft.Tables(s, dir, "embeddings")
+      graft.ext.similarity.IvfKNN.trainCentroids(
+        e, "vec_id", "embedding", k = 8, iterations = 2)
+      ()
+    },
+    "bucketed_layout" -> { (s, dir) =>
+      graft.ScaleQueries.ensureBucketedLayout(s, dir)
+    },
+    // at-rest z-order clustering of events on (user bucket, hour
+    // bucket) — the write ZOrderSpec audits for both-dims skipping
+    "zorder_layout" -> { (s, dir) =>
+      val ev = graft.Tables(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("ts"),
+        col("user_id").bitwiseAND(lit(1023L)).as("ub"),
+        (expr("unix_micros(ts) div 3600000000") - lit(473352L))
+          .bitwiseAND(lit(1023L)).as("hb"))
+      val z = ev.withColumn("zkey",
+        graft.operators.ZOrder.zValue(col("ub"), col("hb"), 10))
+      val out = java.nio.file.Files.createTempDirectory("graft_zorder_bench").toString
+      graft.operators.ZOrder.cluster(z, "zkey", 8)
+        .write.mode("overwrite").parquet(out + "/events_z")
+    })
+
+  /** Run and time every build; failures are recorded, never thrown —
+    * a broken build must surface in the detail file, not kill the
+    * bench. Returns (name, seconds or error). */
+  def measure(spark: SparkSession, sfDir: String): Seq[(String, Either[String, Double])] =
+    all.map { case (name, build) =>
+      val t0 = System.nanoTime()
+      try {
+        build(spark, sfDir)
+        name -> Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          name -> Left(e.toString.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160))
+      }
+    }
+
+  /** JSON object fragment: {"name":sec,…,"errors":{…}}. */
+  def json(rs: Seq[(String, Either[String, Double])]): String = {
+    def ms(t: Double) = (math.rint(t * 1000) / 1000).toString
+    val ok = rs.collect { case (k, Right(t)) => "\"" + k + "\":" + ms(t) }
+    val err = rs.collect { case (k, Left(e)) => "\"" + k + "\":\"" + e + "\"" }
+    s"""{${ok.mkString(",")},"errors":{${err.mkString(",")}}}"""
+  }
+}
+
+/** Two-batch streaming micro-bench over the curation streaming paths.
+  * Per path: rows and wall seconds per micro-batch (throughput) and
+  * the state-store row count after each batch (growth observability —
+  * cross-batch dedup state must grow with DISTINCT content only).
+  * Batch 2 re-sends a slice of batch 1, so the dedup paths must
+  * process-and-drop the duplicates without growing state for them. */
+object StreamBench {
+
+  case class PathResult(
+      name: String,
+      rows: Seq[Long],
+      secs: Seq[Double],
+      stateRows: Seq[Long],
+      error: Option[String])
+
+  def measure(spark: SparkSession, sfDir: String): Seq[PathResult] = {
+    import spark.implicits._
+    import graft.streaming.StreamingEtl
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // bench input: the documents table, replayed in two micro-batches;
+    // batch 2 re-sends the first fifth of batch 1 as exact duplicates
+    val docs = graft.Tables(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val half = docs.length / 2
+    val b1 = docs.take(half)
+    val b2 = docs.drop(half) ++ b1.take(half / 5)
+    val evalDocs = docs.take(math.max(10, docs.length / 100))
+      .toDF("doc_id", "text")
+
+    def run(name: String)(
+        mk: (org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)],
+             String) => org.apache.spark.sql.streaming.StreamingQuery): PathResult =
+      try {
+        val input =
+          org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft_sbench_$name").toString
+        val q = mk(input, tmp)
+        val rows = Seq.newBuilder[Long]
+        val secs = Seq.newBuilder[Double]
+        val state = Seq.newBuilder[Long]
+        Seq(b1, b2).foreach { batch =>
+          input.addData(batch)
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          secs += (System.nanoTime() - t0) / 1e9
+          rows += batch.length.toLong
+          state += Option(q.lastProgress).toSeq
+            .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+        }
+        q.stop()
+        PathResult(name, rows.result(), secs.result(), state.result(), None)
+      } catch {
+        case e: Throwable => PathResult(name, Nil, Nil, Nil,
+          Some(e.toString.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)))
+      }
+
+    Seq(
+      run("dedup_doc") { (input, tmp) =>
+        StreamingEtl.dedupDocStream(input.toDS().toDF("doc_id", "text"), "text")
+          .writeStream.format("memory").queryName(s"sb_dedup_${System.nanoTime()}")
+          .option("checkpointLocation", tmp + "/ck")
+          .outputMode("update").start()
+      },
+      run("decontaminate") { (input, tmp) =>
+        StreamingEtl.decontaminateStream(
+            input.toDS().toDF("doc_id", "text"), evalDocs, "doc_id", "text", n = 3)
+          .writeStream.format("memory").queryName(s"sb_decon_${System.nanoTime()}")
+          .option("checkpointLocation", tmp + "/ck")
+          .outputMode("update").start()
+      },
+      run("curation") { (input, tmp) =>
+        StreamingEtl.curationStream(
+          input.toDS().toDF("doc_id", "text"), evalDocs, "doc_id", "text",
+          outDir = tmp + "/out", checkpointDir = tmp + "/ck")
+      })
+  }
+
+  /** JSON object fragment keyed by path name. */
+  def json(rs: Seq[PathResult]): String = {
+    def ms(t: Double) = (math.rint(t * 1000) / 1000).toString
+    rs.map { r =>
+      val base = r.error match {
+        case Some(e) => s""""error":"$e""""
+        case None =>
+          val rps = r.rows.zip(r.secs).map { case (n, s) =>
+            if (s > 0) math.rint(n / s).toLong else 0L }
+          s""""rows":[${r.rows.mkString(",")}],""" +
+            s""""sec":[${r.secs.map(ms).mkString(",")}],""" +
+            s""""rows_per_sec":[${rps.mkString(",")}],""" +
+            s""""state_rows":[${r.stateRows.mkString(",")}]"""
+      }
+      "\"" + r.name + "\":{" + base + "}"
+    }.mkString("{", ",", "}")
+  }
+}
