@@ -85,7 +85,7 @@ object SynthGen {
         .when(langIdx < 14, "es").when(langIdx < 17, "fr")
         .otherwise("de").as("lang"),
       concat(lit("src"), h("docsrc", 20, col("doc_id"))).as("source"),
-      length(col("text")).as("n_chars"))
+      length(col("text")).cast("long").as("n_chars"))
   }
 
   def embeddings(spark: SparkSession, sf: Double): DataFrame = {
@@ -109,9 +109,11 @@ object SynthGen {
     spark.range(n).toDF("event_id")
       .select(
         col("event_id"),
-        timestamp_micros(
-          lit(java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli * 1000) +
-            h("evts", monthMicros, col("event_id"))).as("ts"),
+        // driver schema parity: the corpus stores ts as TIMESTAMP(NANOS),
+        // which Tables() reads as raw long nanoseconds — so emit the
+        // same int64-nanos shape here, not a Spark TimestampType
+        ((lit(java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli * 1000) +
+          h("evts", monthMicros, col("event_id"))) * lit(1000L)).as("ts"),
         h("evuser", users, col("event_id")).as("user_id"),
         element_at(
           array(lit("click"), lit("view"), lit("purchase"), lit("error"), lit("signup")),
@@ -184,9 +186,10 @@ object SynthGen {
       element_at(array(lit("O"), lit("P"), lit("F")),
         (h("ostat", 3, col("id")) + 1).cast("int")).as("o_orderstatus"),
       round(u("oprice", col("id")) * 400000.0, 2).as("o_totalprice"),
+      // driver parity: corpus timestamps are parquet NTZ
       date_add(lit("1995-01-01").cast("date"),
         h("odate", windowDays, col("id")).cast("int"))
-        .cast("timestamp").as("o_orderdate"),
+        .cast("timestamp_ntz").as("o_orderdate"),
       element_at(
         array(lit("1-URGENT"), lit("2-HIGH"), lit("3-MEDIUM"),
           lit("4-NOT SPECIFIED"), lit("5-LOW")),
@@ -225,7 +228,7 @@ object SynthGen {
         date_add(lit("1995-01-01").cast("date"),
           (col("o_days") +
             h("lship", 120, col("o"), col("l_linenumber")) + 1).cast("int"))
-          .cast("timestamp").as("l_shipdate"))
+          .cast("timestamp_ntz").as("l_shipdate"))
   }
 
   /** Generate every table at `sf` into `outDir/<name>.parquet`,
