@@ -22,19 +22,27 @@ import org.apache.spark.sql.functions._
   */
 object CurationQueries {
 
-  /** SemDeDup verdicts: codebook = the 16 lowest-id vectors (the same
+  /** SemDeDup verdicts: codebook = the K lowest-id vectors (the same
     * deterministic training-free rule the registered IVF query uses,
-    * so the DuckDB oracle derives the identical codebook in SQL). */
+    * so the DuckDB oracle derives the identical codebook in SQL), with
+    * K scaled to the corpus (max(16, n/250)) so the within-cluster
+    * pair stage stays linear as the corpus grows — the oracle computes
+    * the SAME K from the same rule via a scalar subquery, so parity
+    * holds at every SF (at the driver's sf0.01, n=200 → K=16,
+    * bit-identical to the fixed-16 form). */
   private def qSemanticDedup(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
-    val cents = IvfKNN.cachedSampledCentroids(e, "vec_id", "embedding", 16, dir)
+    val k = SemanticDedup.scaledClusterCount(e.count())
+    val cents = IvfKNN.cachedSampledCentroids(e, "vec_id", "embedding", k, dir)
     SemanticDedup.verdicts(e, "vec_id", "embedding", cents, threshold = 0.3)
       .orderBy(col("vec_id"))
   }
 
   private val qSemanticDedupSql =
     """WITH cent AS (
-      |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+      |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      |  WHERE vec_id < (SELECT greatest(16, CAST(count(*) // 250 AS BIGINT))
+      |                  FROM embeddings)),
       |norms AS (
       |  SELECT vec_id, SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nn
       |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),

@@ -35,6 +35,18 @@ import org.apache.spark.sql.functions._
   */
 object SemanticDedup {
 
+  /** Cluster count ∝ corpus size: K = max(minK, n / targetClusterSize).
+    * Within-cluster pair work is O(n · avgClusterSize), so holding the
+    * average cluster size FIXED as n grows keeps the pair stage
+    * linear — the round-5 scale bench caught the fixed-K form going
+    * quadratic (13× time for 3.16× data once clusters outgrew the
+    * floor). The map-only assignment stage is n·K dot products; at
+    * K = n/250 that term is the asymptotic cost, but it's shuffle-free
+    * codegen with a 1/250 constant (a web-scale deployment would swap
+    * in a hierarchical / HNSW assigner, same contract). */
+  def scaledClusterCount(n: Long, targetClusterSize: Long = 250, minK: Int = 16): Int =
+    math.max(minK.toLong, n / targetClusterSize).toInt
+
   /** Per-vector verdict frame: (vid, list_id, kept). `kept = false`
     * iff some lower-id vector in the same cluster is within the
     * cosine threshold. Output is one row per input vector. */

@@ -287,11 +287,29 @@ object IvfKNN {
     round(CosineKNN.dot(vec, cv) / (vecNorm * lit(c.norm)), 9)
   }
 
-  /** Nearest centroid id as a pure projection: argmax over the K
-    * (cosine, -id) structs — struct ordering gives max cosine with
-    * ties to the LOWER id. Repeated `vecNorm` subexpressions collapse
-    * in whole-stage codegen's subexpression elimination. */
+  /** Nearest centroid id: max rounded cosine, ties to the LOWER id.
+    *
+    * Evaluates through the native
+    * [[graft.functions.NearestCentroidCosine]] node — ONE expression
+    * instead of K struct/array-literal entries. At the fixed K=8..16
+    * of the ANN queries the literal form was fine, but the
+    * corpus-scaled K the SemDeDup query uses (K = n/250) blew the
+    * projection past the codegen size limit and made assignment cost
+    * non-monotonic in corpus size (round-5 scale bench).
+    * [[nearestCentroidColumns]] keeps the original Column formulation;
+    * IvfSpec pins the two paths equal. Ids are assumed dense 0..K-1
+    * (every codebook builder here constructs them that way). */
   def nearestCentroid(vec: Column, centroids: Seq[Centroid]): Column = {
+    val sorted = centroids.sortBy(_.id)
+    graft.functions.NearestCentroidCosine(
+      vec, sorted.map(_.vec.toSeq), sorted.map(_.norm))
+  }
+
+  /** The original Column-API formulation of [[nearestCentroid]] —
+    * argmax over K (cosine, -id) structs, struct ordering giving max
+    * cosine with ties to the LOWER id. Kept as the executable spec of
+    * the arithmetic the native node replicates. */
+  def nearestCentroidColumns(vec: Column, centroids: Seq[Centroid]): Column = {
     val n = CosineKNN.norm(vec)
     val entries = centroids.map(c =>
       struct(cosTo(vec, n, c).as("cos"), lit(-c.id).as("negid")))

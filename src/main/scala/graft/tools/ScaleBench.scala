@@ -6,20 +6,22 @@ import org.apache.spark.sql.SparkSession
   * scaling CURVE of the heavy operators instead of arguing it.
   *
   * Method: [[SynthGen]] produces the same table shapes as the driver
-  * corpus at any SF, so we grow two corpora from the SAME generator
-  * (default sf0.1 and sf1.0 — a 10× step) and time each heavy query at
-  * both. Because generator, distributions, session and host are all
-  * held fixed, the per-query ratio big/small isolates the engine's
-  * data-scaling behavior: a structurally linear operator should land
-  * at ≈ the corpus ratio (with a constant-overhead discount at these
-  * absolute sizes — fixed per-query costs like planning, shuffle
-  * setup, and 32-task scheduling floors don't grow with the data).
-  * A super-linear outlier (ratio ≫ corpus ratio) is a scale bug in
-  * some stage and must be diagnosed by name.
+  * corpus at any SF (schemas pinned to the real corpus by
+  * SynthGenSpec), so we grow corpora from the SAME generator at a
+  * ladder of SFs (default 0.1 → 1.0 → 3.16, i.e. 10× and 31.6×) and
+  * time each heavy query at every rung. Because generator,
+  * distributions, session and host are all held fixed, the per-query
+  * time ratio isolates the engine's data-scaling behavior: a
+  * structurally linear operator should track ≤ the corpus ratio (with
+  * a constant-overhead discount at small absolute sizes — fixed
+  * per-query costs like planning, shuffle setup, and 32-task
+  * scheduling floors don't grow with the data). A super-linear
+  * outlier (time ratio ≫ corpus ratio) is a scale bug in some stage
+  * and must be diagnosed by name.
   *
   * Methodology matches [[graft.Bench]]: min-of-N reps (default 2) per
   * query per SF, at-rest builds run explicitly BEFORE the query loop
-  * (their cost reported per-SF in a "build" section — index builds
+  * (their cost reported per-SF in a "builds" section — index builds
   * scale with the corpus too and must not hide in a first rep),
   * count() to force, caches kept within an SF, cleared between SFs.
   *
@@ -27,19 +29,19 @@ import org.apache.spark.sql.SparkSession
   * codegen compilation and C2 warmup for EVERY plan shape — enough at
   * these sizes to make a 10×-smaller corpus time SLOWER than the big
   * one. So the whole heavy list AND all at-rest builds first run
-  * UNTIMED against a third, tiny corpus (sfWarm = sfSmall/10): same
-  * plan shapes, negligible data cost. The builds are memoized per
-  * corpus dir, so the warm-up does not consume the small/big builds —
+  * UNTIMED against an extra, tiny corpus (sfs.min/10): same plan
+  * shapes, negligible data cost. The builds are memoized per corpus
+  * dir, so the warm-up does not consume the measured rungs' builds —
   * those still run (and are timed) first-time-per-dir.
   *
-  * Usage: `runMain graft.tools.ScaleBench [workDir] [sfSmall] [sfBig]`
+  * Usage: `runMain graft.tools.ScaleBench [workDir] [sf ...]`
   * Writes `SCALE_BENCH.json` to the working directory. Corpora are
   * reused if already generated (delete workDir to regenerate).
   */
 object ScaleBench {
 
   /** The queries whose 100 TB posture SURVEY §8.5 argues structurally;
-    * this bench converts each argument into a measured point. */
+    * this bench converts each argument into a measured curve. */
   val heavy: Seq[String] = Seq(
     "docs_minhash_pairs",    // banded LSH: O(n·bands) candidate join
     "docs_simhash_pairs",    // pigeonhole bucket join
@@ -60,10 +62,15 @@ object ScaleBench {
 
   def main(args: Array[String]): Unit = {
     val workDir = if (args.length > 0) args(0) else "target/synth"
-    val sfSmall = if (args.length > 1) args(1).toDouble else 0.1
-    val sfBig = if (args.length > 2) args(2).toDouble else 1.0
+    val sfs: Seq[Double] =
+      if (args.length > 1) args.drop(1).map(_.toDouble).toSeq.sorted
+      else Seq(0.1, 1.0, 3.16)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt.max(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_ONLY=a,b restricts the heavy list (isolated reruns,
+    // same contract as graft.Bench)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .appName("graft-scalebench")
       .master(s"local[$cpus]")
@@ -86,12 +93,14 @@ object ScaleBench {
       }
     }
 
+    val selected = heavy.filter(q => only.forall(_.contains(q)))
+
     // measure one SF: explicit at-rest builds first (timed), then the
     // heavy loop at min-of-N — identical shape to graft.Bench
     def measure(dir: String): (Seq[(String, Either[String, Double])],
                                Seq[(String, Either[String, Double], Long)]) = {
-      val builds = AtRestBuilds.measure(spark, dir)
-      val qs = heavy.map { name =>
+      val builds = if (only.isEmpty) AtRestBuilds.measure(spark, dir) else Seq.empty
+      val qs = selected.map { name =>
         val fn = graft.SparkEntry.queries(name)
         val times = Seq.newBuilder[Double]
         var rows = 0L
@@ -110,36 +119,37 @@ object ScaleBench {
       (builds, qs)
     }
 
-    val (dirW, _) = ensureCorpus(sfSmall / 10)
-    val (dirS, genS) = ensureCorpus(sfSmall)
-    val (dirB, genB) = ensureCorpus(sfBig)
-    val corpusRatio = sfBig / sfSmall
+    val (dirW, _) = ensureCorpus(sfs.min / 10)
+    val rungs = sfs.map(sf => sf -> ensureCorpus(sf))
 
     // untimed JIT warm-up: every build and every heavy plan shape once,
     // against the tiny corpus (see scaladoc)
-    AtRestBuilds.measure(spark, dirW)
-    heavy.foreach { q =>
+    if (only.isEmpty) AtRestBuilds.measure(spark, dirW)
+    selected.foreach { q =>
       try graft.SparkEntry.queries(q)(spark, dirW).count()
       catch { case _: Throwable => () }
     }
-    spark.catalog.clearCache()
 
-    val (buildS, qS) = measure(dirS)
-    spark.catalog.clearCache()
-    val (buildB, qB) = measure(dirB)
+    val measured = rungs.map { case (sf, (dir, gen)) =>
+      spark.catalog.clearCache()
+      val (builds, qs) = measure(dir)
+      (sf, gen, builds, qs)
+    }
 
-    val qJson = heavy.map { name =>
-      val (_, rs, rowsS) = qS.find(_._1 == name).get
-      val (_, rb, rowsB) = qB.find(_._1 == name).get
-      val body = (rs, rb) match {
-        case (Right(ts), Right(tb)) =>
-          val ratio = if (ts > 0) tb / ts else -1.0
-          s""""small_sec":${ms(ts)},"big_sec":${ms(tb)},"ratio":${ms(ratio)},""" +
-            s""""rows_small":$rowsS,"rows_big":$rowsB"""
-        case _ =>
-          val e = rs.left.toOption.orElse(rb.left.toOption).getOrElse("?")
-          s""""error":"$e""""
+    val qJson = selected.map { name =>
+      val points = measured.map { case (_, _, _, qs) =>
+        qs.find(_._1 == name).get
       }
+      val errs = points.collect { case (_, Left(e), _) => e }
+      val body =
+        if (errs.nonEmpty) s""""error":"${errs.head}""""
+        else {
+          val secs = points.map(_._2.toOption.get)
+          val rows = points.map(_._3)
+          val ratio = if (secs.head > 0) secs.last / secs.head else -1.0
+          s""""sec":[${secs.map(ms).mkString(",")}],""" +
+            s""""rows":[${rows.mkString(",")}],"ratio":${ms(ratio)}"""
+        }
       "\"" + name + "\":{" + body + "}"
     }.mkString("{", ",", "}")
 
@@ -148,13 +158,15 @@ object ScaleBench {
         case (k, Right(t)) => "\"" + k + "\":" + ms(t)
         case (k, Left(e)) => "\"" + k + "\":\"" + e.take(120) + "\""
       }.mkString("{", ",", "}")
+    val buildsJson = measured.map { case (sf, _, builds, _) =>
+      "\"sf" + sf + "\":" + buildJson(builds)
+    }.mkString("{", ",", "}")
 
     val detail =
-      s"""{"metric":"scale_curve","sf_small":$sfSmall,"sf_big":$sfBig,""" +
-        s""""corpus_ratio":$corpusRatio,"reps":$reps,""" +
-        s""""gen_sec":{"small":${ms(genS)},"big":${ms(genB)}},""" +
-        s""""build_small":${buildJson(buildS)},"build_big":${buildJson(buildB)},""" +
-        s""""queries":$qJson}"""
+      s"""{"metric":"scale_curve","sfs":[${sfs.mkString(",")}],""" +
+        s""""corpus_ratio":${ms(sfs.max / sfs.min)},"reps":$reps,""" +
+        s""""gen_sec":[${measured.map(m => ms(m._2)).mkString(",")}],""" +
+        s""""builds":$buildsJson,"queries":$qJson}"""
     val w = new java.io.PrintWriter("SCALE_BENCH.json")
     try w.println(detail) finally w.close()
     println(detail)

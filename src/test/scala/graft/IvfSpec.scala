@@ -162,6 +162,35 @@ class IvfSpec extends SparkSpec {
       "tie case never exercised: no vector chose centroid 0")
   }
 
+  test("native cosine quantizer matches the Column struct-argmax formulation exactly") {
+    val cents = IvfKNN.sampledCentroids(emb, "vec_id", "embedding", 8)
+    // the whole corpus, both paths, row for row
+    val both = emb.select(
+        $"vec_id",
+        IvfKNN.nearestCentroid($"embedding", cents).as("native"),
+        IvfKNN.nearestCentroidColumns($"embedding", cents).as("columns"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2), s"vec ${r.getLong(0)}"))
+    // adversarial: duplicate centroid (rounded-cosine tie must break to
+    // the LOWER id on both paths), negative components, float inputs
+    val dup = cents.take(1).map(c => c.copy(id = cents.size))
+    val cents2 = (cents ++ dup).sortBy(_.id)
+    val rnd = new scala.util.Random(7)
+    val hard = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextGaussian().toFloat * (if (i % 3 == 0) -1 else 1))))
+      .toDF("vec_id", "embedding")
+    val both2 = hard.select(
+        IvfKNN.nearestCentroid($"embedding", cents2).as("native"),
+        IvfKNN.nearestCentroidColumns($"embedding", cents2).as("columns"))
+      .collect()
+    both2.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // the planted duplicate of centroid 0 always loses the tie
+    assert(both2.forall(_.getLong(0) != (cents2.size - 1).toLong))
+    assert(both2.exists(_.getLong(0) == 0L),
+      "tie case never exercised: no vector chose centroid 0")
+  }
+
   test("stable-quantizer assignment is a pure map: no shuffle/window/crossJoin") {
     val seed = IvfKNN.sampledCentroids(emb, "vec_id", "embedding", 8)
     val trained = IvfKNN.lloydOnceExact(emb, "embedding", seed, 64)
