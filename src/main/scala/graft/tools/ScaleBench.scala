@@ -167,7 +167,10 @@ object ScaleBench {
         s""""corpus_ratio":${ms(sfs.max / sfs.min)},"reps":$reps,""" +
         s""""gen_sec":[${measured.map(m => ms(m._2)).mkString(",")}],""" +
         s""""builds":$buildsJson,"queries":$qJson}"""
-    val w = new java.io.PrintWriter("SCALE_BENCH.json")
+    // a filtered rerun must not clobber the full committed artifact
+    val outFile =
+      if (only.isEmpty) "SCALE_BENCH.json" else "SCALE_BENCH_PARTIAL.json"
+    val w = new java.io.PrintWriter(outFile)
     try w.println(detail) finally w.close()
     println(detail)
     spark.stop()

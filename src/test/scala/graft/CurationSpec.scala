@@ -59,6 +59,22 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup: cluster count scales with the corpus, floors at 16") {
+    // K ∝ n keeps the within-cluster pair stage linear (the round-5
+    // scale bench caught the fixed-K form going quadratic); the floor
+    // preserves the driver-SF oracle behavior (n=500 → 16)
+    assert(SemanticDedup.scaledClusterCount(0) == 16)
+    assert(SemanticDedup.scaledClusterCount(500) == 16)
+    assert(SemanticDedup.scaledClusterCount(4000) == 16)
+    assert(SemanticDedup.scaledClusterCount(20000) == 80)
+    assert(SemanticDedup.scaledClusterCount(63200) == 252)
+    // average cluster size is bounded by the target once past the floor
+    Seq(10000L, 100000L, 10000000L).foreach { n =>
+      val k = SemanticDedup.scaledClusterCount(n)
+      assert(n.toDouble / k <= 251, s"n=$n k=$k avg=${n.toDouble / k}")
+    }
+  }
+
   test("decontamination: finds planted n-gram overlap, skips clean docs") {
     val df = Seq(
       (0L, "alpha beta gamma delta"),          // eval (id % 2 == 0 below)
