@@ -116,8 +116,7 @@ object EtlQueries {
       .select(col(KeyGen.columnName), col("event_id"), col("user_id"), col("value"))
       .cache()
     try {
-      val scratch = java.nio.file.Files
-        .createTempDirectory("graft_upsert").toString + "/t"
+      val scratch = graft.tools.Scratch.dir("graft_upsert") + "/t"
       val batch1 = base.filter(col("event_id") % 2 === 0)
       val batch2 = base.filter(col("event_id") % 2 === 1)
       ParquetUpsertSink.upsert(s, batch1, scratch, KeyGen.columnName, orderCol = Some("event_id"))
@@ -162,8 +161,7 @@ object EtlQueries {
         to_date(col("ts")).as("event_date"))
       .cache()
     try {
-      val scratch = java.nio.file.Files
-        .createTempDirectory("graft_upsert_part").toString + "/t"
+      val scratch = graft.tools.Scratch.dir("graft_upsert_part") + "/t"
       val batch1 = base.filter(col("event_id") % 2 === 0)
       val batch2 = base.filter(col("event_id") % 2 === 1)
       ParquetUpsertSink.upsertPartitioned(s, batch1, scratch, KeyGen.columnName,

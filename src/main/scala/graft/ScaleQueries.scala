@@ -30,7 +30,7 @@ object ScaleQueries {
     * of it, so side-effectful setup (catalog tables) can be torn down
     * before the frame is handed to the caller. */
   private def materialize(out: DataFrame, tag: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString + "/out"
+    val dir = graft.tools.Scratch.dir(s"graft_$tag") + "/out"
     out.write.parquet(dir)
     out.sparkSession.read.parquet(dir)
   }
@@ -112,7 +112,7 @@ object ScaleQueries {
       // collide across corpora and silently share tables)
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val (li, ord) = (s"graft_li_bucketed_$tag", s"graft_ord_bucketed_$tag")
-      val base = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+      val base = graft.tools.Scratch.dir("graft_bucketed")
       Tables(s, dir, "lineitem")
         .select($"l_orderkey", $"l_extendedprice", $"l_discount")
         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
@@ -416,8 +416,7 @@ object ScaleQueries {
         count(lit(1)).as("n_events"),
         sum($"value".cast(dec)).as("sum_dec"),
         min($"ts").as("first_ts"), max($"ts").as("last_ts"))
-    val state = java.nio.file.Files
-      .createTempDirectory("graft_incr").toString + "/state"
+    val state = graft.tools.Scratch.dir("graft_incr") + "/state"
     partial(ev.filter($"event_id" % 2 === 0)).write.parquet(state)
     s.read.parquet(state)
       .unionByName(partial(ev.filter($"event_id" % 2 === 1)))
@@ -453,8 +452,7 @@ object ScaleQueries {
     val ev = Tables(s, dir, "events").select($"event_id", $"event_type", $"user_id")
     def sk(df: DataFrame): DataFrame =
       df.groupBy($"event_type").agg(hll_sketch_agg($"user_id").as("sk"))
-    val state = java.nio.file.Files
-      .createTempDirectory("graft_incr_distinct").toString + "/state"
+    val state = graft.tools.Scratch.dir("graft_incr_distinct") + "/state"
     sk(ev.filter($"event_id" % 2 === 0)).write.parquet(state)
     val merged = s.read.parquet(state)
       .unionByName(sk(ev.filter($"event_id" % 2 === 1)))

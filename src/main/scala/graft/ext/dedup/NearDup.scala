@@ -37,8 +37,7 @@ object NearDup {
       out: DataFrame, tag: String, caches: DataFrame*): DataFrame = {
     val spark = out.sparkSession
     try {
-      val dir = java.nio.file.Files
-        .createTempDirectory(s"graft_$tag").toString + "/out"
+      val dir = graft.tools.Scratch.dir(s"graft_$tag") + "/out"
       out.write.parquet(dir)
       spark.read.parquet(dir)
     } finally caches.foreach(_.unpersist())
@@ -171,7 +170,7 @@ object NearDup {
     * [[minhashPairs]]. Returns the usable frame AND the cached handle
     * (the frame is a filter ABOVE the cache, so only the handle can
     * unpersist it — callers release it via [[materializeAndRelease]]). */
-  private[dedup] def shingleSets(
+  private[graft] def shingleSets(
       docs: DataFrame, idCol: String, textCol: String, shingleSize: Int)
       : (DataFrame, DataFrame) = {
     val par = docs.sparkSession.sparkContext.defaultParallelism

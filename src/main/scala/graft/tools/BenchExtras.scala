@@ -61,7 +61,7 @@ object AtRestBuilds {
           .bitwiseAND(lit(1023L)).as("hb"))
       val z = ev.withColumn("zkey",
         graft.operators.ZOrder.zValue(col("ub"), col("hb"), 10))
-      val out = java.nio.file.Files.createTempDirectory("graft_zorder_bench").toString
+      val out = graft.tools.Scratch.dir("graft_zorder_bench")
       graft.operators.ZOrder.cluster(z, "zkey", 8)
         .write.mode("overwrite").parquet(out + "/events_z")
     })
@@ -126,7 +126,7 @@ object StreamBench {
       try {
         val input =
           org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
-        val tmp = java.nio.file.Files.createTempDirectory(s"graft_sbench_$name").toString
+        val tmp = graft.tools.Scratch.dir(s"graft_sbench_$name")
         val q = mk(input, tmp)
         val rows = Seq.newBuilder[Long]
         val secs = Seq.newBuilder[Double]

@@ -1,0 +1,48 @@
+package graft.tools
+
+import java.nio.file.{Files, Path}
+
+/** JVM-lifetime scratch directories for queries that materialize
+  * intermediate tables (upsert targets, bucketed layouts, incremental
+  * state, oracle-replay spills).
+  *
+  * `Files.createTempDirectory` alone leaks: a bench session calls the
+  * materializing queries hundreds of times (reps × rungs × rounds) and
+  * left >30 GB of orphaned scratch behind in round 5. Every directory
+  * handed out here is registered once with a shutdown hook that
+  * recursively deletes it when the JVM exits — the right lifetime for
+  * per-run scratch (the paths live inside memos and cached plans, so
+  * deleting earlier than JVM exit would break reuse within the run).
+  * At a real deployment these would be job-scoped paths under a
+  * lifecycle-managed prefix; the API shape (prefix → fresh dir) is the
+  * same.
+  */
+object Scratch {
+
+  private val created = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+
+  private lazy val hookInstalled: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      created.forEach { p =>
+        try deleteRecursively(p) catch { case _: Throwable => () }
+      }
+    }, "graft-scratch-cleanup"))
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.forEach(deleteRecursively) finally s.close()
+    }
+    Files.deleteIfExists(p)
+    ()
+  }
+
+  /** A fresh scratch directory, deleted on JVM exit. */
+  def dir(prefix: String): String = {
+    hookInstalled
+    val p = Files.createTempDirectory(prefix)
+    created.add(p)
+    p.toString
+  }
+}
