@@ -1,5 +1,6 @@
 package graft.tools
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Scale-validation bench (round-4 verdict task 1): measure the
@@ -18,6 +19,19 @@ import org.apache.spark.sql.SparkSession
   * scheduling floors don't grow with the data). A super-linear
   * outlier (time ratio ≫ corpus ratio) is a scale bug in some stage
   * and must be diagnosed by name.
+  *
+  * Per-rung observability (round-5 verdict tasks 1/3/4 — the sf10
+  * rung's minhash blowup was undiagnosable from wall time alone):
+  *  - every measured query records shuffle read/write bytes and
+  *    memory/disk spill from the fastest rep's task metrics, so
+  *    memory-pressure onset and shuffle growth are visible per rung;
+  *  - the LSH pair miners additionally record [[NearDup.MineStats]]
+  *    (bucket count, max bucket, candidate mass pre/post skew-cap,
+  *    survivors) from one untimed stats pass, so super-linearity is
+  *    attributable to candidate inflation vs verify cost vs shuffle;
+  *  - the upsert queries record files written + promote seconds
+  *    ([[graft.sinks.ParquetUpsertSink.ioStats]]), separating commit/
+  *    small-file cost from merge compute.
   *
   * Methodology matches [[graft.Bench]]: min-of-N reps (default 2) per
   * query per SF, at-rest builds run explicitly BEFORE the query loop
@@ -60,6 +74,59 @@ object ScaleBench {
     "q_range_join",          // bucketized inequality join
     "q_sessionize")          // per-user ordered window
 
+  /** Task-metric totals accumulated between [[reset]] and [[snap]] —
+    * shuffle and spill bytes for whatever jobs ran in the window
+    * (single-threaded bench: the window is exactly one query rep). */
+  private final class MetricsProbe extends SparkListener {
+    private val sw = new java.util.concurrent.atomic.AtomicLong
+    private val sr = new java.util.concurrent.atomic.AtomicLong
+    private val sm = new java.util.concurrent.atomic.AtomicLong
+    private val sd = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        sw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        sr.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        sm.addAndGet(m.memoryBytesSpilled)
+        sd.addAndGet(m.diskBytesSpilled)
+      }
+    }
+    def reset(): Unit = { sw.set(0); sr.set(0); sm.set(0); sd.set(0) }
+    /** (shuffleWrite, shuffleRead, memSpill, diskSpill) bytes. */
+    def snap(): (Long, Long, Long, Long) = (sw.get, sr.get, sm.get, sd.get)
+  }
+
+  /** One measured rep: wall seconds + that rep's task-metric window
+    * + (for the instrumented queries) upsert IO. */
+  private case class Rep(
+      sec: Double, rows: Long,
+      shuffleWrite: Long, shuffleRead: Long, memSpill: Long, diskSpill: Long,
+      upsertIo: Option[graft.sinks.ParquetUpsertSink.UpsertIo])
+
+  private case class QueryPoint(
+      name: String, err: Option[String], best: Option[Rep],
+      mineStats: Option[graft.ext.dedup.NearDup.MineStats])
+
+  /** The registered LSH miners' exact parameters, replayed through the
+    * WithStats entry points for the untimed candidate-stats pass. */
+  private def mineStatsFor(
+      spark: SparkSession, dir: String, name: String)
+      : Option[graft.ext.dedup.NearDup.MineStats] = {
+    import graft.ext.dedup.NearDup
+    name match {
+      case "docs_minhash_pairs" =>
+        val (_, st) = NearDup.minhashPairsWithStats(
+          graft.Tables(spark, dir, "documents"), "doc_id", "text",
+          shingleSize = 2, bands = 16, rowsPerBand = 4, threshold = 0.5)
+        Some(st)
+      case "docs_simhash_pairs" =>
+        val (_, st) = NearDup.simhashPairsWithStats(
+          graft.Tables(spark, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        Some(st)
+      case _ => None
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val workDir = if (args.length > 0) args(0) else "target/synth"
     val sfs: Seq[Double] =
@@ -68,9 +135,16 @@ object ScaleBench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt.max(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // SPARK_GRAFT_ONLY=a,b restricts the heavy list (isolated reruns,
-    // same contract as graft.Bench)
+    // same contract as graft.Bench); unknown names fail fast — a typo
+    // would otherwise select nothing and write an empty artifact
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o =>
+      val unknown = o -- heavy.toSet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in ScaleBench.heavy: " +
+          s"${unknown.toSeq.sorted.mkString(",")} (valid: ${heavy.mkString(",")})")
+    }
     val spark = SparkSession.builder()
       .appName("graft-scalebench")
       .master(s"local[$cpus]")
@@ -80,7 +154,10 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val probe = new MetricsProbe
+    spark.sparkContext.addSparkListener(probe)
     def ms(t: Double) = (math.rint(t * 1000) / 1000).toString
+    def mb(b: Long) = (math.rint(b / 1048576.0 * 10) / 10).toString
 
     def ensureCorpus(sf: Double): (String, Double) = {
       val dir = s"$workDir/sf$sf"
@@ -94,27 +171,42 @@ object ScaleBench {
     }
 
     val selected = heavy.filter(q => only.forall(_.contains(q)))
+    val upsertQueries = Set("etl_upsert", "etl_upsert_partitioned")
 
     // measure one SF: explicit at-rest builds first (timed), then the
     // heavy loop at min-of-N — identical shape to graft.Bench
-    def measure(dir: String): (Seq[(String, Either[String, Double])],
-                               Seq[(String, Either[String, Double], Long)]) = {
+    def measure(dir: String): (Seq[(String, Either[String, Double])], Seq[QueryPoint]) = {
       val builds = if (only.isEmpty) AtRestBuilds.measure(spark, dir) else Seq.empty
       val qs = selected.map { name =>
         val fn = graft.SparkEntry.queries(name)
-        val times = Seq.newBuilder[Double]
-        var rows = 0L
+        val repsSeen = Seq.newBuilder[Rep]
         var err: Option[String] = None
         var r = 0
         while (r < reps && err.isEmpty) {
+          if (upsertQueries(name)) graft.sinks.ParquetUpsertSink.resetIoStats()
+          probe.reset()
           val t0 = System.nanoTime()
-          try { rows = fn(spark, dir).count(); times += (System.nanoTime() - t0) / 1e9 }
+          try {
+            val rows = fn(spark, dir).count()
+            val sec = (System.nanoTime() - t0) / 1e9
+            org.apache.spark.graftbridge.ListenerBridge
+              .waitUntilEmpty(spark.sparkContext)
+            val (sw, sr, sm, sd) = probe.snap()
+            repsSeen += Rep(sec, rows, sw, sr, sm, sd,
+              if (upsertQueries(name)) Some(graft.sinks.ParquetUpsertSink.ioStats)
+              else None)
+          }
           catch { case e: Throwable =>
             err = Some(e.toString.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)) }
           r += 1
         }
-        val t = times.result()
-        (name, err.toLeft(t.min), rows)
+        val best = repsSeen.result().sortBy(_.sec).headOption
+        val stats =
+          if (err.isEmpty)
+            try mineStatsFor(spark, dir, name)
+            catch { case _: Throwable => None }
+          else None
+        QueryPoint(name, err, best, stats)
       }
       (builds, qs)
     }
@@ -137,18 +229,31 @@ object ScaleBench {
     }
 
     val qJson = selected.map { name =>
-      val points = measured.map { case (_, _, _, qs) =>
-        qs.find(_._1 == name).get
-      }
-      val errs = points.collect { case (_, Left(e), _) => e }
+      val points = measured.map { case (_, _, _, qs) => qs.find(_.name == name).get }
+      val errs = points.flatMap(_.err)
       val body =
         if (errs.nonEmpty) s""""error":"${errs.head}""""
         else {
-          val secs = points.map(_._2.toOption.get)
-          val rows = points.map(_._3)
+          val best = points.map(_.best.get)
+          val secs = best.map(_.sec)
           val ratio = if (secs.head > 0) secs.last / secs.head else -1.0
-          s""""sec":[${secs.map(ms).mkString(",")}],""" +
-            s""""rows":[${rows.mkString(",")}],"ratio":${ms(ratio)}"""
+          val base =
+            s""""sec":[${secs.map(ms).mkString(",")}],""" +
+              s""""rows":[${best.map(_.rows).mkString(",")}],""" +
+              s""""shuffle_write_mb":[${best.map(r => mb(r.shuffleWrite)).mkString(",")}],""" +
+              s""""shuffle_read_mb":[${best.map(r => mb(r.shuffleRead)).mkString(",")}],""" +
+              s""""mem_spill_mb":[${best.map(r => mb(r.memSpill)).mkString(",")}],""" +
+              s""""disk_spill_mb":[${best.map(r => mb(r.diskSpill)).mkString(",")}],""" +
+              s""""ratio":${ms(ratio)}"""
+          val mine =
+            if (points.forall(_.mineStats.isDefined))
+              s""","lsh_stats":[${points.map(_.mineStats.get.json).mkString(",")}]"""
+            else ""
+          val io =
+            if (best.forall(_.upsertIo.isDefined))
+              s""","upsert_io":[${best.map(_.upsertIo.get.json).mkString(",")}]"""
+            else ""
+          base + mine + io
         }
       "\"" + name + "\":{" + body + "}"
     }.mkString("{", ",", "}")
@@ -162,8 +267,15 @@ object ScaleBench {
       "\"sf" + sf + "\":" + buildJson(builds)
     }.mkString("{", ",", "}")
 
+    // a filtered rerun skips the at-rest builds, so a build-dependent
+    // query's first rep absorbs memoized build cost — recorded in the
+    // partial artifact so a reader can't mistake it for steady state
+    val note =
+      if (only.isEmpty) ""
+      else s""""note":"filtered rerun: at-rest builds skipped; first rep of """ +
+        s"""build-dependent queries absorbs build cost","""
     val detail =
-      s"""{"metric":"scale_curve","sfs":[${sfs.mkString(",")}],""" +
+      s"""{"metric":"scale_curve",$note"sfs":[${sfs.mkString(",")}],""" +
         s""""corpus_ratio":${ms(sfs.max / sfs.min)},"reps":$reps,""" +
         s""""gen_sec":[${measured.map(m => ms(m._2)).mkString(",")}],""" +
         s""""builds":$buildsJson,"queries":$qJson}"""

@@ -18,11 +18,21 @@ import org.apache.spark.sql.functions._
   * task retries, speculative execution, and AQE re-splits all safe.
   *
   * Distribution fidelity to the driver corpus (measured at sf0.1):
-  *   - documents: 30-word vocab, 10..100 words/doc, lang mix
-  *     40/15/15/15/15 en/zh/es/fr/de, 20 sources, and 5% planted
-  *     near-duplicates (a base doc's text with a "dup" token
-  *     inserted) — the structure the MinHash/SimHash/components
-  *     pipelines mine;
+  *   - documents: 10..100 words/doc, lang mix 40/15/15/15/15
+  *     en/zh/es/fr/de, 20 sources, and 5% planted near-duplicates (a
+  *     base doc's text with a "dup" token inserted) — the structure
+  *     the MinHash/SimHash/components pipelines mine. Tokens
+  *     alternate between a fixed 30-word head (stopword/quality/
+  *     langid signal) and hash-derived tail tokens over a vocabulary
+  *     that GROWS with the corpus (Heaps-law-shaped,
+  *     V = max(4096, nDocs)), so every shingle contains a tail token:
+  *     the round-5 ladder's original fixed 30-word vocabulary gave
+  *     RANDOM doc pairs a ~0.03 bigram-Jaccard floor, so LSH
+  *     candidate mass grew ∝ n²·s^r and the 100× rung measured
+  *     vocabulary collisions instead of engine scaling (round-5
+  *     verdict task 1). With the alternating tail, random-pair
+  *     Jaccard ≈ 0 at every rung and the planted 5% near-dups are the
+  *     only similarity structure;
   *   - embeddings: 64-dim iid-gaussian unit vectors, 10 labels;
   *   - events: 30 days of 2024-01, ~uniform types over
   *     click/view/purchase/error/signup, exp(mean 50) values;
@@ -53,6 +63,13 @@ object SynthGen {
   def documents(spark: SparkSession, sf: Double): DataFrame = {
     val n = math.max(1L, (50000 * sf).toLong)
     val vocabArr = array(vocab.map(lit): _*)
+    // tail vocabulary grows with the corpus so random-pair Jaccard
+    // stays ≈ 0 at every rung (see class doc); head and tail tokens
+    // ALTERNATE positions (offset per doc) so every bigram/trigram
+    // shingle contains at least one tail token — head-head shingles
+    // from a fixed 30-word pool were still colliding ∝ n^1.7 under a
+    // random 40% head mix (measured via MineStats)
+    val tailV = math.max(4096L, n)
     val base = spark.range(n).toDF("doc_id")
       // 5% of docs are near-copies of a hash-chosen base doc
       .withColumn("is_dup", pmod(col("doc_id"), lit(20)) === 11)
@@ -65,8 +82,10 @@ object SynthGen {
       .withColumn("n_words", (h("doclen", 91, col("base_id")) + 10).cast("int"))
       .withColumn("words", transform(
         sequence(lit(0), col("n_words") - 1),
-        j => element_at(vocabArr,
-          (h("docword", vocab.size, col("base_id"), j) + 1).cast("int"))))
+        j => when((j + h("docpar", 2, col("base_id"))) % 2 === 0,
+          element_at(vocabArr,
+            (h("docword", vocab.size, col("base_id"), j) + 1).cast("int")))
+          .otherwise(concat(lit("w"), h("doctail", tailV, col("base_id"), j)))))
       .withColumn("words", {
         // dup docs: insert the marker token at a stable position
         val pos = (h("dubpos", 1L << 32, col("doc_id")) % (col("n_words") + 1)).cast("int")
