@@ -28,8 +28,13 @@ object CurationQueries {
     * K scaled to the corpus (max(16, n/250)) so the within-cluster
     * pair stage stays linear as the corpus grows — the oracle computes
     * the SAME K from the same rule via a scalar subquery, so parity
-    * holds at every SF (at the driver's sf0.01, n=200 → K=16,
-    * bit-identical to the fixed-16 form). */
+    * holds at every SF. Assignment goes through the TWO-LEVEL
+    * quantizer (coarse cells = the ⌈√K⌉ lowest-id centroids, 2 probed
+    * cells per row — [[graft.ext.similarity.IvfKNN.assignListsHier]]),
+    * the fix for the flat form's O(n²·dim/250) assignment the round-5
+    * ladder measured; the oracle replays the identical two-level rule
+    * (coarse routing QUALIFY ≤ 2, then argmax over the probed cells'
+    * centroids), so the whole approximate pipeline stays hash-exact. */
   private def qSemanticDedup(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
     val k = SemanticDedup.scaledClusterCount(e.count())
@@ -43,16 +48,47 @@ object CurationQueries {
       |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
       |  WHERE vec_id < (SELECT greatest(16, CAST(count(*) // 250 AS BIGINT))
       |                  FROM embeddings)),
+      |coarse AS (
+      |  SELECT cid AS gid, cv AS gv FROM cent
+      |  WHERE cid < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM cent)),
       |norms AS (
       |  SELECT vec_id, SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nn
       |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
       |cnorm AS (
       |  SELECT cid, SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS cn
       |  FROM (SELECT cid, unnest(cv) AS x FROM cent) GROUP BY cid),
+      |gnorm AS (
+      |  SELECT gid, SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS gn
+      |  FROM (SELECT gid, unnest(gv) AS x FROM coarse) GROUP BY gid),
+      |cgd AS (
+      |  SELECT cid, gid, SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot
+      |  FROM (SELECT c.cid, g.gid, unnest(c.cv) AS x, unnest(g.gv) AS y
+      |        FROM cent c, coarse g)
+      |  GROUP BY cid, gid),
+      |member AS (
+      |  SELECT d.cid, d.gid FROM cgd d
+      |  JOIN cnorm cn ON cn.cid = d.cid
+      |  JOIN gnorm gn ON gn.gid = d.gid
+      |  QUALIFY row_number() OVER (PARTITION BY d.cid
+      |    ORDER BY round(d.dot / (sqrt(cn.cn) * sqrt(gn.gn)), 9) DESC, d.gid) = 1),
+      |vgd AS (
+      |  SELECT vec_id, gid, SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot
+      |  FROM (SELECT e.vec_id, g.gid, unnest(e.embedding) AS x, unnest(g.gv) AS y
+      |        FROM embeddings e, coarse g)
+      |  GROUP BY vec_id, gid),
+      |probes AS (
+      |  SELECT d.vec_id, d.gid FROM vgd d
+      |  JOIN norms n ON n.vec_id = d.vec_id
+      |  JOIN gnorm gn ON gn.gid = d.gid
+      |  QUALIFY row_number() OVER (PARTITION BY d.vec_id
+      |    ORDER BY round(d.dot / (sqrt(n.nn) * sqrt(gn.gn)), 9) DESC, d.gid) <= 2),
       |vcd AS (
       |  SELECT vec_id, cid, SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot
-      |  FROM (SELECT e.vec_id, c.cid, unnest(e.embedding) AS x, unnest(c.cv) AS y
-      |        FROM embeddings e, cent c)
+      |  FROM (SELECT p.vec_id, m.cid, unnest(e.embedding) AS x, unnest(c.cv) AS y
+      |        FROM probes p
+      |        JOIN member m ON m.gid = p.gid
+      |        JOIN embeddings e ON e.vec_id = p.vec_id
+      |        JOIN cent c ON c.cid = m.cid)
       |  GROUP BY vec_id, cid),
       |vccos AS (
       |  SELECT v.vec_id, v.cid,

@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   * uses 50k clusters for LAION-440M), so per-cluster work stays
   * bounded. The plan is:
   *
-  *  1. quantize: [[IvfKNN.assignLists]] — a pure map stage, K
-  *     codegen'd dot products per row against driver-held codebook
-  *     literals, no shuffle (same machinery as the IVF ANN index);
+  *  1. quantize: [[IvfKNN.assignListsHier]] — a pure map stage, no
+  *     shuffle (same machinery as the IVF ANN index) routed through
+  *     the two-level quantizer: ⌈√K⌉ coarse cells + `probes` probed
+  *     cells per row, ~3·√K·dim work instead of K·dim (K scales with
+  *     the corpus here, so the flat form was quadratic overall);
   *  2. pair: self-join on `list_id` — ONE shuffle of (id, vec, norm)
   *     keyed by cluster, pairs generated inside each cluster
   *     partition;
@@ -40,10 +42,11 @@ object SemanticDedup {
     * average cluster size FIXED as n grows keeps the pair stage
     * linear — the round-5 scale bench caught the fixed-K form going
     * quadratic (13× time for 3.16× data once clusters outgrew the
-    * floor). The map-only assignment stage is n·K dot products; at
-    * K = n/250 that term is the asymptotic cost, but it's shuffle-free
-    * codegen with a 1/250 constant (a web-scale deployment would swap
-    * in a hierarchical / HNSW assigner, same contract). */
+    * floor). The assignment stage goes through the two-level quantizer
+    * ([[IvfKNN.assignListsHier]]): flat assignment is n·K dot products
+    * — O(n²·dim/250) under K ∝ n, measured at 6.2× time for 3.16×
+    * data on the round-5 ladder — while routing through ⌈√K⌉ coarse
+    * cells restores ~O(n·√K·dim). */
   def scaledClusterCount(n: Long, targetClusterSize: Long = 250, minK: Int = 16): Int =
     math.max(minK.toLong, n / targetClusterSize).toInt
 
@@ -55,11 +58,12 @@ object SemanticDedup {
       idCol: String,
       vecCol: String,
       centroids: Seq[IvfKNN.Centroid],
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      probes: Int = 2): DataFrame = {
     // cache: the assigned frame feeds both sides of the pair join and
     // the verdict spine; without a materialization point the
-    // quantizer's K dot products would re-run three times per row
-    val lists = IvfKNN.assignLists(corpus, vecCol, centroids)
+    // quantizer's dot products would re-run three times per row
+    val lists = IvfKNN.assignListsHier(corpus, vecCol, centroids, probes)
       .select(col(idCol).as("vid"), col(vecCol).as("v"),
         CosineKNN.norm(col(vecCol)).as("n"), col("list_id"))
       .cache()

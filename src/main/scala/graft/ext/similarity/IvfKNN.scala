@@ -263,6 +263,7 @@ object IvfKNN {
     * formulation; IvfSpec pins the two paths equal. */
   def nearestCentroidStable(vec: Column, cents: Seq[DCentroid]): Column = {
     val sorted = cents.sortBy(_.id)
+    requireDense(sorted.map(_.id), sorted.map(_.norm))
     graft.functions.NearestCentroidStable(
       vec, sorted.map(_.vec.toSeq), sorted.map(_.norm))
   }
@@ -301,8 +302,78 @@ object IvfKNN {
     * (every codebook builder here constructs them that way). */
   def nearestCentroid(vec: Column, centroids: Seq[Centroid]): Column = {
     val sorted = centroids.sortBy(_.id)
+    requireDense(sorted.map(_.id), sorted.map(_.norm))
     graft.functions.NearestCentroidCosine(
       vec, sorted.map(_.vec.toSeq), sorted.map(_.norm))
+  }
+
+  /** The native argmax nodes return the sorted-array POSITION as the
+    * centroid id, which is only correct when ids are dense 0..K-1 —
+    * every codebook builder here constructs them that way, but a
+    * caller-assembled codebook with gaps would silently mislabel
+    * every list, and a zero/non-finite norm yields NaN cosine, which
+    * WINS the argmax (NaN compares greater) and silently corrupts
+    * assignments. Fail fast on both. */
+  private def requireDense(ids: Seq[Int], norms: Seq[Double]): Unit = {
+    require(ids == ids.indices.toList,
+      s"codebook ids must be dense 0..${ids.length - 1}, got ${ids.take(8)}...")
+    require(norms.forall(n => java.lang.Double.isFinite(n) && n > 0),
+      "codebook norms must be finite and > 0 (zero-norm centroids would " +
+        "score NaN, which wins the argmax)")
+  }
+
+  // --------------------------------------------- hierarchical assignment
+
+  /** Coarse layer over a fine codebook: coarse centers are the
+    * C = ⌈√K⌉ lowest-id centroids, and each fine centroid belongs to
+    * its nearest coarse center (rounded-cosine argmax, ties to the
+    * lower coarse id — the same rule as every other assignment here,
+    * so the DuckDB oracle replays it as a QUALIFY). Driver-side K·C
+    * dots over index metadata, like codebook training. */
+  case class HierLayer(coarse: Seq[Centroid], members: Seq[Seq[Int]])
+
+  def hierLayer(cents: Seq[Centroid]): HierLayer = {
+    val sorted = cents.sortBy(_.id)
+    requireDense(sorted.map(_.id), sorted.map(_.norm))
+    val c = math.max(1, math.ceil(math.sqrt(sorted.length.toDouble)).toInt)
+    val coarse = sorted.take(c)
+    val members = Array.fill(c)(Seq.newBuilder[Int])
+    sorted.foreach { f =>
+      var best = Double.NegativeInfinity
+      var bestG = 0
+      var first = true
+      coarse.foreach { g =>
+        var dot = 0.0
+        val n = math.min(f.vec.length, g.vec.length)
+        var i = 0
+        while (i < n) { dot += f.vec(i).toDouble * g.vec(i).toDouble; i += 1 }
+        val s = java.math.BigDecimal.valueOf(dot / (f.norm * g.norm))
+          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+        if (first || java.lang.Double.compare(s, best) > 0) {
+          best = s; bestG = g.id; first = false
+        }
+      }
+      members(bestG) += f.id
+    }
+    HierLayer(coarse, members.toIndexedSeq.map(_.result()))
+  }
+
+  /** [[assignLists]] through the two-level quantizer
+    * ([[graft.functions.NearestCentroidHier]]): rows are routed to
+    * their `probes` nearest coarse cells and scan only those cells'
+    * centroids — (√K + probes·√K)·dim work per row instead of K·dim,
+    * the scale path for corpus-proportional K (SemDeDup's K = n/250
+    * made flat assignment O(n²·dim/250); round-5 verdict task 2).
+    * Deterministic and oracle-replayable; approximate in the IVF
+    * sense (the true nearest centroid can live in an unprobed cell). */
+  def assignListsHier(
+      corpus: DataFrame, vecCol: String, centroids: Seq[Centroid],
+      probes: Int = 2): DataFrame = {
+    val sorted = centroids.sortBy(_.id)
+    val hl = hierLayer(sorted)
+    corpus.withColumn("list_id", graft.functions.NearestCentroidHier(
+      col(vecCol), hl.coarse.map(_.vec.toSeq), hl.coarse.map(_.norm),
+      hl.members, sorted.map(_.vec.toSeq), sorted.map(_.norm), probes))
   }
 
   /** The original Column-API formulation of [[nearestCentroid]] —

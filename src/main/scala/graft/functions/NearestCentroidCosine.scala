@@ -53,10 +53,21 @@ case class NearestCentroidCosine(
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
-      if (vecs.nonEmpty && vecs.length == norms.length) TypeCheckResult.TypeCheckSuccess
-      else TypeCheckResult.TypeCheckFailure(
-        s"nearest_centroid_cosine: ${vecs.length} centroid vectors vs " +
-          s"${norms.length} norms (need equal, non-zero)")
+      if (vecs.isEmpty || vecs.length != norms.length)
+        TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroid_cosine: ${vecs.length} centroid vectors vs " +
+            s"${norms.length} norms (need equal, non-empty)")
+      // a zero or non-finite norm scores NaN, and NaN WINS the argmax
+      // (Double.compare ranks it above every number) — validate here
+      // instead of only claiming it in the message
+      else if (!norms.forall(n => java.lang.Double.isFinite(n) && n > 0))
+        TypeCheckResult.TypeCheckFailure(
+          "nearest_centroid_cosine: centroid norms must be finite and > 0 " +
+            "(zero-norm centroids would score NaN, which wins the argmax)")
+      else if (vecs.map(_.length).distinct.length != 1)
+        TypeCheckResult.TypeCheckFailure(
+          "nearest_centroid_cosine: centroid vectors must share one dimension")
+      else TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"nearest_centroid_cosine expects array<float|double>, got ${other.simpleString}")
   }
@@ -92,6 +103,11 @@ case class NearestCentroidCosine(
     var c = 0
     while (c < k) {
       val m = cents(c)
+      // a row vector shorter/longer than the codebook dim contributes
+      // only the overlapping prefix to the dot — intentional: it
+      // matches [[FloatVectorDot]], which the Column formulation
+      // evaluates through (embedding dims are schema-fixed in
+      // practice; the companion rejects ragged CODEBOOKS)
       val n = math.min(nv, m.length)
       var dot = 0.0
       var j = 0

@@ -61,21 +61,24 @@ object ParquetUpsertSink {
   }
 
   /** Data files (non-marker) under `path`, recursive — hive partition
-    * dirs included. */
-  private def countDataFiles(spark: SparkSession, path: String): Long = {
-    val f = fs(spark, path)
-    val p = new Path(path)
-    if (!f.exists(p)) 0L
-    else {
-      var n = 0L
-      val it = f.listFiles(p, true)
-      while (it.hasNext) {
-        val name = it.next().getPath.getName
-        if (!name.startsWith("_") && !name.startsWith(".")) n += 1
-      }
-      n
-    }
-  }
+    * dirs included. `listStatus` recursion, not `listFiles(recursive)`:
+    * the latter builds LocatedFileStatus, which some FileSystem
+    * implementations (including the local-FS wrapper the FS-contract
+    * tests drive through a custom scheme) cannot serve. Returns −1 on
+    * any failure — IO observability must never fail the write. */
+  private def countDataFiles(spark: SparkSession, path: String): Long =
+    try {
+      val f = fs(spark, path)
+      def walk(p: Path): Long =
+        f.listStatus(p).foldLeft(0L) { (acc, s) =>
+          val n = s.getPath.getName
+          if (n.startsWith("_") || n.startsWith(".")) acc
+          else if (s.isDirectory) acc + walk(s.getPath)
+          else acc + 1
+        }
+      val p = new Path(path)
+      if (!f.exists(p)) 0L else walk(p)
+    } catch { case _: Throwable => -1L }
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)

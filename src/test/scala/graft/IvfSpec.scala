@@ -201,4 +201,55 @@ class IvfSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       p.take(2000))
   }
+
+  // ------------------------------------------ two-level (hier) quantizer
+
+  test("hier layer: coarse cells partition the dense fine ids") {
+    val cents = IvfKNN.sampledCentroids(emb, "vec_id", "embedding", 8)
+    val hl = IvfKNN.hierLayer(cents)
+    assert(hl.coarse.length == 3) // ceil(sqrt(8))
+    assert(hl.members.flatten.sorted == (0 until 8).toList)
+  }
+
+  test("hier quantizer probing ALL cells equals the flat quantizer exactly") {
+    // with every coarse cell probed the candidate set is the whole
+    // codebook, so the two-level argmax must reduce to the flat one —
+    // the same reduction the full-probe IVF test pins for search
+    val cents = IvfKNN.sampledCentroids(emb, "vec_id", "embedding", 8)
+    val c = IvfKNN.hierLayer(cents).coarse.length
+    val flat = IvfKNN.assignLists(emb, "embedding", cents)
+      .select($"vec_id", $"list_id")
+    val hier = IvfKNN.assignListsHier(emb, "embedding", cents, probes = c)
+      .select($"vec_id", $"list_id")
+    assert(flat.exceptAll(hier).isEmpty && hier.exceptAll(flat).isEmpty)
+  }
+
+  test("hier quantizer is a pure map and routes tight clusters like the flat one") {
+    val cents = IvfKNN.sampledCentroids(emb, "vec_id", "embedding", 8)
+    val plan = IvfKNN.assignListsHier(emb, "embedding", cents, probes = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Window") &&
+      !plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(2000))
+    // clustered corpus: points tightly around each centroid must get
+    // their own centroid back even through coarse routing (the coarse
+    // argmax sees nearly the centroid itself)
+    val rnd = new scala.util.Random(11)
+    val seeds = Array.fill(9)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val points = (0 until 9).flatMap { s =>
+      (0 until 20).map { i =>
+        val v = seeds(s).map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+        (s.toLong * 100 + i, v.toSeq)
+      }
+    }.toDF("vec_id", "embedding")
+    val seedCents = seeds.toIndexedSeq.zipWithIndex.map { case (v, i) =>
+      IvfKNN.Centroid(i, v,
+        math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
+    }
+    val assigned = IvfKNN.assignListsHier(points, "embedding", seedCents, probes = 2)
+      .select($"vec_id", $"list_id").as[(Long, Long)].collect()
+    assigned.foreach { case (vid, lid) =>
+      assert(lid == vid / 100, s"vector $vid routed to $lid")
+    }
+  }
 }
