@@ -91,14 +91,37 @@ object StreamingEtl {
   /** Streaming corpus dedup: fingerprint each incoming document and
     * keep only first-seen content — the streaming twin of
     * NearDup.exact for continuous ingestion pipelines. Without a
-    * watermark the dedup state grows with distinct content; bound it
-    * with `withWatermark` + `dropDuplicatesWithinWatermark` when an
-    * event-time column exists. */
+    * watermark the dedup state grows with distinct content —
+    * [[dedupDocStreamBounded]] is the bounded-state variant for
+    * streams with an event-time column. */
   def dedupDocStream(docs: DataFrame, textCol: String): DataFrame =
     docs
       .withColumn("fingerprint",
         graft.ext.text.TextFunctions.fingerprint(col(textCol)))
       .dropDuplicates("fingerprint")
+
+  /** Bounded-state streaming dedup: `withWatermark` +
+    * `dropDuplicatesWithinWatermark` on the content fingerprint. The
+    * state store keeps a fingerprint only until the watermark passes
+    * its event time + delay, so state size tracks the DISTINCT
+    * CONTENT RATE × the watermark window instead of growing with the
+    * whole corpus — the trade-off is that a duplicate arriving more
+    * than `watermark` after its first copy is no longer recognized
+    * (at-scale pipelines pair this with a periodic batch
+    * [[graft.ext.dedup.NearDup.exact]] sweep for long-range dups).
+    * This is the standard Structured Streaming state-bounding
+    * contract; the exact variant above is the unbounded twin, and the
+    * streaming bench measures both state curves side by side. */
+  def dedupDocStreamBounded(
+      docs: DataFrame,
+      textCol: String,
+      eventTimeCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fingerprint",
+        graft.ext.text.TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
 
   /** Streaming decontamination: flag incoming documents that share
     * n-gram shingles with a STATIC benchmark split — a stream-static

@@ -90,12 +90,18 @@ object AtRestBuilds {
   }
 }
 
-/** Two-batch streaming micro-bench over the curation streaming paths.
-  * Per path: rows and wall seconds per micro-batch (throughput) and
-  * the state-store row count after each batch (growth observability —
-  * cross-batch dedup state must grow with DISTINCT content only).
-  * Batch 2 re-sends a slice of batch 1, so the dedup paths must
-  * process-and-drop the duplicates without growing state for them. */
+/** Five-batch streaming micro-bench over the curation streaming
+  * paths. Per path: rows and wall seconds per micro-batch
+  * (throughput) and the state-store row count after each batch —
+  * the state CURVE is the point (round-5 verdict task 5): the exact
+  * dedup variant's state must grow with distinct content while the
+  * watermarked `dedup_doc_bounded` variant's plateaus once the
+  * watermark starts evicting expired fingerprints. Every batch b ≥ 1
+  * re-sends a fifth of batch b−1 as exact duplicates, so the dedup
+  * paths must process-and-drop the dups without growing state for
+  * them; batches carry event times 60 s apart against a 25 s
+  * watermark, so each batch's fingerprints expire one batch later on
+  * the bounded path. */
 object StreamBench {
 
   case class PathResult(
@@ -105,37 +111,50 @@ object StreamBench {
       stateRows: Seq[Long],
       error: Option[String])
 
+  val numBatches = 5
+
   def measure(spark: SparkSession, sfDir: String): Seq[PathResult] = {
     import spark.implicits._
     import graft.streaming.StreamingEtl
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    // bench input: the documents table, replayed in two micro-batches;
-    // batch 2 re-sends the first fifth of batch 1 as exact duplicates
+    // bench input: the documents table, replayed in numBatches
+    // micro-batches; batch b re-sends a fifth of batch b-1's slice
     val docs = graft.Tables(spark, sfDir, "documents")
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)].collect().toSeq
-    val half = docs.length / 2
-    val b1 = docs.take(half)
-    val b2 = docs.drop(half) ++ b1.take(half / 5)
+    val per = math.max(1, docs.length / numBatches)
+    val slices = docs.grouped(per).take(numBatches).toSeq
+    val batches = slices.zipWithIndex.map { case (s, i) =>
+      if (i == 0) s else s ++ slices(i - 1).take(slices(i - 1).length / 5)
+    }
+    // event times for the watermarked path: batch i's rows all carry
+    // t0 + 60·i seconds, so the 25 s watermark evicts batch i-2's
+    // fingerprints while batch i processes (dups are re-sent one
+    // batch apart and so are still recognized)
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val stamped = batches.zipWithIndex.map { case (b, i) =>
+      val ts = java.sql.Timestamp.from(t0.plusSeconds(60L * i))
+      b.map { case (id, text) => (id, text, ts) }
+    }
     val evalDocs = docs.take(math.max(10, docs.length / 100))
       .toDF("doc_id", "text")
 
-    def run(name: String)(
-        mk: (org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)],
+    def run[T: org.apache.spark.sql.Encoder](name: String, feed: Seq[Seq[T]])(
+        mk: (org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T],
              String) => org.apache.spark.sql.streaming.StreamingQuery): PathResult =
       try {
         val input =
-          org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+          org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T]
         val tmp = graft.tools.Scratch.dir(s"graft_sbench_$name")
         val q = mk(input, tmp)
         val rows = Seq.newBuilder[Long]
         val secs = Seq.newBuilder[Double]
         val state = Seq.newBuilder[Long]
-        Seq(b1, b2).foreach { batch =>
+        feed.foreach { batch =>
           input.addData(batch)
-          val t0 = System.nanoTime()
+          val t = System.nanoTime()
           q.processAllAvailable()
-          secs += (System.nanoTime() - t0) / 1e9
+          secs += (System.nanoTime() - t) / 1e9
           rows += batch.length.toLong
           state += Option(q.lastProgress).toSeq
             .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
@@ -148,20 +167,28 @@ object StreamBench {
       }
 
     Seq(
-      run("dedup_doc") { (input, tmp) =>
+      run("dedup_doc", batches) { (input, tmp) =>
         StreamingEtl.dedupDocStream(input.toDS().toDF("doc_id", "text"), "text")
           .writeStream.format("memory").queryName(s"sb_dedup_${System.nanoTime()}")
           .option("checkpointLocation", tmp + "/ck")
           .outputMode("update").start()
       },
-      run("decontaminate") { (input, tmp) =>
+      run("dedup_doc_bounded", stamped) { (input, tmp) =>
+        StreamingEtl.dedupDocStreamBounded(
+            input.toDS().toDF("doc_id", "text", "ts"), "text", "ts",
+            watermark = "25 seconds")
+          .writeStream.format("memory").queryName(s"sb_dedupb_${System.nanoTime()}")
+          .option("checkpointLocation", tmp + "/ck")
+          .outputMode("update").start()
+      },
+      run("decontaminate", batches) { (input, tmp) =>
         StreamingEtl.decontaminateStream(
             input.toDS().toDF("doc_id", "text"), evalDocs, "doc_id", "text", n = 3)
           .writeStream.format("memory").queryName(s"sb_decon_${System.nanoTime()}")
           .option("checkpointLocation", tmp + "/ck")
           .outputMode("update").start()
       },
-      run("curation") { (input, tmp) =>
+      run("curation", batches) { (input, tmp) =>
         StreamingEtl.curationStream(
           input.toDS().toDF("doc_id", "text"), evalDocs, "doc_id", "text",
           outDir = tmp + "/out", checkpointDir = tmp + "/ck")

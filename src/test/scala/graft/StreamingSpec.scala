@@ -117,6 +117,41 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("bounded dedup drops in-window dups and evicts state past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(s))
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamingEtl.dedupDocStreamBounded(
+        input.toDS().toDF("doc_id", "text", "ts"), "text", "ts",
+        watermark = "25 seconds")
+      .writeStream.format("memory").queryName("docdedupb")
+      .outputMode(OutputMode.Update).start()
+    def stateRows: Long = Option(q.lastProgress).toSeq
+      .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+    input.addData((1L, "alpha beta", ts(0)), (2L, "gamma", ts(0)))
+    q.processAllAvailable()
+    assert(stateRows == 2)
+    // batch 2 (+60s): dup of batch 1 is still in state (watermark has
+    // only advanced to -25s of batch 1) and is dropped
+    input.addData((3L, "alpha beta", ts(60)), (4L, "delta", ts(60)))
+    q.processAllAvailable()
+    var ids = spark.table("docdedupb").select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 4L))
+    // batch 3 (+120s): watermark reaches 95s, evicting batch-1 state
+    // (expired at 25s) — a re-sent batch-1 dup is admitted again,
+    // and total state stays bounded instead of accumulating
+    input.addData((5L, "alpha beta", ts(120)))
+    q.processAllAvailable()
+    ids = spark.table("docdedupb").select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 4L, 5L),
+      s"expired fingerprint should readmit its content: $ids")
+    assert(stateRows <= 3, s"state should have evicted batch-1 rows: $stateRows")
+    q.stop()
+  }
+
   test("stream-static decontamination flags overlapping docs with no stream state") {
     implicit val sqlCtx = spark.sqlContext
     val evalDocs = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
