@@ -145,11 +145,24 @@ object ScaleBench {
         s"SPARK_GRAFT_ONLY names not in ScaleBench.heavy: " +
           s"${unknown.toSeq.sorted.mkString(",")} (valid: ${heavy.mkString(",")})")
     }
+    // Shuffle sizing must scale with the data or the ladder measures
+    // memory pressure instead of the engine: a fixed 32-partition run
+    // OOM'd the 316× rung's window+agg stages (UnsafeExternalSorter
+    // couldn't acquire a single 16 KB page — 32 tasks each buffering
+    // 1/32 of the corpus exhausted unified memory). The declarative
+    // form of "more partitions at more data" is a high AQE initial
+    // partition count: every shuffle STARTS fine-grained and AQE
+    // coalesces small partitions back up, so per-task state is
+    // bounded at every rung while small rungs keep big-partition
+    // efficiency — exactly what a production cluster config does.
+    val initialParts = 512
     val spark = SparkSession.builder()
       .appName("graft-scalebench")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initialParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -206,6 +219,11 @@ object ScaleBench {
             try mineStatsFor(spark, dir, name)
             catch { case _: Throwable => None }
           else None
+        // progress to stderr: a 30-minute detached run must be
+        // observable before its final JSON line
+        System.err.println(s"[scalebench] $dir $name " +
+          best.map(r => f"${r.sec}%.2fs").getOrElse("-") +
+          err.map(e => s" ERROR $e").getOrElse(""))
         QueryPoint(name, err, best, stats)
       }
       (builds, qs)
@@ -230,32 +248,37 @@ object ScaleBench {
 
     val qJson = selected.map { name =>
       val points = measured.map { case (_, _, _, qs) => qs.find(_.name == name).get }
-      val errs = points.flatMap(_.err)
-      val body =
-        if (errs.nonEmpty) s""""error":"${errs.head}""""
-        else {
-          val best = points.map(_.best.get)
-          val secs = best.map(_.sec)
-          val ratio = if (secs.head > 0) secs.last / secs.head else -1.0
-          val base =
-            s""""sec":[${secs.map(ms).mkString(",")}],""" +
-              s""""rows":[${best.map(_.rows).mkString(",")}],""" +
-              s""""shuffle_write_mb":[${best.map(r => mb(r.shuffleWrite)).mkString(",")}],""" +
-              s""""shuffle_read_mb":[${best.map(r => mb(r.shuffleRead)).mkString(",")}],""" +
-              s""""mem_spill_mb":[${best.map(r => mb(r.memSpill)).mkString(",")}],""" +
-              s""""disk_spill_mb":[${best.map(r => mb(r.diskSpill)).mkString(",")}],""" +
-              s""""ratio":${ms(ratio)}"""
-          val mine =
-            if (points.forall(_.mineStats.isDefined))
-              s""","lsh_stats":[${points.map(_.mineStats.get.json).mkString(",")}]"""
-            else ""
-          val io =
-            if (best.forall(_.upsertIo.isDefined))
-              s""","upsert_io":[${best.map(_.upsertIo.get.json).mkString(",")}]"""
-            else ""
-          base + mine + io
-        }
-      "\"" + name + "\":{" + body + "}"
+      // per-rung arrays with null for a rung that produced no
+      // measurement — a single failure at the top rung must not
+      // discard the curve beneath it (the error is recorded by rung)
+      def arr(f: Rep => String): String =
+        points.map(_.best.map(f).getOrElse("null")).mkString(",")
+      val secs = points.flatMap(_.best.map(_.sec))
+      val ratio =
+        if (secs.length >= 2 && secs.head > 0) secs.last / secs.head else -1.0
+      val base =
+        s""""sec":[${arr(r => ms(r.sec))}],""" +
+          s""""rows":[${arr(_.rows.toString)}],""" +
+          s""""shuffle_write_mb":[${arr(r => mb(r.shuffleWrite))}],""" +
+          s""""shuffle_read_mb":[${arr(r => mb(r.shuffleRead))}],""" +
+          s""""mem_spill_mb":[${arr(r => mb(r.memSpill))}],""" +
+          s""""disk_spill_mb":[${arr(r => mb(r.diskSpill))}],""" +
+          s""""ratio":${ms(ratio)}"""
+      val errJson = points.zip(measured).collect {
+        case (p, (sf, _, _, _)) if p.err.isDefined =>
+          "\"sf" + sf + "\":\"" + p.err.get + "\""
+      }
+      val errs =
+        if (errJson.isEmpty) "" else s""","errors":{${errJson.mkString(",")}}"""
+      val mine =
+        if (points.exists(_.mineStats.isDefined))
+          s""","lsh_stats":[${points.map(_.mineStats.map(_.json).getOrElse("null")).mkString(",")}]"""
+        else ""
+      val io =
+        if (points.exists(_.best.exists(_.upsertIo.isDefined)))
+          s""","upsert_io":[${points.map(_.best.flatMap(_.upsertIo).map(_.json).getOrElse("null")).mkString(",")}]"""
+        else ""
+      "\"" + name + "\":{" + base + errs + mine + io + "}"
     }.mkString("{", ",", "}")
 
     def buildJson(bs: Seq[(String, Either[String, Double])]) =
@@ -277,6 +300,8 @@ object ScaleBench {
     val detail =
       s"""{"metric":"scale_curve",$note"sfs":[${sfs.mkString(",")}],""" +
         s""""corpus_ratio":${ms(sfs.max / sfs.min)},"reps":$reps,""" +
+        s""""cpus":$cpus,"initial_partitions":$initialParts,""" +
+        s""""heap":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",""" +
         s""""gen_sec":[${measured.map(m => ms(m._2)).mkString(",")}],""" +
         s""""builds":$buildsJson,"queries":$qJson}"""
     // a filtered rerun must not clobber the full committed artifact
