@@ -2,7 +2,6 @@ package graft.ext.dedup
 
 import graft.ext.text.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection family for document corpora: exact
@@ -223,11 +222,18 @@ object NearDup {
           concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
             .as("sig")))).as("bucket"))
       .select(col("doc"), col("bucket.band"), col("bucket.sig"))
-    // skew guard: drop degenerate buckets
-    val capped = buckets
-      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("band"), col("sig"))))
-      .filter(col("__bn") <= maxBucketSize)
-      .drop("__bn")
+    // skew guard: drop degenerate buckets. Sizes come from a map-side
+    // partial hash-agg + inner join on the under-cap keys, NOT a
+    // count-over-window: WindowExec buffers every row of a window
+    // group before emitting any, so one hot bucket holds its whole
+    // membership in a task's memory at once — the 316× ladder rung
+    // OOM'd exactly there (round 6), while the agg+join form carries
+    // only the (key, count) pairs and streams the bucket rows through
+    val bucketSizes = buckets.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("c"))
+    val capped = buckets.join(
+      bucketSizes.filter(col("c") <= maxBucketSize).select(col("band"), col("sig")),
+      Seq("band", "sig"))
     val candidates = capped.as("l")
       .join(capped.as("r"), Seq("band", "sig"))
       .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
@@ -236,8 +242,6 @@ object NearDup {
     val withSets = candidates
       .join(withSh.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(withSh.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-    val bucketSizes = buckets.groupBy(col("band"), col("sig"))
-      .agg(count(lit(1)).as("c"))
     (verifyJaccard(withSets, threshold), Seq(withSig, shCache), bucketSizes)
   }
 
@@ -389,10 +393,14 @@ object NearDup {
           shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL).as("piece"))): _*))
         .as("bucket"))
       .select(col("doc"), col("sim"), col("bucket.chunk"), col("bucket.piece"))
-    val capped = buckets
-      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("chunk"), col("piece"))))
-      .filter(col("__bn") <= maxBucketSize)
-      .drop("__bn")
+    // agg+join skew cap, not count-over-window — see the minhash
+    // twin: the window form buffered whole hot buckets per task and
+    // OOM'd the 316× ladder rung
+    val bucketSizes = buckets.groupBy(col("chunk"), col("piece"))
+      .agg(count(lit(1)).as("c"))
+    val capped = buckets.join(
+      bucketSizes.filter(col("c") <= maxBucketSize).select(col("chunk"), col("piece")),
+      Seq("chunk", "piece"))
     val left = capped.select(col("chunk"), col("piece"),
       col("doc").as("doc_a"), col("sim").as("sim_a"))
     val right = capped.select(col("chunk"), col("piece"),
@@ -404,8 +412,6 @@ object NearDup {
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
-    val bucketSizes = buckets.groupBy(col("chunk"), col("piece"))
-      .agg(count(lit(1)).as("c"))
     (pairs, Seq(withSim), bucketSizes)
   }
 }
