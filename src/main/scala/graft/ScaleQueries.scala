@@ -94,6 +94,11 @@ object ScaleQueries {
     ()
   }
 
+  /** Bench-harness hook (see [[graft.ext.similarity.IvfKNN.clearBuildMemos]]):
+    * forget the layout memo so the next ensure call rebuilds — the
+    * saveAsTable writes are mode(overwrite), so a rebuild is safe. */
+  private[graft] def clearLayoutMemo(): Unit = layoutMemo.clear()
+
   private def bucketedTables(s: SparkSession, dir: String): (String, String) = {
     // memo hits must be re-validated against THIS session's catalog:
     // table registrations die with their SparkSession, so a new

@@ -210,6 +210,16 @@ object IvfKNN {
   private val lloydMemo =
     new scala.collection.concurrent.TrieMap[(String, String, String, Int, Int), Seq[DCentroid]]
 
+  /** Drop every training memo so the NEXT build call retrains from
+    * scratch — bench-harness hook (ScaleBench times at-rest builds
+    * min-of-N; without this the second rep would hit the memo and
+    * time nothing). Not for production paths, which rely on the
+    * memos for build-once-per-corpus cost. */
+  private[graft] def clearBuildMemos(): Unit = {
+    codebookMemo.clear()
+    lloydMemo.clear()
+  }
+
   /** [[lloydOnceExact]] + (iterations-1) × [[lloydStepExact]] from
     * the cached seed, memoized per (corpus snapshot, k, iterations) —
     * training is index-build cost, paid once; a rewritten corpus gets
