@@ -72,4 +72,26 @@ class NearDupStatsSpec extends SparkSpec {
     assert(st.buckets > 0 && st.maxBucket > 0)
     assert(st.candidates <= st.candidatesPreCap)
   }
+
+  test("miner plans contain no window operator (agg+join skew cap)") {
+    // the count-over-window skew cap buffered a hot bucket's entire
+    // membership per task and OOM'd the 316× ladder rung (round 6);
+    // the cap must stay a hash-agg + semi-join, so a WindowExec
+    // anywhere in either miner's physical plan is a regression
+    def windowFree(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val hits = df.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(hits.isEmpty, s"$tag plans a WindowExec: ${hits.headOption}")
+    }
+    val (mh, mhCaches) = NearDup.minhashPairsPlan(corpus, "doc_id", "text",
+      shingleSize = 2, bands = 16, rowsPerBand = 4, threshold = 0.5,
+      maxBucketSize = 1000)
+    try windowFree(mh, "minhash miner")
+    finally mhCaches.foreach(_.unpersist())
+    val (sh, shCaches) = NearDup.simhashPairsPlan(corpus, "doc_id", "text",
+      maxHamming = 3, maxBucketSize = 1000)
+    try windowFree(sh, "simhash miner")
+    finally shCaches.foreach(_.unpersist())
+  }
 }
