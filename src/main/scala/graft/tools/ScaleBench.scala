@@ -35,9 +35,12 @@ import org.apache.spark.sql.SparkSession
   *
   * Methodology matches [[graft.Bench]]: min-of-N reps (default 2) per
   * query per SF, at-rest builds run explicitly BEFORE the query loop
-  * (their cost reported per-SF in a "builds" section — index builds
-  * scale with the corpus too and must not hide in a first rep),
-  * count() to force, caches kept within an SF, cleared between SFs.
+  * and ALSO at min-of-N with their memos cleared between reps (their
+  * cost reported per-SF in a "builds" section — index builds scale
+  * with the corpus too and must not hide in a first rep, and a
+  * single-shot build cell would carry shared-host noise the query
+  * rows' min filters out), count() to force, caches kept within an
+  * SF, cleared between SFs.
   *
   * JIT control: the first measured pass of a fresh JVM pays classload,
   * codegen compilation and C2 warmup for EVERY plan shape — enough at
