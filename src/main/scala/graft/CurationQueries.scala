@@ -29,17 +29,20 @@ object CurationQueries {
     * pair stage stays linear as the corpus grows — the oracle computes
     * the SAME K from the same rule via a scalar subquery, so parity
     * holds at every SF. Assignment goes through the TWO-LEVEL
-    * quantizer (coarse cells = the ⌈√K⌉ lowest-id centroids, 2 probed
-    * cells per row — [[graft.ext.similarity.IvfKNN.assignListsHier]]),
-    * the fix for the flat form's O(n²·dim/250) assignment the round-5
-    * ladder measured; the oracle replays the identical two-level rule
-    * (coarse routing QUALIFY ≤ 2, then argmax over the probed cells'
-    * centroids), so the whole approximate pipeline stays hash-exact. */
+    * quantizer with the fine codebook AS A DISTRIBUTED TABLE
+    * ([[graft.ext.similarity.IvfKNN.fineCodebookTable]] +
+    * [[graft.ext.similarity.IvfKNN.assignListsJoined]]): only the
+    * ⌈√K⌉ coarse centroids are plan literals; the K ∝ n fine
+    * centroids are joined as data — the 100 TB fix for the
+    * driver-held codebook. The oracle replays the identical two-level
+    * rule (coarse routing QUALIFY ≤ 2, then argmax over the probed
+    * cells' centroids via the member join), so the whole approximate
+    * pipeline stays hash-exact. */
   private def qSemanticDedup(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
     val k = SemanticDedup.scaledClusterCount(e.count())
-    val cents = IvfKNN.cachedSampledCentroids(e, "vec_id", "embedding", k, dir)
-    SemanticDedup.verdicts(e, "vec_id", "embedding", cents, threshold = 0.3)
+    SemanticDedup.verdicts(e, "vec_id", "embedding", k, threshold = 0.3,
+        probes = 2, source = dir)
       .orderBy(col("vec_id"))
   }
 
@@ -66,11 +69,18 @@ object CurationQueries {
       |        FROM cent c, coarse g)
       |  GROUP BY cid, gid),
       |member AS (
-      |  SELECT d.cid, d.gid FROM cgd d
-      |  JOIN cnorm cn ON cn.cid = d.cid
-      |  JOIN gnorm gn ON gn.gid = d.gid
-      |  QUALIFY row_number() OVER (PARTITION BY d.cid
-      |    ORDER BY round(d.dot / (sqrt(cn.cn) * sqrt(gn.gn)), 9) DESC, d.gid) = 1),
+      |  -- a coarse cell owns its own centroid BY CONSTRUCTION (cid < C
+      |  -- routes to itself), so no cell is ever empty; only cid >= C
+      |  -- route by nearest-coarse argmax
+      |  SELECT gid AS cid, gid FROM coarse
+      |  UNION ALL
+      |  SELECT cid, gid FROM (
+      |    SELECT d.cid, d.gid FROM cgd d
+      |    JOIN cnorm cn ON cn.cid = d.cid
+      |    JOIN gnorm gn ON gn.gid = d.gid
+      |    WHERE d.cid >= (SELECT count(*) FROM coarse)
+      |    QUALIFY row_number() OVER (PARTITION BY d.cid
+      |      ORDER BY round(d.dot / (sqrt(cn.cn) * sqrt(gn.gn)), 9) DESC, d.gid) = 1)),
       |vgd AS (
       |  SELECT vec_id, gid, SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot
       |  FROM (SELECT e.vec_id, g.gid, unnest(e.embedding) AS x, unnest(g.gv) AS y

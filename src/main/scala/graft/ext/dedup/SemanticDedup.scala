@@ -17,11 +17,14 @@ import org.apache.spark.sql.functions._
   * uses 50k clusters for LAION-440M), so per-cluster work stays
   * bounded. The plan is:
   *
-  *  1. quantize: [[IvfKNN.assignListsHier]] — a pure map stage, no
-  *     shuffle (same machinery as the IVF ANN index) routed through
-  *     the two-level quantizer: ⌈√K⌉ coarse cells + `probes` probed
-  *     cells per row, ~3·√K·dim work instead of K·dim (K scales with
-  *     the corpus here, so the flat form was quadratic overall);
+  *  1. quantize: [[IvfKNN.assignListsJoined]] — coarse-probe (the
+  *     ⌈√K⌉ coarse centroids are the only plan literals) + broadcast
+  *     join against the probed cells' fine centroids, which live in a
+  *     DISTRIBUTED [[IvfKNN.fineCodebookTable]] (K ∝ n rows — data,
+  *     not driver metadata); ~3·√K·dim work per row instead of K·dim
+  *     (K scales with the corpus here, so the flat form was quadratic
+  *     overall, and the inlined-literal form broke the driver once
+  *     K ∝ n);
   *  2. pair: self-join on `list_id` — ONE shuffle of (id, vec, norm)
   *     keyed by cluster, pairs generated inside each cluster
   *     partition;
@@ -52,18 +55,32 @@ object SemanticDedup {
 
   /** Per-vector verdict frame: (vid, list_id, kept). `kept = false`
     * iff some lower-id vector in the same cluster is within the
-    * cosine threshold. Output is one row per input vector. */
+    * cosine threshold. Output is one row per input vector.
+    *
+    * The codebook is handled AS DATA ([[IvfKNN.fineCodebookTable]] +
+    * [[IvfKNN.assignListsJoined]]): K scales with the corpus here
+    * (K = n/250), so only the C = ⌈√K⌉ coarse centroids are ever
+    * driver-resident/plan literals; the K fine centroids stay a
+    * distributed table joined on the probed coarse cell. At 25 B docs
+    * that is ~10⁸ codebook ROWS but still only ~10⁴ driver-held
+    * coarse vectors — the piece that previously broke the 100 TB
+    * thought experiment. */
   def verdicts(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      centroids: Seq[IvfKNN.Centroid],
+      k: Int,
       threshold: Double,
-      probes: Int = 2): DataFrame = {
+      probes: Int = 2,
+      source: String = "mem"): DataFrame = {
+    val c = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val coarse = IvfKNN.cachedSampledCentroids(corpus, idCol, vecCol, c, source)
+    val fine = IvfKNN.fineCodebookTable(corpus, idCol, vecCol, k, coarse)
     // cache: the assigned frame feeds both sides of the pair join and
     // the verdict spine; without a materialization point the
-    // quantizer's dot products would re-run three times per row
-    val lists = IvfKNN.assignListsHier(corpus, vecCol, centroids, probes)
+    // quantizer's probe join would re-run three times per row
+    val lists = IvfKNN.assignListsJoined(
+        corpus.select(col(idCol), col(vecCol)), idCol, vecCol, coarse, fine, probes)
       .select(col(idCol).as("vid"), col(vecCol).as("v"),
         CosineKNN.norm(col(vecCol)).as("n"), col("list_id"))
       .cache()

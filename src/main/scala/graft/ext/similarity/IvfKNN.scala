@@ -349,21 +349,31 @@ object IvfKNN {
     val coarse = sorted.take(c)
     val members = Array.fill(c)(Seq.newBuilder[Int])
     sorted.foreach { f =>
-      var best = Double.NegativeInfinity
-      var bestG = 0
-      var first = true
-      coarse.foreach { g =>
-        var dot = 0.0
-        val n = math.min(f.vec.length, g.vec.length)
-        var i = 0
-        while (i < n) { dot += f.vec(i).toDouble * g.vec(i).toDouble; i += 1 }
-        val s = java.math.BigDecimal.valueOf(dot / (f.norm * g.norm))
-          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
-        if (first || java.lang.Double.compare(s, best) > 0) {
-          best = s; bestG = g.id; first = false
+      // a coarse cell's own centroid is PINNED to its cell: cos(g,g)
+      // rounds to 1.0 so the argmax would normally pick it anyway, but
+      // a duplicate centroid at a lower id ties at 1.0 and would steal
+      // it, leaving cell g empty — and an all-empty probe set has no
+      // defined answer (the oracle's member join just drops the row).
+      // Pinning makes every cell non-empty BY CONSTRUCTION; the oracle
+      // mirrors the rule (member CTE: cid < C routes to itself).
+      if (f.id < c) { members(f.id) += f.id }
+      else {
+        var best = Double.NegativeInfinity
+        var bestG = 0
+        var first = true
+        coarse.foreach { g =>
+          var dot = 0.0
+          val n = math.min(f.vec.length, g.vec.length)
+          var i = 0
+          while (i < n) { dot += f.vec(i).toDouble * g.vec(i).toDouble; i += 1 }
+          val s = java.math.BigDecimal.valueOf(dot / (f.norm * g.norm))
+            .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+          if (first || java.lang.Double.compare(s, best) > 0) {
+            best = s; bestG = g.id; first = false
+          }
         }
+        members(bestG) += f.id
       }
-      members(bestG) += f.id
     }
     HierLayer(coarse, members.toIndexedSeq.map(_.result()))
   }
@@ -384,6 +394,77 @@ object IvfKNN {
     corpus.withColumn("list_id", graft.functions.NearestCentroidHier(
       col(vecCol), hl.coarse.map(_.vec.toSeq), hl.coarse.map(_.norm),
       hl.members, sorted.map(_.vec.toSeq), sorted.map(_.norm), probes))
+  }
+
+  // ------------------------------------------- codebook-as-data assignment
+
+  /** The fine codebook as a DISTRIBUTED table instead of plan
+    * literals — the 100 TB path for corpus-proportional K (SemDeDup's
+    * K = n/250 is ~10⁸ centroids at a 25 B-doc corpus: collecting
+    * them to the driver and folding them into every quantizer
+    * expression breaks the driver and the plan long before the
+    * executors feel it).
+    *
+    * Columns: `cid` (centroid id = the source row's id — the codebook
+    * rule is "the K lowest-id corpus vectors", same as the oracle's
+    * `WHERE vec_id < K`, so ids must be dense 0..n-1, the graft
+    * convention), `cv` (vector), `cnorm`, and `gid` (owning coarse
+    * cell). Only the C = ⌈√K⌉ coarse centroids ever live on the
+    * driver; fine membership is computed DISTRIBUTED as a pure map
+    * over the K codebook rows (C·dim work each, coarse level folded
+    * as literals — C grows as √n, e.g. ~10⁴ at 10⁸ centroids).
+    * Coarse cells own their own centroid by construction (`cid < C`
+    * pins `gid = cid` — see [[hierLayer]]), so no cell is empty and
+    * every probe set has candidates. At rest, write this table
+    * partitioned/bucketed by `gid`. */
+  def fineCodebookTable(
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      coarse: Seq[Centroid]): DataFrame = {
+    val c = coarse.length
+    corpus.filter(col(idCol) < k)
+      .select(col(idCol).cast("long").as("cid"),
+        col(vecCol).as("cv"),
+        CosineKNN.norm(col(vecCol)).as("cnorm"),
+        when(col(idCol) < c, col(idCol).cast("long"))
+          .otherwise(nearestCentroid(col(vecCol), coarse)).as("gid"))
+  }
+
+  /** Two-level assignment with the fine codebook AS DATA: each row is
+    * routed to its `probes` nearest coarse cells (coarse level = plan
+    * literals, the only driver-resident piece) and then JOINED against
+    * the probed cells' fine centroids from [[fineCodebookTable]] —
+    * per-row argmax by (rounded cosine DESC, cid ASC), the identical
+    * rule to [[assignListsHier]]'s inlined form (IvfSpec pins the two
+    * paths equal row-for-row).
+    *
+    * Scale shape: explode(probes) → join on `gid` → hash-agg argmax
+    * keyed by the row id. With `broadcastFine` the codebook ships to
+    * executors once and the corpus never moves; past broadcast size
+    * (~10⁷ centroids) set it false and the join shuffles by `gid`
+    * against the bucketed at-rest codebook — the standard IVF probe
+    * join, same shape as [[ivfTopK]]. The argmax agg is map-side
+    * (candidates for a row never leave its partition under broadcast),
+    * so the shuffle moves exactly one row per input row.
+    *
+    * Output: (idCol, vecCol, list_id) — same surface as
+    * [[assignListsHier]]. */
+  def assignListsJoined(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      coarse: Seq[Centroid], fine: DataFrame, probes: Int,
+      broadcastFine: Boolean = true): DataFrame = {
+    val probed = corpus.select(col(idCol), col(vecCol),
+      CosineKNN.norm(col(vecCol)).as("__vn"),
+      explode(probeLists(col(vecCol), coarse, probes)).as("gid"))
+    val f = if (broadcastFine) broadcast(fine) else fine
+    probed.join(f, "gid")
+      .withColumn("__cos",
+        round(CosineKNN.dot(col(vecCol), col("cv")) / (col("__vn") * col("cnorm")), 9))
+      .groupBy(col(idCol))
+      .agg(
+        first(col(vecCol)).as(vecCol),
+        max(struct(col("__cos").as("cos"), (-col("cid")).as("negid"))).as("__best"))
+      .select(col(idCol), col(vecCol),
+        (-col("__best.negid")).as("list_id"))
   }
 
   /** The original Column-API formulation of [[nearestCentroid]] —

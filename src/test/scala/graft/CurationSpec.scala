@@ -24,9 +24,8 @@ class CurationSpec extends SparkSpec {
 
   test("semantic dedup: keeps lowest id per near-dup pair, one verdict per vector") {
     val e = Tables(spark, sf, "embeddings")
-    val cents = IvfKNN.sampledCentroids(e, "vec_id", "embedding", 8)
     val (v, leaked) = newPersistedAfter(
-      SemanticDedup.verdicts(e, "vec_id", "embedding", cents, threshold = 0.3))
+      SemanticDedup.verdicts(e, "vec_id", "embedding", k = 8, threshold = 0.3))
     assert(leaked.isEmpty, s"semantic dedup leaked cached RDDs: $leaked")
     val rows = v.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     assert(rows.length == e.count())

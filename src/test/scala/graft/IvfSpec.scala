@@ -224,6 +224,43 @@ class IvfSpec extends SparkSpec {
     assert(flat.exceptAll(hier).isEmpty && hier.exceptAll(flat).isEmpty)
   }
 
+  test("codebook-as-data: fine table partitions dense ids, every cell owns its centroid") {
+    val cents = IvfKNN.sampledCentroids(emb, "vec_id", "embedding", 8)
+    val hl = IvfKNN.hierLayer(cents)
+    val fine = IvfKNN.fineCodebookTable(emb, "vec_id", "embedding", 8, hl.coarse)
+      .select($"cid", $"gid").as[(Long, Long)].collect().sortBy(_._1)
+    assert(fine.map(_._1).toList == (0L until 8L).toList)
+    assert(fine.forall(_._2 < hl.coarse.length))
+    // pinning: cell g contains fine centroid g (no empty cells possible)
+    hl.coarse.foreach(g => assert(fine.contains((g.id.toLong, g.id.toLong))))
+    // and the distributed membership equals the driver-side hierLayer's
+    val hlPairs = hl.members.zipWithIndex
+      .flatMap { case (ms, g) => ms.map(c => (c.toLong, g.toLong)) }.sortBy(_._1)
+    assert(fine.toList == hlPairs.toList)
+  }
+
+  test("join-based assignment equals the inlined hier quantizer row-for-row") {
+    val cents = IvfKNN.sampledCentroids(emb, "vec_id", "embedding", 8)
+    val hl = IvfKNN.hierLayer(cents)
+    val fine = IvfKNN.fineCodebookTable(emb, "vec_id", "embedding", 8, hl.coarse)
+    val joined = IvfKNN.assignListsJoined(
+        emb.select($"vec_id", $"embedding"), "vec_id", "embedding",
+        hl.coarse, fine, probes = 2)
+      .select($"vec_id", $"list_id")
+    val hier = IvfKNN.assignListsHier(emb, "embedding", cents, probes = 2)
+      .select($"vec_id", $"list_id")
+    assert(joined.count() == emb.count(), "join path must keep every row")
+    assert(joined.exceptAll(hier).isEmpty && hier.exceptAll(joined).isEmpty)
+    // plan: broadcast join against the codebook table — never a
+    // cartesian/BNLJ, never a window; the fine codebook must NOT
+    // appear as plan literals (only the C coarse vectors do)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("hier quantizer is a pure map and routes tight clusters like the flat one") {
     val cents = IvfKNN.sampledCentroids(emb, "vec_id", "embedding", 8)
     val plan = IvfKNN.assignListsHier(emb, "embedding", cents, probes = 2)
