@@ -151,6 +151,22 @@ case class NearestCentroidHier(
       }
       q += 1
     }
+    // Probed cells can all be empty only for a caller-assembled layer
+    // ([[graft.ext.similarity.IvfKNN.hierLayer]] pins every cell
+    // non-empty by construction) — but if one ever is, the sentinel
+    // Long.MaxValue would flow downstream as a bogus cluster id while
+    // the SQL oracle's probes→members join silently DROPS the row: a
+    // parity divergence. Fall back to scanning the full codebook — the
+    // answer every probe set approximates.
+    if (first) {
+      var c = 0
+      while (c < fine.length) {
+        val s = round9(dotWith(fine(c)) / (vnorm * fnorms(c)))
+        val cmp = java.lang.Double.compare(s, best)
+        if (first || cmp > 0) { best = s; bestIdx = c.toLong; first = false }
+        c += 1
+      }
+    }
     bestIdx
   }
 

@@ -42,21 +42,30 @@ object ParquetUpsertSink {
     * with it), `promoteSec` is time spent in the rename/delete state
     * machine AFTER the merged write completed (pure commit cost,
     * no compute). */
-  case class UpsertIo(calls: Long, filesWritten: Long, promoteSec: Double) {
+  case class UpsertIo(
+      calls: Long, filesWritten: Long, promoteSec: Double, countFailures: Long = 0) {
     def json: String =
       s"""{"calls":$calls,"files_written":$filesWritten,""" +
-        s""""promote_sec":${math.rint(promoteSec * 1000) / 1000}}"""
+        s""""promote_sec":${math.rint(promoteSec * 1000) / 1000},""" +
+        s""""count_failures":$countFailures}"""
   }
   private val ioAcc =
     new java.util.concurrent.atomic.AtomicReference(UpsertIo(0, 0, 0.0))
   def resetIoStats(): Unit = ioAcc.set(UpsertIo(0, 0, 0.0))
   def ioStats: UpsertIo = ioAcc.get()
+  /** A negative `files` is [[countDataFiles]]'s listing-failure
+    * sentinel: adding it into the cumulative sum would silently skew
+    * the counter by −1 per failure, so it is recorded as an explicit
+    * `countFailures` tick instead (the sum stays a sum of real
+    * counts, and the failure is visible in the artifact). */
   private def recordIo(files: Long, promoteSec: Double): Unit = {
     var done = false
     while (!done) {
       val cur = ioAcc.get()
       done = ioAcc.compareAndSet(cur, UpsertIo(
-        cur.calls + 1, cur.filesWritten + files, cur.promoteSec + promoteSec))
+        cur.calls + 1, cur.filesWritten + math.max(files, 0L),
+        cur.promoteSec + promoteSec,
+        cur.countFailures + (if (files < 0) 1 else 0)))
     }
   }
 
@@ -274,7 +283,6 @@ object ParquetUpsertSink {
           .option("partitionOverwriteMode", "dynamic")
           .mode("overwrite")
           .parquet(tablePath)
-        recordIo(countDataFiles(spark, tablePath), 0.0)
         if (moved.nonEmpty) {
           // a partition whose only rows moved away produces no output
           // rows, so dynamic overwrite leaves its stale files — drop it
@@ -286,6 +294,9 @@ object ParquetUpsertSink {
             f.delete(new Path(s"${tablePath.stripSuffix("/")}/$partitionCol=$v"), true)
           }
         }
+        // count AFTER the stale-partition cleanup: a pre-delete count
+        // would include files removed on the next line
+        recordIo(countDataFiles(spark, tablePath), 0.0)
       } finally merged.unpersist()
     } finally incoming.unpersist()
   }

@@ -175,10 +175,16 @@ object ScaleBench {
     def ms(t: Double) = (math.rint(t * 1000) / 1000).toString
     def mb(b: Long) = (math.rint(b / 1048576.0 * 10) / 10).toString
 
+    // a corpus dir is reusable only if complete AND stamped with the
+    // CURRENT generator version: the round-6 artifact reused every
+    // rung (gen_sec all zero) with nothing recording which generator
+    // wrote them — a distribution change would silently measure the
+    // old corpus (round-6 advice). Version mismatch ⇒ regenerate.
     def ensureCorpus(sf: Double): (String, Double) = {
       val dir = s"$workDir/sf$sf"
       val done = new java.io.File(s"$dir/embeddings.parquet/_SUCCESS")
-      if (done.exists()) (dir, 0.0)
+      if (done.exists() && SynthGen.dirVersion(dir).contains(SynthGen.version))
+        (dir, 0.0)
       else {
         val t0 = System.nanoTime()
         SynthGen.generate(spark, dir, sf)
@@ -279,9 +285,16 @@ object ScaleBench {
       // discard the curve beneath it (the error is recorded by rung)
       def arr(f: Rep => String): String =
         points.map(_.best.map(f).getOrElse("null")).mkString(",")
-      val secs = points.flatMap(_.best.map(_.sec))
+      // ratio over the rungs that actually MEASURED, labeled with the
+      // sf span those rungs cover: if an end rung errors, a bare
+      // last/first ratio would silently span a smaller corpus range
+      // than the artifact's corpus_ratio implies (round-6 advice)
+      val ok = sfs.zip(points).collect {
+        case (sf, p) if p.best.isDefined => (sf, p.best.get.sec) }
       val ratio =
-        if (secs.length >= 2 && secs.head > 0) secs.last / secs.head else -1.0
+        if (ok.length >= 2 && ok.head._2 > 0) ok.last._2 / ok.head._2 else -1.0
+      val ratioSpan =
+        if (ok.length >= 2) ok.last._1 / ok.head._1 else -1.0
       val base =
         s""""sec":[${arr(r => ms(r.sec))}],""" +
           s""""rows":[${arr(_.rows.toString)}],""" +
@@ -289,7 +302,7 @@ object ScaleBench {
           s""""shuffle_read_mb":[${arr(r => mb(r.shuffleRead))}],""" +
           s""""mem_spill_mb":[${arr(r => mb(r.memSpill))}],""" +
           s""""disk_spill_mb":[${arr(r => mb(r.diskSpill))}],""" +
-          s""""ratio":${ms(ratio)}"""
+          s""""ratio":${ms(ratio)},"ratio_sf_span":${ms(ratioSpan)}"""
       val errJson = points.zip(measured).collect {
         case (p, (sf, _, _, _)) if p.err.isDefined =>
           "\"sf" + sf + "\":\"" + p.err.get + "\""
@@ -325,6 +338,7 @@ object ScaleBench {
         s"""build-dependent queries absorbs build cost","""
     val detail =
       s"""{"metric":"scale_curve",$note"sfs":[${sfs.mkString(",")}],""" +
+        s""""gen_version":"${SynthGen.version}",""" +
         s""""corpus_ratio":${ms(sfs.max / sfs.min)},"reps":$reps,""" +
         s""""cpus":$cpus,"initial_partitions":$initialParts,""" +
         s""""heap":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",""" +

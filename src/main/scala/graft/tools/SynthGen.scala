@@ -60,8 +60,55 @@ object SynthGen {
     sqrt(lit(-2.0) * log(u(tag + "#u1", cols: _*))) *
       cos(lit(2.0 * math.Pi) * u(tag + "#u2", cols: _*))
 
+  /** Generator version, written to each corpus dir as `_GEN_VERSION`
+    * and checked by [[ScaleBench]] before reusing a pre-existing
+    * corpus: the round-6 artifact showed gen_sec [0,0,…] — every rung
+    * silently reused a directory, with nothing recording which
+    * generator produced it, so a distribution change (like round 6's
+    * Heaps-law vocabulary) could leave stale rungs measuring the OLD
+    * corpus. Bump on ANY change to the generated distributions. */
+  val version: String = "r7-windowed-doc-dups+planted-emb-dups"
+
+  def nDocs(sf: Double): Long = math.max(1L, (50000 * sf).toLong)
+  def nEmb(sf: Double): Long = math.max(1L, (20000 * sf).toLong)
+
+  /** Base-doc id for a planted near-dup doc (callers guard on the
+    * %20==11 dup lattice). Window-local for doc_id < 200 (see
+    * [[documents]]); the +1 step off the lattice means the base is
+    * never itself a dup and never the doc itself. */
+  private def docDupBase(n: Long): Column = {
+    val p = h("docbase", n, col("doc_id"))
+    val w = math.min(200L, n)
+    when(col("doc_id") < w, pmod(col("doc_id") + 1, lit(w)))
+      .otherwise(
+        when(pmod(p, lit(20)) === 11, pmod(p + 1, lit(n))).otherwise(p))
+  }
+
+  private def embDupBase(n: Long): Column = {
+    val p = h("embbase", n, col("vec_id"))
+    when(pmod(p, lit(20)) === 11, pmod(p + 1, lit(n))).otherwise(p)
+  }
+
+  /** Ground-truth planted (dup, base) doc pairs at `sf` — the recall
+    * sampler's target set (pure expressions; never materialized at
+    * generation time). */
+  def plantedDocPairs(spark: SparkSession, sf: Double): DataFrame = {
+    val n = nDocs(sf)
+    spark.range(n).toDF("doc_id")
+      .filter(pmod(col("doc_id"), lit(20)) === 11)
+      .select(col("doc_id").as("dup_id"), docDupBase(n).as("base_id"))
+  }
+
+  /** Ground-truth planted (dup, base) embedding pairs at `sf`. */
+  def plantedEmbPairs(spark: SparkSession, sf: Double): DataFrame = {
+    val n = nEmb(sf)
+    spark.range(n).toDF("vec_id")
+      .filter(pmod(col("vec_id"), lit(20)) === 11)
+      .select(col("vec_id").as("dup_id"), embDupBase(n).as("base_id"))
+  }
+
   def documents(spark: SparkSession, sf: Double): DataFrame = {
-    val n = math.max(1L, (50000 * sf).toLong)
+    val n = nDocs(sf)
     val vocabArr = array(vocab.map(lit): _*)
     // tail vocabulary grows with the corpus so random-pair Jaccard
     // stays ≈ 0 at every rung (see class doc); head and tail tokens
@@ -71,14 +118,16 @@ object SynthGen {
     // random 40% head mix (measured via MineStats)
     val tailV = math.max(4096L, n)
     val base = spark.range(n).toDF("doc_id")
-      // 5% of docs are near-copies of a hash-chosen base doc
+      // 5% of docs are near-copies of a hash-chosen base doc. A dup
+      // whose own id falls inside the first-200 window points at a base
+      // INSIDE the window (doc_id+1 — never a dup id since dup ids sit
+      // on the %20==11 lattice, never self): docs_dup_groups mines the
+      // doc_id<200 window, and uniform bases are almost always ≥200, so
+      // the windowed query's pair graph was EMPTY at every ladder rung
+      // (round-6 advice) and its curve measured fixed overhead.
       .withColumn("is_dup", pmod(col("doc_id"), lit(20)) === 11)
-      .withColumn("base_id", {
-        val p = h("docbase", n, col("doc_id"))
-        when(col("is_dup"),
-          when(pmod(p, lit(20)) === 11, pmod(p + 1, lit(n))).otherwise(p))
-          .otherwise(col("doc_id"))
-      })
+      .withColumn("base_id",
+        when(col("is_dup"), docDupBase(n)).otherwise(col("doc_id")))
       .withColumn("n_words", (h("doclen", 91, col("base_id")) + 10).cast("int"))
       .withColumn("words", transform(
         sequence(lit(0), col("n_words") - 1),
@@ -108,10 +157,21 @@ object SynthGen {
   }
 
   def embeddings(spark: SparkSession, sf: Double): DataFrame = {
-    val n = math.max(1L, (20000 * sf).toLong)
+    val n = nEmb(sf)
+    // 5% planted near-duplicate vectors (vec_id %20 == 11): the base
+    // vector's gaussians plus a 0.05-scaled perturbation, giving
+    // cosine ≈ 0.9988 to the base after normalization — the ground
+    // truth the per-rung recall sampler checks SemDeDup / the cosine
+    // LSH miner against (non-dup rows are bit-identical to the
+    // pre-planting generator: their base_id is their own id).
     val raw = transform(sequence(lit(0), lit(63)),
-      i => gauss("emb", col("vec_id"), i))
+      i => gauss("emb", col("base_id"), i) +
+        when(col("is_dup"), lit(0.05) * gauss("embpert", col("vec_id"), i))
+          .otherwise(lit(0.0)))
     spark.range(n).toDF("vec_id")
+      .withColumn("is_dup", pmod(col("vec_id"), lit(20)) === 11)
+      .withColumn("base_id",
+        when(col("is_dup"), embDupBase(n)).otherwise(col("vec_id")))
       .withColumn("raw", raw)
       .withColumn("norm", sqrt(aggregate(col("raw"), lit(0.0),
         (acc, x) => acc + x * x)))
@@ -267,6 +327,20 @@ object SynthGen {
       "embeddings" -> embeddings(spark, sf))
     tables.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    }
+    // version marker LAST: a dir with tables but no (current) marker is
+    // treated as stale by ScaleBench and regenerated
+    val vf = new java.io.PrintWriter(s"$outDir/_GEN_VERSION")
+    try vf.println(version) finally vf.close()
+  }
+
+  /** The version recorded in `dir`'s marker, if any. */
+  def dirVersion(dir: String): Option[String] = {
+    val f = new java.io.File(s"$dir/_GEN_VERSION")
+    if (!f.exists()) None
+    else {
+      val src = scala.io.Source.fromFile(f)
+      try Some(src.getLines().mkString.trim) finally src.close()
     }
   }
 
