@@ -630,7 +630,11 @@ object LlmQueries {
       .orderBy(col("list_id"))
   }
 
-  private val qIvfLloydSql =
+  /** Shared oracle prefix: seed codebook → seed assignment → one
+    * exact-Lloyd step → stabilized reassignment (`assign1`) + trained
+    * norms (`tnorm`). Consumed by both the literal-codebook lloyd
+    * query and the codebook-as-data twin. */
+  private val lloyd1PrefixSql =
     """WITH cent AS (
       |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
       |norms AS (
@@ -680,7 +684,10 @@ object LlmQueries {
       |  FROM vtd d JOIN tnorm tn ON tn.list_id = d.list_id),
       |assign1 AS (
       |  SELECT vec_id, list_id AS list1 FROM scored1
-      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, list_id) = 1),
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, list_id) = 1)""".stripMargin
+
+  private val qIvfLloydSql = lloyd1PrefixSql +
+    """,
       |j AS (
       |  SELECT a0.vec_id, a0.list0, a1.list1
       |  FROM assign0 a0 JOIN assign1 a1 ON a1.vec_id = a0.vec_id),
@@ -699,6 +706,39 @@ object LlmQueries {
       |LEFT JOIN c1 ON c1.list_id = i.list_id
       |LEFT JOIN dep ON dep.list_id = i.list_id
       |ORDER BY i.list_id""".stripMargin
+
+  /** The codebook-as-data Lloyd twin (round-6 verdict task 1): one
+    * exact-Lloyd iteration where the codebook is a DataFrame END TO
+    * END — [[IvfKNN.lloydTrainTable]] never collects the means and
+    * [[IvfKNN.assignExactJoined]] scores through a broadcast join
+    * instead of plan literals, so nothing codebook-shaped ever lives
+    * on the driver or in the plan (the piece that breaks at
+    * K ∝ corpus). Reported as per-list member counts under the
+    * trained codebook plus the trained norm rounded to 9 dp — the
+    * norm pins the TABLE the join produced, not just the assignment.
+    * The oracle replays the identical iteration (same CTEs as
+    * emb_ivf_lloyd through `assign1`/`tnorm`), so a single flipped
+    * assignment or a drifted mean anywhere fails the hash compare. */
+  private def qIvfLloydTable(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val e = emb(s, dir)
+    val book = IvfKNN.lloydTrainTable(e, "vec_id", "embedding", k, iterations = 1)
+    val counts = IvfKNN.assignExactJoined(e, "vec_id", "embedding", book, stable = true)
+      .groupBy(col("list_id")).agg(count(lit(1)).as("cnt"))
+    book.select(col("cid").as("list_id"), round(col("cnorm"), 9).as("tnorm9"))
+      .join(counts, Seq("list_id"), "left")
+      .select(col("list_id"), coalesce(col("cnt"), lit(0L)).as("cnt_lloyd"),
+        col("tnorm9"))
+      .orderBy(col("list_id"))
+  }
+
+  private val qIvfLloydTableSql = lloyd1PrefixSql +
+    """,
+      |cnts AS (SELECT list1 AS list_id, COUNT(*) AS cnt FROM assign1 GROUP BY list1)
+      |SELECT tn.list_id, COALESCE(c.cnt, 0) AS cnt_lloyd,
+      |  round(tn.tn, 9) AS tnorm9
+      |FROM tnorm tn LEFT JOIN cnts c ON c.list_id = tn.list_id
+      |ORDER BY tn.list_id""".stripMargin
 
   /** Second Lloyd iteration, same reporting shape as emb_ivf_lloyd
     * but comparing iteration 1 vs iteration 2 assignments — the
@@ -1035,6 +1075,7 @@ object LlmQueries {
     "emb_knn_ivf"         -> (qKnnIvf _),
     "emb_ivf_lloyd"       -> (qIvfLloyd _),
     "emb_ivf_lloyd2"      -> (qIvfLloyd2 _),
+    "emb_ivf_lloyd_table" -> (qIvfLloydTable _),
     "docs_term_rank"      -> (qTermRank _),
     "docs_split"          -> (qSplit _),
     "emb_neardup_pairs"   -> (qEmbNearDup _),
@@ -1062,6 +1103,7 @@ object LlmQueries {
     "emb_knn_ivf"        -> qKnnIvfSql,
     "emb_ivf_lloyd"      -> qIvfLloydSql,
     "emb_ivf_lloyd2"     -> qIvfLloyd2Sql,
+    "emb_ivf_lloyd_table" -> qIvfLloydTableSql,
     "docs_term_rank"     -> qTermRankSql,
     "docs_split"         -> qSplitSql,
     "emb_neardup_pairs"  -> qEmbNearDupSql,

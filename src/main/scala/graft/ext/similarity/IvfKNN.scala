@@ -132,6 +132,16 @@ object IvfKNN {
 
   private val dec12 = DecimalType(38, 12)
 
+  /** Accumulator type for decimal fold chains: scale 12 like [[dec12]]
+    * but precision 30, so `Decimal(30,12) + Decimal(30,12)` infers
+    * precision 31 ≤ 38 and the add stays EXACT. A (38,12) accumulator
+    * infers precision 39 > the 38 max, and Spark's precision-loss rule
+    * silently rescales the result to (38,11) — HALF_UP rounding the
+    * running sum at 11 decimals on EVERY fold step, a ~1e-11 drift per
+    * 64-term chain that broke bit-parity with the driver-side exact
+    * BigDecimal recipe (caught by IvfSpec's table-Lloyd pin). */
+  private val dec12acc = DecimalType(30, 12)
+
   /** |v| where v² terms are rounded to 12 decimals and summed as
     * exact decimals — order-independent, so a DuckDB GROUP BY (which
     * guarantees no accumulation order) reproduces it bit-for-bit:
@@ -252,9 +262,9 @@ object IvfKNN {
   private def dotStable(vec: Column, c: DCentroid): Column = {
     val cv = array(c.vec.toIndexedSeq.map(lit): _*)
     aggregate(
-      zip_with(vec, cv, (x, m) => round(x.cast("double") * m, 12).cast(dec12)),
-      lit(java.math.BigDecimal.ZERO).cast(dec12),
-      (acc, y) => (acc + y).cast(dec12)
+      zip_with(vec, cv, (x, m) => round(x.cast("double") * m, 12).cast(dec12acc)),
+      lit(java.math.BigDecimal.ZERO).cast(dec12acc),
+      (acc, y) => (acc + y).cast(dec12acc)
     ).cast("double")
   }
 
@@ -465,6 +475,130 @@ object IvfKNN {
         max(struct(col("__cos").as("cos"), (-col("cid")).as("negid"))).as("__best"))
       .select(col(idCol), col(vecCol),
         (-col("__best.negid")).as("list_id"))
+  }
+
+  // ------------------------------------------------ codebook-as-data Lloyd
+
+  /** [[dotStable]] against a codebook COLUMN instead of a plan
+    * literal — the same order-independent 12-dp decimal fold, usable
+    * when the codebook arrives via a join. */
+  private def dotStableCol(vec: Column, cm: Column): Column =
+    aggregate(
+      zip_with(vec, cm, (x, m) => round(x.cast("double") * m, 12).cast(dec12acc)),
+      lit(java.math.BigDecimal.ZERO).cast(dec12acc),
+      (acc, y) => (acc + y).cast(dec12acc)
+    ).cast("double")
+
+  /** [[stableNorm]] as a column over an array<double> vector: v² terms
+    * rounded to 12 decimals, summed as exact decimals — the SQL form
+    * of the driver-side recipe, identical to the oracle's
+    * `sqrt(CAST(SUM(CAST(round(m*m,12) AS DECIMAL(38,12))) AS DOUBLE))`. */
+  def stableNormCol(cm: Column): Column =
+    sqrt(aggregate(cm,
+      lit(java.math.BigDecimal.ZERO).cast(dec12acc),
+      (acc, m) => (acc + round(m * m, 12).cast(dec12acc)).cast(dec12acc)
+    ).cast("double"))
+
+  /** The seed codebook as a DataFrame — `(cid, cv float vec, cnorm)`,
+    * the K lowest-id corpus vectors (the [[sampledCentroids]] rule)
+    * with the plain float-path norm, never collected to the driver. */
+  def seedCodebookTable(
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+    corpus.filter(col(idCol) < k)
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"),
+        CosineKNN.norm(col(vecCol)).as("cnorm"))
+
+  /** Exact nearest-centroid assignment with the codebook AS DATA:
+    * broadcast the K codebook rows, score every (row, centroid) pair,
+    * per-row argmax by (score DESC, cid ASC) — the same rule as the
+    * literal-folding quantizers, but nothing codebook-shaped ever
+    * lives on the driver or in the plan. `stable = false` scores with
+    * the float-seed arithmetic (`round(dot/(|v|·|c|), 9)` — mirrors
+    * [[nearestCentroid]]); `stable = true` scores with the trained
+    * arithmetic (`round(dotStable/|c|, 9)`, per-row |v| dropped —
+    * mirrors [[nearestCentroidStable]]).
+    *
+    * Scale shape: the broadcast loop-join is bounded by the codebook
+    * (build side = K rows); candidates never leave their partition
+    * and the argmax agg's partial pass reduces them to one row per
+    * input row before the shuffle. Exact assignment is inherently
+    * n·K work — for corpus-proportional K use the probed
+    * [[assignListsJoined]] instead; this is the 100 TB form of the
+    * TRAINING loop's assignment, where the codebook is index-sized
+    * but must not be plan literals. */
+  def assignExactJoined(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, stable: Boolean): DataFrame = {
+    val cb = broadcast(
+      codebook.select(col("cid"),
+        (if (stable) col("cm") else col("cv")).as("__cv"), col("cnorm")))
+    val scored =
+      if (stable)
+        corpus.select(col(idCol), col(vecCol)).crossJoin(cb)
+          .withColumn("__s", round(dotStableCol(col(vecCol), col("__cv")) / col("cnorm"), 9))
+      else
+        corpus.select(col(idCol), col(vecCol),
+            CosineKNN.norm(col(vecCol)).as("__vn")).crossJoin(cb)
+          .withColumn("__s",
+            round(CosineKNN.dot(col(vecCol), col("__cv")) / (col("__vn") * col("cnorm")), 9))
+    scored.groupBy(col(idCol))
+      .agg(
+        first(col(vecCol)).as(vecCol),
+        max(struct(col("__s").as("s"), (-col("cid")).as("negid"))).as("__best"))
+      .select(col(idCol), col(vecCol), (-col("__best.negid")).as("list_id"))
+  }
+
+  /** ONE exact Lloyd step with the codebook as a DataFrame end to end
+    * — the table twin of [[lloydOnceExact]]/[[lloydStepExact]], with
+    * NO `collect()` anywhere: assignment is [[assignExactJoined]],
+    * per-dimension means are the same DECIMAL(18,6) aggregate, the
+    * new codebook is re-assembled as `(cid, cm array<double>, cnorm)`
+    * rows, and empty lists keep their previous centroid via a left
+    * join. The norm is recomputed from the resulting vector in BOTH
+    * branches (the [[lloydOnceExact]] convention).
+    *
+    * `prev` is either a seed table (`cv` float — pass
+    * `stable = false`) or a trained table (`cm` double — `stable =
+    * true`). Output is always the trained shape. */
+  def lloydStepTable(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      prev: DataFrame, stable: Boolean): DataFrame = {
+    val assigned = assignExactJoined(corpus, idCol, vecCol, prev, stable)
+    val means = assigned
+      .select(col("list_id"), posexplode(col(vecCol)))
+      .groupBy(col("list_id"), col("pos"))
+      .agg((sum(col("col").cast("double").cast(DecimalType(18, 6))).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy(col("list_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m")).as("cm"))
+    val prevCm =
+      if (stable) prev.select(col("cid"), col("cm").as("__prev"))
+      else prev.select(col("cid"),
+        transform(col("cv"), x => x.cast("double")).as("__prev"))
+    prevCm.join(means, prevCm("cid") === means("list_id"), "left")
+      .select(col("cid"), coalesce(col("cm"), col("__prev")).as("cm"))
+      .withColumn("cnorm", stableNormCol(col("cm")))
+  }
+
+  /** [[cachedLloydTrain]]'s table twin: seed table → `iterations`
+    * chained [[lloydStepTable]] steps, the codebook a DataFrame
+    * throughout. Each step's (tiny, K-row) output is localCheckpointed
+    * so the iterated join+agg lineage doesn't compound. */
+  def lloydTrainTable(
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1, "lloydTrainTable: iterations must be >= 1")
+    var book = lloydStepTable(
+      corpus, idCol, vecCol,
+      seedCodebookTable(corpus, idCol, vecCol, k), stable = false)
+      .localCheckpoint()
+    (2 to iterations).foreach { _ =>
+      book = lloydStepTable(corpus, idCol, vecCol, book, stable = true)
+        .localCheckpoint()
+    }
+    book
   }
 
   /** The original Column-API formulation of [[nearestCentroid]] —

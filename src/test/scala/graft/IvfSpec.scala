@@ -261,6 +261,38 @@ class IvfSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("table-form Lloyd equals the collected exact trainer bit-for-bit") {
+    val seed = IvfKNN.sampledCentroids(emb, "vec_id", "embedding", 8)
+    val t1 = IvfKNN.lloydOnceExact(emb, "embedding", seed, 64)
+    val t2 = IvfKNN.lloydStepExact(emb, "embedding", t1, 64)
+    def check(book: org.apache.spark.sql.DataFrame,
+        cents: Seq[IvfKNN.DCentroid]): Unit = {
+      val rows = book.orderBy($"cid").collect()
+      assert(rows.length == cents.length)
+      rows.zip(cents.sortBy(_.id)).foreach { case (r, c) =>
+        assert(r.getLong(0) == c.id.toLong)
+        assert(r.getSeq[Double](1) == c.vec.toSeq, s"cid ${c.id}: means differ")
+        assert(r.getDouble(2) == c.norm, s"cid ${c.id}: norm differs")
+      }
+    }
+    val b1 = IvfKNN.lloydTrainTable(emb, "vec_id", "embedding", 8, iterations = 1)
+    check(b1, t1)
+    check(IvfKNN.lloydTrainTable(emb, "vec_id", "embedding", 8, iterations = 2), t2)
+    // joined stable assignment against the table ≡ the literal-folding
+    // native quantizer, row for row
+    val lit = emb.select($"vec_id",
+      IvfKNN.nearestCentroidStable($"embedding", t1).as("list_id"))
+    val joined = IvfKNN.assignExactJoined(emb, "vec_id", "embedding", b1,
+        stable = true)
+      .select($"vec_id", $"list_id")
+    assert(joined.count() == emb.count())
+    assert(joined.exceptAll(lit).isEmpty && lit.exceptAll(joined).isEmpty)
+    // plan hygiene: the codebook rides a broadcast join, not the plan —
+    // no cartesian/BNLJ (the loop join is over the bounded build side)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(2000))
+  }
+
   test("hier quantizer is a pure map and routes tight clusters like the flat one") {
     val cents = IvfKNN.sampledCentroids(emb, "vec_id", "embedding", 8)
     val plan = IvfKNN.assignListsHier(emb, "embedding", cents, probes = 2)

@@ -34,9 +34,16 @@ class RegistryPlanGateSpec extends SparkSpec {
     *    (CosineKNN): the broadcast side is the bounded query set; the
     *    recall baseline the LSH/IVF paths are graded against;
     *  - q22_idle_rich — comparison against a broadcast ONE-ROW scalar
-    *    aggregate (the standard scalar-subquery execution shape). */
+    *    aggregate (the standard scalar-subquery execution shape);
+    *  - emb_ivf_lloyd_table — exact-Lloyd assignment with the codebook
+    *    AS DATA: the broadcast loop join's build side is the K-row
+    *    codebook (bounded index metadata), the scan side streams once;
+    *    exact assignment is inherently n·K work, and the point of the
+    *    query is that the codebook rides a JOIN instead of plan
+    *    literals (round-6 verdict task 1). */
   private val exactOracles =
-    Set("docs_jaccard_pairs", "emb_knn_exact", "multimodal_knn", "q22_idle_rich")
+    Set("docs_jaccard_pairs", "emb_knn_exact", "multimodal_knn", "q22_idle_rich",
+      "emb_ivf_lloyd_table")
 
   /** Allowlisted EMPTY-partition windows, each over a metadata-sized
     * frame, not the corpus:
@@ -56,6 +63,7 @@ class RegistryPlanGateSpec extends SparkSpec {
     * below a filter) breaks the pin by name. */
   private val mustPushFilters = Set(
     "docs_decontaminate", "docs_hash_sample",
+    "emb_ivf_lloyd_table",
     "emb_knn_exact", "emb_knn_ivf", "emb_knn_lsh", "emb_neardup_pairs",
     "etl_entity_split", "etl_split_rejects",
     "q17_small_qty_revenue", "q18_large_orders", "q22_idle_rich",
