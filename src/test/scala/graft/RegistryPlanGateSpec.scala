@@ -63,7 +63,6 @@ class RegistryPlanGateSpec extends SparkSpec {
     * below a filter) breaks the pin by name. */
   private val mustPushFilters = Set(
     "docs_decontaminate", "docs_hash_sample",
-    "emb_ivf_lloyd_table",
     "emb_knn_exact", "emb_knn_ivf", "emb_knn_lsh", "emb_neardup_pairs",
     "etl_entity_split", "etl_split_rejects",
     "q17_small_qty_revenue", "q18_large_orders", "q22_idle_rich",
@@ -75,12 +74,94 @@ class RegistryPlanGateSpec extends SparkSpec {
     "q_pivot_user_events", "q_range_join", "q_range_join_strict",
     "q_scalar_functions", "q_top_orders_per_cust", "q_user_windows")
 
+  /** Literal-payload budget per analyzed plan (round-6 verdict task
+    * 7): the bytes of data VALUES folded into the plan as literals —
+    * array/string literal contents plus the codebook/hyperplane
+    * payloads of graft's native expression nodes (which carry their
+    * metadata as Seq fields, not Literal children). The default
+    * budget is 4 KB: enough for any amount of ordinary predicate/
+    * projection literals, far below anything data-shaped. Exceptions,
+    * each a documented BOUNDED index-metadata inline (measured
+    * bytes):
+    *  - emb_knn_ivf (~13 KB) — the fixed k=8×64-float IVF codebook
+    *    inlined twice (assign + probe), bounded by the FIXED k of the
+    *    ANN query, not the corpus;
+    *  - emb_knn_lsh (~9 KB) — the 4×64 hyperplane matrix, fixed;
+    *  - emb_neardup_pairs (~4.4 KB) — the same hyperplanes once.
+    * The corpus-scaled codebooks (SemDeDup's K = n/250) must NEVER
+    * appear here — their queries ride the codebook-as-data probe join
+    * (IvfKNN.fineCodebookTable / assignListsJoined), and a regression
+    * that re-inlines them fails this budget by name long before the
+    * driver feels it. (Queries that materialize their result during
+    * construction — the LSH miners — are gated at mining-plan level by
+    * their own specs; this check covers every LAZY plan.) */
+  private val literalBudgetBytes = 4096L
+  private val literalBudgetExceptions: Map[String, Long] = Map(
+    "emb_knn_ivf" -> 32768L,
+    "emb_knn_lsh" -> 16384L,
+    "emb_neardup_pairs" -> 8192L)
+
+  private def elemSize(dt: org.apache.spark.sql.types.DataType): Long = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case FloatType | IntegerType => 4
+      case ShortType => 2
+      case ByteType | BooleanType => 1
+      case _ => 8
+    }
+  }
+
+  private def litBytes(v: Any, dt: org.apache.spark.sql.types.DataType): Long = {
+    import org.apache.spark.sql.types._
+    (v, dt) match {
+      case (null, _) => 0
+      case (s: org.apache.spark.unsafe.types.UTF8String, _) => s.numBytes().toLong
+      case (a: org.apache.spark.sql.catalyst.util.ArrayData, ArrayType(et, _)) =>
+        et match {
+          case ArrayType(_, _) | StringType =>
+            (0 until a.numElements()).map(i => litBytes(a.get(i, et), et)).sum
+          case _ => a.numElements().toLong * elemSize(et)
+        }
+      case _ => 8L
+    }
+  }
+
+  private def seqBytes(v: Any): Long = v match {
+    case s: Seq[_] => s.map(seqBytes).sum
+    case _: Float | _: Int => 4L
+    case _: Double | _: Long => 8L
+    case st: String => st.length.toLong
+    case _ => 0L
+  }
+
+  /** Data bytes an expression tree pins into the plan: Literal values
+    * plus the Seq-typed payloads of graft native nodes (codebooks,
+    * norms, members — they are constructor fields, not Literals). */
+  private def exprLiteralBytes(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Long = {
+    val self = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, dt) => litBytes(v, dt)
+      case other if other.getClass.getName.startsWith("graft.") =>
+        other.productIterator.collect { case s: Seq[_] => seqBytes(s) }.sum
+      case _ => 0L
+    }
+    self + e.children.map(exprLiteralBytes).sum
+  }
+
   private val dir = "/root/testdata/sf0.001"
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name plans without BNLJ/cartesian/global-window, filters pushed") {
       val qe = fn(spark, dir).queryExecution
       val planStr = qe.executedPlan.toString
+      val budget = literalBudgetExceptions.getOrElse(name, literalBudgetBytes)
+      var litTotal = 0L
+      qe.analyzed.foreach(n => n.expressions.foreach(ex =>
+        litTotal += exprLiteralBytes(ex)))
+      assert(litTotal <= budget,
+        s"$name folds $litTotal bytes of literal data into its analyzed plan " +
+          s"(budget $budget) - data-shaped payloads belong in a join/broadcast, " +
+          s"not the plan")
       if (!exactOracles.contains(name)) {
         assert(!planStr.contains("BroadcastNestedLoop"),
           s"$name plans a BroadcastNestedLoopJoin:\n${planStr.take(4000)}")
