@@ -334,16 +334,61 @@ object NearDup {
     }.reduce(_ + _)
   }
 
-  /** SimHash near-dup pairs: candidates via 4×16-bit chunk equality
-    * (pigeonhole guarantees recall for hamming ≤ 3), verified with
-    * exact `bit_count(xor) ≤ maxHamming`. */
+  /** Near-equal widths of `b` chunks covering the 64 simhash bits
+    * (the first 64 mod b chunks take the extra bit). */
+  private[graft] def chunkWidths(b: Int): Seq[Int] = {
+    val base = 64 / b
+    val extra = 64 % b
+    (0 until b).map(i => if (i < extra) base + 1 else base)
+  }
+
+  /** All m-element chunk-index combinations of b chunks, in
+    * lexicographic order — the bucket keys of the generalized
+    * pigeonhole scheme. */
+  private[graft] def chunkCombos(b: Int, m: Int): Seq[Seq[Int]] =
+    (0 until b).combinations(m).map(_.toSeq).toSeq
+
+  /** Scale-adaptive chunk count for the pigeonhole miner (round-6
+    * verdict task 2). The scheme: split the 64-bit simhash into `b`
+    * chunks and bucket every doc by each COMBINATION of b−h chunks
+    * (h = maxHamming). If two hashes differ in ≤ h bits, ≥ b−h
+    * chunks are intact, so the combination made of intact chunks
+    * collides — the miner stays COMPLETE for hamming ≤ h at every b,
+    * while the per-key keyspace grows from 2^16 (b=4, the classic
+    * 4×16 scheme) to 2^25 (b=5), 2^31 (b=6), 2^40 (b=8). The round-6
+    * ladder measured the fixed b=4 keyspace saturating past ~1 M
+    * docs: 64.2 B pre-cap candidate pairs at 1.6 M docs, ∝ n², all
+    * random chunk collisions. Choose the smallest b whose expected
+    * random-collision candidate mass stays ~linear:
+    * `nKeys · n ≤ 64 · 2^minComboWidth` — for h=3 that switches at
+    * ~1.05 M docs (b=5, 10 keys/doc), ~215 M (b=6, 20 keys), ~6.9 B
+    * (b=8, 56 keys). More keys per doc buys exponentially more
+    * keyspace: the classic multi-index Hamming-search trade. */
+  def simhashSchemeFor(n: Long, maxHamming: Int = 3): Int = {
+    val ladder = Seq(4, 5, 6, 8, 10).filter(_ > maxHamming)
+    require(ladder.nonEmpty, s"maxHamming $maxHamming too large for 64-bit chunking")
+    ladder.find { b =>
+      val m = b - maxHamming
+      val minW = chunkWidths(b).sorted.take(m).sum
+      BigInt(chunkCombos(b, m).size) * BigInt(math.max(n, 1L)) <=
+        (BigInt(64) << minW)
+    }.getOrElse(ladder.last)
+  }
+
+  /** SimHash near-dup pairs: candidates via chunk-combination
+    * equality (pigeonhole guarantees recall for hamming ≤ maxHamming
+    * at ANY chunk count — see [[simhashSchemeFor]]), verified with
+    * exact `bit_count(xor) ≤ maxHamming`. `numChunks = 0` picks the
+    * scheme from the corpus size. */
   def simhashPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      maxBucketSize: Int = 1000): DataFrame = {
-    val (out, caches) = simhashPairsPlan(docs, idCol, textCol, maxHamming, maxBucketSize)
+      maxBucketSize: Int = 1000,
+      numChunks: Int = 0): DataFrame = {
+    val (out, caches) =
+      simhashPairsPlan(docs, idCol, textCol, maxHamming, maxBucketSize, numChunks)
     materializeAndRelease(out, "simhash", caches: _*)
   }
 
@@ -354,9 +399,10 @@ object NearDup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      maxBucketSize: Int = 1000): (DataFrame, MineStats) = {
+      maxBucketSize: Int = 1000,
+      numChunks: Int = 0): (DataFrame, MineStats) = {
     val (out, caches, sizes) =
-      simhashPairsPlanFull(docs, idCol, textCol, maxHamming, maxBucketSize)
+      simhashPairsPlanFull(docs, idCol, textCol, maxHamming, maxBucketSize, numChunks)
     materializeWithStats(out, "simhash", caches, sizes, maxBucketSize)
   }
 
@@ -367,9 +413,10 @@ object NearDup {
       idCol: String,
       textCol: String,
       maxHamming: Int,
-      maxBucketSize: Int): (DataFrame, Seq[DataFrame]) = {
+      maxBucketSize: Int,
+      numChunks: Int = 0): (DataFrame, Seq[DataFrame]) = {
     val (out, caches, _) =
-      simhashPairsPlanFull(docs, idCol, textCol, maxHamming, maxBucketSize)
+      simhashPairsPlanFull(docs, idCol, textCol, maxHamming, maxBucketSize, numChunks)
     (out, caches)
   }
 
@@ -380,18 +427,36 @@ object NearDup {
       idCol: String,
       textCol: String,
       maxHamming: Int,
-      maxBucketSize: Int): (DataFrame, Seq[DataFrame], DataFrame) = {
-    val chunks = 4
+      maxBucketSize: Int,
+      numChunks: Int): (DataFrame, Seq[DataFrame], DataFrame) = {
+    // adaptive scheme: a metadata-only count picks b from the corpus
+    // size (deterministic, so the same corpus always buckets the same
+    // way); an explicit numChunks pins it (oracle-mirrored queries)
+    val chunks =
+      if (numChunks > 0) numChunks
+      else simhashSchemeFor(docs.count(), maxHamming)
+    require(chunks > maxHamming,
+      s"numChunks $chunks must exceed maxHamming $maxHamming (pigeonhole)")
+    val ws = chunkWidths(chunks)
+    val offs = ws.scanLeft(0)(_ + _)
+    val m = chunks - maxHamming
+    val combos = chunkCombos(chunks, m)
     // barrier after sim: the chunk explode would otherwise re-evaluate
-    // the 64-bit majority-vote expression once per chunk
+    // the 64-bit majority-vote expression once per combination
     val withSim = withSimhash(docs.select(col(idCol).as("doc"), col(textCol)), textCol)
       .select(col("doc"), col("sim"))
       .cache()
+    // bucket key k = (combo index, member chunks' bits packed
+    // side-by-side): `piece = fold(acc << w_i | chunk_i)` — disjoint
+    // bits, so + ≡ | and the packing replays in SQL as ·2^w + piece
     val buckets = withSim.select(col("doc"), col("sim"),
-      explode(array((0 until chunks).map(c =>
-        struct(lit(c).as("chunk"),
-          shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL).as("piece"))): _*))
-        .as("bucket"))
+      explode(array(combos.zipWithIndex.map { case (combo, k) =>
+        struct(lit(k).as("chunk"),
+          combo.foldLeft(lit(0L)) { (acc, i) =>
+            shiftleft(acc, ws(i)) +
+              shiftright(col("sim"), offs(i)).bitwiseAND((1L << ws(i)) - 1)
+          }.as("piece"))
+      }: _*)).as("bucket"))
       .select(col("doc"), col("sim"), col("bucket.chunk"), col("bucket.piece"))
     // agg+join skew cap, not count-over-window — see the minhash
     // twin: the window form buffered whole hot buckets per task and

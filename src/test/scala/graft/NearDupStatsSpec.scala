@@ -73,6 +73,51 @@ class NearDupStatsSpec extends SparkSpec {
     assert(st.candidates <= st.candidatesPreCap)
   }
 
+  test("simhash chunk-combination schemes are complete: every b mines the hamming ball") {
+    // ground truth: brute-force hamming ≤ 3 over the simhashes. Each
+    // combination scheme must reproduce it EXACTLY (pigeonhole
+    // completeness — b−3 intact chunks always share a combination
+    // key), so widening the keyspace for scale costs zero recall.
+    val sims = NearDup.withSimhash(
+        corpus.select(col("doc_id").as("doc"), col("text")), "text")
+      .select(col("doc"), col("sim")).cache()
+    val truth = sims.as("a").join(sims.as("b"),
+        col("a.doc") < col("b.doc"))
+      .filter(bit_count(col("a.sim").bitwiseXOR(col("b.sim"))) <= 3)
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).cast("long").as("hamming"))
+    assert(truth.count() >= 4, "planted near-dups must be in the ball")
+    try
+      for (b <- Seq(4, 5, 6, 8)) {
+        val mined = NearDup.simhashPairs(corpus, "doc_id", "text",
+          maxHamming = 3, numChunks = b)
+        assert(mined.exceptAll(truth).isEmpty && truth.exceptAll(mined).isEmpty,
+          s"scheme b=$b diverges from the hamming ball")
+      }
+    finally sims.unpersist()
+  }
+
+  test("simhash scheme selection tracks corpus size; chunk geometry is sound") {
+    import NearDup.{simhashSchemeFor, chunkWidths, chunkCombos}
+    // b=4's bound: 4·n ≤ 64·2^16 → n ≤ 1 048 576 (the measured ~1 M-doc
+    // saturation point of the classic 4×16 scheme)
+    assert(simhashSchemeFor(500L) === 4)
+    assert(simhashSchemeFor(1048576L) === 4)
+    assert(simhashSchemeFor(1048577L) === 5)
+    assert(simhashSchemeFor(214748364L) === 5)
+    assert(simhashSchemeFor(214748365L) === 6)
+    assert(simhashSchemeFor(6871947673L) === 6)
+    assert(simhashSchemeFor(6871947674L) === 8)
+    for (b <- Seq(4, 5, 6, 8, 10)) {
+      assert(chunkWidths(b).sum === 64)
+      assert(chunkWidths(b).max - chunkWidths(b).min <= 1)
+      val m = b - 3
+      val expect = (1 to b).product / ((1 to m).product * (1 to (b - m)).product)
+      assert(chunkCombos(b, m).size === expect)
+      assert(chunkCombos(b, m).distinct.size === expect)
+    }
+  }
+
   test("miner plans contain no window operator (agg+join skew cap)") {
     // the count-over-window skew cap buffered a hot bucket's entire
     // membership per task and OOM'd the 316× ladder rung (round 6);
