@@ -108,25 +108,34 @@ object ScaleBench {
 
   private case class QueryPoint(
       name: String, err: Option[String], best: Option[Rep],
-      mineStats: Option[graft.ext.dedup.NearDup.MineStats])
+      mineStats: Option[graft.ext.dedup.NearDup.MineStats],
+      recall: Option[RecallSampler.Recall])
 
-  /** The registered LSH miners' exact parameters, replayed through the
-    * WithStats entry points for the untimed candidate-stats pass. */
+  /** The registered LSH miners' exact parameters, replayed through
+    * the WithStats entry points for the untimed candidate-stats pass;
+    * the mined pair frame additionally feeds the planted-pair recall
+    * sampler (round-6 verdict task 5 — the skew caps drop buckets at
+    * a recall cost that was never measured per rung). SemDeDup has no
+    * mine stats but gets the planted-detection rate from one verdict
+    * re-run. */
   private def mineStatsFor(
-      spark: SparkSession, dir: String, name: String)
-      : Option[graft.ext.dedup.NearDup.MineStats] = {
+      spark: SparkSession, dir: String, sf: Double, name: String)
+      : (Option[graft.ext.dedup.NearDup.MineStats], Option[RecallSampler.Recall]) = {
     import graft.ext.dedup.NearDup
     name match {
       case "docs_minhash_pairs" =>
-        val (_, st) = NearDup.minhashPairsWithStats(
+        val (pairs, st) = NearDup.minhashPairsWithStats(
           graft.Tables(spark, dir, "documents"), "doc_id", "text",
           shingleSize = 2, bands = 16, rowsPerBand = 4, threshold = 0.5)
-        Some(st)
+        (Some(st), Some(RecallSampler.minhashRecall(spark, dir, sf, pairs)))
       case "docs_simhash_pairs" =>
-        val (_, st) = NearDup.simhashPairsWithStats(
+        val (pairs, st) = NearDup.simhashPairsWithStats(
           graft.Tables(spark, dir, "documents"), "doc_id", "text", maxHamming = 3)
-        Some(st)
-      case _ => None
+        (Some(st), Some(RecallSampler.simhashRecall(spark, dir, sf, pairs)))
+      case "emb_semantic_dedup" =>
+        val verdicts = graft.SparkEntry.queries(name)(spark, dir)
+        (None, Some(RecallSampler.semdedupRecall(spark, sf, verdicts, dir)))
+      case _ => (None, None)
     }
   }
 
@@ -220,7 +229,8 @@ object ScaleBench {
 
     // measure one SF: explicit at-rest builds first (timed), then the
     // heavy loop at min-of-N — identical shape to graft.Bench
-    def measure(dir: String): (Seq[(String, Either[String, Double])], Seq[QueryPoint]) = {
+    def measure(dir: String, sf: Double)
+        : (Seq[(String, Either[String, Double])], Seq[QueryPoint]) = {
       val builds = if (only.isEmpty) measureBuilds(dir) else Seq.empty
       val qs = selected.map { name =>
         val fn = graft.SparkEntry.queries(name)
@@ -246,17 +256,18 @@ object ScaleBench {
           r += 1
         }
         val best = repsSeen.result().sortBy(_.sec).headOption
-        val stats =
+        val (stats, recall) =
           if (err.isEmpty)
-            try mineStatsFor(spark, dir, name)
-            catch { case _: Throwable => None }
-          else None
+            try mineStatsFor(spark, dir, sf, name)
+            catch { case _: Throwable => (None, None) }
+          else (None, None)
         // progress to stderr: a 30-minute detached run must be
         // observable before its final JSON line
         System.err.println(s"[scalebench] $dir $name " +
           best.map(r => f"${r.sec}%.2fs").getOrElse("-") +
+          recall.map(rc => s" recall=${rc.rate}").getOrElse("") +
           err.map(e => s" ERROR $e").getOrElse(""))
-        QueryPoint(name, err, best, stats)
+        QueryPoint(name, err, best, stats, recall)
       }
       (builds, qs)
     }
@@ -274,9 +285,38 @@ object ScaleBench {
 
     val measured = rungs.map { case (sf, (dir, gen)) =>
       spark.catalog.clearCache()
-      val (builds, qs) = measure(dir)
+      val (builds, qs) = measure(dir, sf)
       (sf, gen, builds, qs)
     }
+
+    // codebook residency per rung (round-6 verdict task 1 "done"
+    // criterion): SemDeDup's K = n/250 codebook ROWS grow linearly
+    // with the corpus while only the C = ceil(sqrt(K)) coarse vectors
+    // are driver-resident plan literals — the artifact carries both so
+    // the ladder demonstrates rows ∝ n with driver bytes ~sqrt(n)
+    val codebookJson = measured.map { case (sf, _, _, _) =>
+      val n = SynthGen.nEmb(sf)
+      val k = graft.ext.dedup.SemanticDedup.scaledClusterCount(n)
+      val c = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+      s"""{"sf":$sf,"emb_rows":$n,"codebook_rows":$k,"coarse_vectors":$c,""" +
+        s""""driver_floats":${c * 64},"fine_floats":${k.toLong * 64},""" +
+        s""""simhash_chunks":${
+          graft.ext.dedup.NearDup.simhashSchemeFor(SynthGen.nDocs(sf))}}"""
+    }.mkString("[", ",", "]")
+
+    // streaming at rung scale (round-6 verdict task 6): the BENCH
+    // streaming section drives 5 × ~1200-row batches; here the same
+    // paths run against the ladder rung nearest sf10 — 500 k docs =
+    // 100 k-row batches, where bounded-vs-exact state pressure is real
+    val streamingJson =
+      if (only.nonEmpty) ""
+      else rungs.map(_._1).filter(_ >= 1.0).minByOption(sf => math.abs(sf - 10.0))
+        .map { sf =>
+          val dir = s"$workDir/sf$sf"
+          System.err.println(s"[scalebench] streaming at sf$sf")
+          val rs = StreamBench.measure(spark, dir)
+          s""""streaming_scaled":{"sf":$sf,"paths":${StreamBench.json(rs)}},"""
+        }.getOrElse("")
 
     val qJson = selected.map { name =>
       val points = measured.map { case (_, _, _, qs) => qs.find(_.name == name).get }
@@ -313,11 +353,15 @@ object ScaleBench {
         if (points.exists(_.mineStats.isDefined))
           s""","lsh_stats":[${points.map(_.mineStats.map(_.json).getOrElse("null")).mkString(",")}]"""
         else ""
+      val rec =
+        if (points.exists(_.recall.isDefined))
+          s""","planted_recall":[${points.map(_.recall.map(_.json).getOrElse("null")).mkString(",")}]"""
+        else ""
       val io =
         if (points.exists(_.best.exists(_.upsertIo.isDefined)))
           s""","upsert_io":[${points.map(_.best.flatMap(_.upsertIo).map(_.json).getOrElse("null")).mkString(",")}]"""
         else ""
-      "\"" + name + "\":{" + base + errs + mine + io + "}"
+      "\"" + name + "\":{" + base + errs + mine + rec + io + "}"
     }.mkString("{", ",", "}")
 
     def buildJson(bs: Seq[(String, Either[String, Double])]) =
@@ -343,6 +387,7 @@ object ScaleBench {
         s""""cpus":$cpus,"initial_partitions":$initialParts,""" +
         s""""heap":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",""" +
         s""""gen_sec":[${measured.map(m => ms(m._2)).mkString(",")}],""" +
+        s""""codebook_residency":$codebookJson,$streamingJson""" +
         s""""builds":$buildsJson,"queries":$qJson}"""
     // a filtered rerun must not clobber the full committed artifact
     val outFile =
