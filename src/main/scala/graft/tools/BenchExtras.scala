@@ -86,7 +86,9 @@ object AtRestBuilds {
     def ms(t: Double) = (math.rint(t * 1000) / 1000).toString
     val ok = rs.collect { case (k, Right(t)) => "\"" + k + "\":" + ms(t) }
     val err = rs.collect { case (k, Left(e)) => "\"" + k + "\":\"" + e + "\"" }
-    s"""{${ok.mkString(",")},"errors":{${err.mkString(",")}}}"""
+    // an empty ok list must not leave a leading comma (a filtered
+    // bench rerun skips every build and wrote invalid JSON)
+    (ok :+ s""""errors":{${err.mkString(",")}}""").mkString("{", ",", "}")
   }
 }
 
