@@ -45,11 +45,11 @@ object SemanticDedup {
     * average cluster size FIXED as n grows keeps the pair stage
     * linear — the round-5 scale bench caught the fixed-K form going
     * quadratic (13× time for 3.16× data once clusters outgrew the
-    * floor). The assignment stage goes through the two-level quantizer
-    * ([[IvfKNN.assignListsHier]]): flat assignment is n·K dot products
-    * — O(n²·dim/250) under K ∝ n, measured at 6.2× time for 3.16×
-    * data on the round-5 ladder — while routing through ⌈√K⌉ coarse
-    * cells restores ~O(n·√K·dim). */
+    * floor). The assignment stage goes through the two-level
+    * codebook-as-data quantizer ([[IvfKNN.assignListsJoined]]): flat
+    * assignment is n·K dot products — O(n²·dim/250) under K ∝ n,
+    * measured at 6.2× time for 3.16× data on the round-5 ladder —
+    * while routing through ⌈√K⌉ coarse cells restores ~O(n·√K·dim). */
   def scaledClusterCount(n: Long, targetClusterSize: Long = 250, minK: Int = 16): Int =
     math.max(minK.toLong, n / targetClusterSize).toInt
 
