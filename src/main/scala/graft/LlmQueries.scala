@@ -2,7 +2,7 @@ package graft
 
 import graft.ext.dedup.NearDup
 import graft.ext.multimodal.Multimodal
-import graft.ext.similarity.{CosineKNN, IvfKNN}
+import graft.ext.similarity.{CosineKNN, IvfKNN, PqKNN}
 import graft.ext.text.TextFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -524,6 +524,147 @@ object LlmQueries {
        |WHERE cosine >= 0.3
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  // ------------------------------------------------- product quantization
+
+  /** PQ code words for the whole corpus: each 64-float embedding
+    * compressed to one packed 32-bit word (8 sub-spaces × 4-bit
+    * codes — [[graft.ext.similarity.PqKNN]]). Pure projection, zero
+    * shuffle; the 1 KB codebook is corpus-size-independent, so the
+    * plan literal is bounded by the SCHEME (contrast with the K ∝ n
+    * fine codebooks, which must ride a join). */
+  private def qPqCodes(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val book = PqKNN.cachedSampledBook(e, "vec_id", "embedding", dir + "#pq")
+    e.select(col("vec_id"), PqKNN.pqCodes(col("embedding"), book).as("codes"))
+      .select(col("vec_id"), PqKNN.packCodes(col("codes")).as("code_word"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Shared PQ oracle CTEs: the deterministic sub-codebook (sub-slices
+    * of the 16 lowest-id vectors), per-(vector, sub-space, code)
+    * rounded squared distances, and the argmin codes — the exact
+    * replay of [[graft.ext.similarity.PqKNN.pqCodes]] (round-9 sums
+    * of float→double products; ties to the lower code). */
+  private val pqCtes =
+    """ms AS (SELECT unnest(range(0, 8)) AS m),
+      |sc AS (
+      |  SELECT ms.m, e.vec_id AS j, list_slice(e.embedding, ms.m*8+1, ms.m*8+8) AS cv
+      |  FROM embeddings e, ms WHERE e.vec_id < 16),
+      |xs AS (
+      |  SELECT e.vec_id, ms.m, list_slice(e.embedding, ms.m*8+1, ms.m*8+8) AS xv
+      |  FROM embeddings e, ms),
+      |pqterms AS (
+      |  SELECT x.vec_id, x.m, s.j, unnest(x.xv) AS xe, unnest(s.cv) AS ce
+      |  FROM xs x JOIN sc s ON s.m = x.m),
+      |d2 AS (
+      |  SELECT vec_id, m, j,
+      |    round(SUM(CAST(xe AS DOUBLE) * CAST(xe AS DOUBLE))
+      |          - 2 * SUM(CAST(xe AS DOUBLE) * CAST(ce AS DOUBLE))
+      |          + SUM(CAST(ce AS DOUBLE) * CAST(ce AS DOUBLE)), 9) AS d
+      |  FROM pqterms GROUP BY vec_id, m, j),
+      |codes AS (
+      |  SELECT vec_id, m, j AS code FROM d2
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) = 1)""".stripMargin
+
+  private val qPqCodesSql =
+    s"""WITH $pqCtes
+       |SELECT vec_id,
+       |  CAST(SUM(CAST(code AS BIGINT) << (4 * m)) AS BIGINT) AS code_word
+       |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** Exhaustive ADC scan: top-5 by asymmetric PQ distance for 10
+    * queries — the compressed twin of emb_knn_exact (8-byte codes on
+    * the scan side instead of 256-byte vectors). */
+  private def qKnnPq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val book = PqKNN.cachedSampledBook(e, "vec_id", "embedding", dir + "#pq")
+    PqKNN.adcTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+      book, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Shared ADC-tail CTEs over whatever `cand`(query_id, neighbor_id,
+    * m, code) the caller routes: LUT join, per-pair rounded sum,
+    * rank. */
+  private def adcTail(candCte: String): String =
+    s"""qlut AS (
+       |  SELECT vec_id AS query_id, m, j AS code,
+       |    SUM(CAST(xe AS DOUBLE) * CAST(xe AS DOUBLE))
+       |      - 2 * SUM(CAST(xe AS DOUBLE) * CAST(ce AS DOUBLE))
+       |      + SUM(CAST(ce AS DOUBLE) * CAST(ce AS DOUBLE)) AS term
+       |  FROM pqterms WHERE vec_id < 10 GROUP BY vec_id, m, j),
+       |$candCte,
+       |adc AS (
+       |  SELECT c.query_id, c.neighbor_id, round(SUM(l.term), 9) AS adc2
+       |  FROM cand c JOIN qlut l
+       |    ON l.query_id = c.query_id AND l.m = c.m AND l.code = c.code
+       |  GROUP BY c.query_id, c.neighbor_id)
+       |SELECT query_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc2, neighbor_id) AS BIGINT) AS rank,
+       |  neighbor_id, adc2
+       |FROM adc
+       |QUALIFY rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  private val qKnnPqSql =
+    s"""WITH $pqCtes,
+       |${adcTail(
+      """cand AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id, c.m, c.code
+        |  FROM codes c, (SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id < 10) q
+        |  WHERE c.vec_id != q.query_id)""".stripMargin)}""".stripMargin
+
+  /** IVF-PQ: coarse IVF routing (the emb_knn_ivf codebook + probe
+    * rules, replayed verbatim) prunes candidates to the probed
+    * inverted lists; ADC scores the survivors from codes — the
+    * standard billion-scale ANN composition, with every index
+    * structure bounded (coarse book by fixed K, PQ book by the
+    * scheme). */
+  private def qKnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = IvfKNN.cachedSampledCentroids(e, "vec_id", "embedding", 16, dir)
+    val book = PqKNN.cachedSampledBook(e, "vec_id", "embedding", dir + "#pq")
+    PqKNN.ivfpqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+      cents, book, k = 5, nprobe = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val qKnnIvfPqSql =
+    s"""WITH $pqCtes,
+       |cent AS (
+       |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+       |norms AS (
+       |  SELECT vec_id, SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nn
+       |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+       |cnorm AS (
+       |  SELECT cid, SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS cn
+       |  FROM (SELECT cid, unnest(cv) AS x FROM cent) GROUP BY cid),
+       |vcd AS (
+       |  SELECT vec_id, cid, SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot
+       |  FROM (SELECT e.vec_id, c.cid, unnest(e.embedding) AS x, unnest(c.cv) AS y
+       |        FROM embeddings e, cent c)
+       |  GROUP BY vec_id, cid),
+       |vccos AS (
+       |  SELECT v.vec_id, v.cid,
+       |    round(v.dot / (sqrt(n.nn) * sqrt(cn.cn)), 9) AS cos
+       |  FROM vcd v
+       |  JOIN norms n ON n.vec_id = v.vec_id
+       |  JOIN cnorm cn ON cn.cid = v.cid),
+       |assign AS (
+       |  SELECT vec_id, cid AS list_id FROM vccos
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid AS list_id FROM vccos
+       |  WHERE vec_id < 10
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) <= 4),
+       |${adcTail(
+      """cand AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id, c.m, c.code
+        |  FROM probes p
+        |  JOIN assign a ON a.list_id = p.list_id
+        |  JOIN codes c ON c.vec_id = a.vec_id
+        |  WHERE a.vec_id != p.query_id)""".stripMargin)}""".stripMargin
 
   // ------------------------------------------------------ train/val/test split
 
@@ -1087,6 +1228,9 @@ object LlmQueries {
     "emb_knn_exact"       -> (qKnnExact _),
     "emb_knn_lsh"         -> (qKnnLsh _),
     "emb_knn_ivf"         -> (qKnnIvf _),
+    "emb_pq_codes"        -> (qPqCodes _),
+    "emb_knn_pq"          -> (qKnnPq _),
+    "emb_knn_ivfpq"       -> (qKnnIvfPq _),
     "emb_ivf_lloyd"       -> (qIvfLloyd _),
     "emb_ivf_lloyd2"      -> (qIvfLloyd2 _),
     "emb_ivf_lloyd_table" -> (qIvfLloydTable _),
@@ -1116,6 +1260,9 @@ object LlmQueries {
     "emb_knn_exact"      -> qKnnExactSql,
     "emb_knn_lsh"        -> qKnnLshSql,
     "emb_knn_ivf"        -> qKnnIvfSql,
+    "emb_pq_codes"       -> qPqCodesSql,
+    "emb_knn_pq"         -> qKnnPqSql,
+    "emb_knn_ivfpq"      -> qKnnIvfPqSql,
     "emb_ivf_lloyd"      -> qIvfLloydSql,
     "emb_ivf_lloyd2"     -> qIvfLloyd2Sql,
     "emb_ivf_lloyd_table" -> qIvfLloydTableSql,

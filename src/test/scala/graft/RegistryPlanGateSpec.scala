@@ -87,7 +87,16 @@ class RegistryPlanGateSpec extends SparkSpec {
     *    inlined twice (assign + probe), bounded by the FIXED k of the
     *    ANN query, not the corpus;
     *  - emb_knn_lsh (~9 KB) — the 4×64 hyperplane matrix, fixed;
-    *  - emb_neardup_pairs (~4.4 KB) — the same hyperplanes once.
+    *  - emb_neardup_pairs (~4.4 KB) — the same hyperplanes once;
+    *  - emb_pq_codes (~35 KB) / emb_knn_pq (~44 KB) /
+    *    emb_knn_ivfpq (~57 KB) — the PQ sub-codebook, which is sized
+    *    by the SCHEME (M·ksub·dsub = 1024 floats) and never grows
+    *    with the corpus; the analyzed-plan totals exceed the raw 4 KB
+    *    payload because the argmin form `array_position(d2s,
+    *    array_min(d2s))` necessarily repeats the distance array (and
+    *    ivfpq adds the fixed-k coarse IVF book for routing). Bounded
+    *    by construction — see PqKNN's scaladoc for why PQ codebooks,
+    *    unlike fine IVF codebooks, are always plan-safe.
     * The corpus-scaled codebooks (SemDeDup's K = n/250) must NEVER
     * appear here — their queries ride the codebook-as-data probe join
     * (IvfKNN.fineCodebookTable / assignListsJoined), and a regression
@@ -99,7 +108,10 @@ class RegistryPlanGateSpec extends SparkSpec {
   private val literalBudgetExceptions: Map[String, Long] = Map(
     "emb_knn_ivf" -> 32768L,
     "emb_knn_lsh" -> 16384L,
-    "emb_neardup_pairs" -> 8192L)
+    "emb_neardup_pairs" -> 8192L,
+    "emb_pq_codes" -> 49152L,
+    "emb_knn_pq" -> 61440L,
+    "emb_knn_ivfpq" -> 73728L)
 
   private def elemSize(dt: org.apache.spark.sql.types.DataType): Long = {
     import org.apache.spark.sql.types._
