@@ -30,13 +30,24 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name != "events")
       return spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects.
-    // Read nanos as long and floor-convert to µs timestamps — the
-    // same truncation DuckDB applies, so oracles stay value-equal.
+    // events.ts has shipped in two physical shapes: TIMESTAMP(NANOS)
+    // (which Spark can only read as raw long nanos via the legacy
+    // flag) and plain TIMESTAMP(MICROS) with isAdjustedToUTC=false
+    // (which Spark reads as TIMESTAMP_NTZ). Normalize BOTH to
+    // session-UTC TimestampType so every downstream plan and the
+    // Verify parquet dumps keep one schema regardless of which
+    // generator wrote the corpus: long nanos floor-convert to µs
+    // (the truncation DuckDB applies too), NTZ casts value-exact
+    // because the session timezone is pinned to UTC.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", raw("ts").cast(TimestampType))
+    }
   }
 }
