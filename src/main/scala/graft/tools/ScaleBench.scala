@@ -61,7 +61,6 @@ object ScaleBench {
     * this bench converts each argument into a measured curve. */
   val heavy: Seq[String] = Seq(
     "docs_minhash_pairs",    // banded LSH: O(n·bands) candidate join
-    "docs_simhash_pairs",    // pigeonhole bucket join
     "docs_token_stats",      // pure map over every doc (linear reference)
     "docs_decontaminate",    // broadcast eval grams, map-only train side
     "docs_dup_groups",       // pair mining + size-gated components
@@ -75,7 +74,15 @@ object ScaleBench {
     "etl_keygen",            // per-row surrogate keys (pure map)
     "q9_nation_profit",      // multi-join star aggregation
     "q_range_join",          // bucketized inequality join
-    "q_sessionize")          // per-user ordered window
+    "q_sessionize",          // per-user ordered window
+    // LAST by design: the heaviest-memory query in the list. Its
+    // nested sort-merge pair joins buffer whole key groups, and a
+    // top-rung executor OOM kills local-mode's shared SparkContext —
+    // every query AFTER the casualty then fails with "stopped
+    // SparkContext" and the rung's artifact is lost wholesale (this
+    // happened: a 24 g sf31.6 rerun died here and took 17 queries
+    // with it). Running it last bounds the blast radius to itself.
+    "docs_simhash_pairs")    // pigeonhole bucket join
 
   /** Task-metric totals accumulated between [[reset]] and [[snap]] —
     * shuffle and spill bytes for whatever jobs ran in the window
