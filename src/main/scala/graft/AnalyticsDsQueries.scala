@@ -1,0 +1,435 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Decision-support sweep #2: the TPC-H shapes the round-1..6 registry
+  * did not yet exercise, adapted to the driver corpus (TESTDATA.md has
+  * no partsupp table and no commit/receipt dates, so Q11/Q12/Q20/Q21
+  * are re-expressed over the columns that exist — the SHAPE under
+  * test is the point: disjunctive pushdown, left-outer count
+  * distributions, NOT-IN anti-joins, conditional market-share
+  * aggregation, scalar-max selection, multi-level order/supplier
+  * qualification).
+  *
+  * Conventions are SparkEntry's: decimal-exact sums cast to double in
+  * the final projection, identical aliases on both engines,
+  * deterministic output order. Scale posture mirrors AnalyticsQueries:
+  * only fixed-cardinality dims (region 5, nation 25) are hint-
+  * broadcast; SF-scaled sides (customer/supplier/part and all derived
+  * aggregates) are left to AQE's size gate, fact-side filters sit on
+  * the scan for parquet pushdown, every aggregation is map-side
+  * partial.
+  */
+object AnalyticsDsQueries {
+
+  private val dec = DecimalType(18, 6)
+
+  private def dsum(e: Column): Column = sum(e.cast(dec)).cast("double")
+
+  /** Conditional decimal sum: CASE rows outside the predicate
+    * contribute an exact decimal zero, so the sum stays
+    * order-independent on both engines. */
+  private def dsumIf(cond: Column, e: Column): Column =
+    sum(when(cond, e.cast(dec)).otherwise(lit(java.math.BigDecimal.ZERO).cast(dec)))
+      .cast("double")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  private def d(iso: String): Column = lit(java.sql.Date.valueOf(iso))
+
+  // ------------------------------------------------------------------ q6
+  /** TPC-H Q6-style forecast revenue: single scan, zero joins, zero
+    * per-group state — the pure pushdown benchmark. All three
+    * predicates (shipdate range, discount band, quantity cap) sit
+    * directly on the parquet scan; the result is one global row whose
+    * shuffle is a single partial-agg record per task. */
+  private def q6(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .filter($"l_shipdate" >= d("1997-01-01") && $"l_shipdate" < d("1998-01-01") &&
+        $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24.0)
+      .agg(dsum($"l_extendedprice" * $"l_discount").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  private val q6Sql =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0""".stripMargin
+
+  // ------------------------------------------------------------------ q7
+  /** TPC-H Q7-style volume shipping between two nations: nation joins
+    * twice under different roles (supplier's vs customer's), so the
+    * fixed 25-row dim is hint-broadcast twice under distinct aliases.
+    * The nation-pair disjunction applies AFTER both dims resolve;
+    * Spark pushes each half to its broadcast-join residual. One
+    * fact-fact shuffle (lineitem⋈orders). */
+  private def q7(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val suppNation = t(s, dir, "nation")
+      .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))
+    val custNation = t(s, dir, "nation")
+      .select($"n_nationkey".as("cn_key"), $"n_name".as("cust_nation"))
+    t(s, dir, "lineitem")
+      .filter($"l_shipdate" >= d("1996-01-01") && $"l_shipdate" < d("1998-01-01"))
+      .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(t(s, dir, "customer").select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(custNation), $"c_nationkey" === $"cn_key")
+      .join(t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey"),
+        $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(suppNation), $"s_nationkey" === $"sn_key")
+      .filter(($"supp_nation" === "NATION_3" && $"cust_nation" === "NATION_7") ||
+        ($"supp_nation" === "NATION_7" && $"cust_nation" === "NATION_3"))
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate").cast("long").as("l_year"))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  private val q7Sql =
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+      |    OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+      |  AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  // ------------------------------------------------------------------ q8
+  /** TPC-H Q8-style market share: one nation's fraction of regional
+    * revenue for one part type, by order year. The share is a
+    * conditional decimal sum over the SAME aggregated rows as the
+    * denominator — one aggregation, two accumulators, no second scan.
+    * Region/nation are hint-broadcast (fixed card); part is filtered
+    * to one type on its scan and size-gated. */
+  private def q8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val custNations = t(s, dir, "customer").select($"c_custkey", $"c_nationkey")
+      .join(broadcast(t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region").filter($"r_name" === "ASIA")),
+            $"n_regionkey" === $"r_regionkey")
+          .select($"n_nationkey")),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey")
+    val suppNation = t(s, dir, "nation")
+      .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))
+    val vol = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part").filter($"p_type" === "PROMO").select($"p_partkey"),
+        $"l_partkey" === $"p_partkey")
+      .join(t(s, dir, "orders")
+          .filter($"o_orderdate" >= d("1996-01-01") && $"o_orderdate" < d("1998-01-01"))
+          .select($"o_orderkey", $"o_custkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(custNations, $"o_custkey" === $"c_custkey")
+      .join(t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey"),
+        $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(suppNation), $"s_nationkey" === $"sn_key")
+      .groupBy(year($"o_orderdate").cast("long").as("o_year"))
+      .agg((dsumIf($"supp_nation" === "NATION_5", vol) / dsum(vol)).as("mkt_share"))
+      .orderBy($"o_year")
+  }
+
+  private val q8Sql =
+    """WITH base AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)) AS volume,
+      |    sn.n_name AS supp_nation
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |  JOIN region ON cn.n_regionkey = r_regionkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+      |    AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01')
+      |SELECT o_year,
+      |  CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume
+      |                ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+      |    / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+      |FROM base GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  // ----------------------------------------------------------------- q10
+  /** TPC-H Q10-style returned-item ranking: quarter-filtered orders
+    * and R-flagged lineitems meet on the one fact-fact shuffle; the
+    * per-customer aggregate is tiny, so the customer join after it is
+    * size-gated broadcast at bench SFs. Top-20 via TakeOrdered. */
+  private def q10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      .join(t(s, dir, "orders")
+          .filter($"o_orderdate" >= d("1997-01-01") && $"o_orderdate" < d("1997-04-01"))
+          .select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"revenue", $"c_acctbal")
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
+  private val q10Sql =
+    """SELECT c_custkey, c_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  c_acctbal
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-04-01'
+      |GROUP BY c_custkey, c_name, c_acctbal
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  // ----------------------------------------------------------------- q13
+  /** TPC-H Q13-style customer order-count distribution: LEFT OUTER
+    * join with a predicate on the preserved-side's partner (orders
+    * filtered before the join — customers with only urgent orders
+    * count zero, not absent), then a two-level aggregation where the
+    * second groups on the FIRST's aggregate value. The second shuffle
+    * carries one row per distinct count — effectively free. */
+  private def q13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer").select($"c_custkey")
+      .join(t(s, dir, "orders")
+          .filter($"o_orderpriority" =!= "1-URGENT")
+          .select($"o_orderkey", $"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+      .limit(10)
+  }
+
+  private val q13Sql =
+    """WITH co AS (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer
+      |  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |SELECT c_count, COUNT(*) AS custdist
+      |FROM co GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC
+      |LIMIT 10""".stripMargin
+
+  // ----------------------------------------------------------------- q14
+  /** TPC-H Q14-style promo share: conditional numerator and full
+    * denominator from ONE month-filtered aggregation pass (two
+    * accumulators, no second scan), emitted as a percentage. */
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vol = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+    t(s, dir, "lineitem")
+      .filter($"l_shipdate" >= d("1997-09-01") && $"l_shipdate" < d("1997-10-01"))
+      .select($"l_partkey", $"l_extendedprice", $"l_discount")
+      .join(t(s, dir, "part").select($"p_partkey", $"p_type"),
+        $"l_partkey" === $"p_partkey")
+      .agg((lit(100.0) * dsumIf($"p_type" === "PROMO", vol) / dsum(vol))
+          .as("promo_revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  private val q14Sql =
+    """SELECT
+      |  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |                        THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+      |                        ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+      |    / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= DATE '1997-09-01' AND l_shipdate < DATE '1997-10-01'""".stripMargin
+
+  // ----------------------------------------------------------------- q15
+  /** TPC-H Q15-style top supplier: quarterly revenue per supplier,
+    * keep the row(s) equal to the maximum. The one-row max rides a
+    * broadcast nested-loop against the (already tiny) aggregate —
+    * never a collect — and equality is exact because both engines
+    * compare the identical decimal-summed double. */
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = t(s, dir, "lineitem")
+      .filter($"l_shipdate" >= d("1997-01-01") && $"l_shipdate" < d("1997-04-01"))
+      .groupBy($"l_suppkey")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("total_revenue"))
+    val top = rev.agg(max($"total_revenue").as("__max_rev"))
+    rev.crossJoin(broadcast(top))
+      .filter($"total_revenue" === $"__max_rev")
+      .join(t(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"total_revenue")
+      .orderBy($"s_suppkey")
+  }
+
+  private val q15Sql =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // ----------------------------------------------------------------- q16
+  /** TPC-H Q16-style supplier-count distribution (partsupp-less: the
+    * observed part×supplier pairs come from lineitem): NOT IN over a
+    * filtered supplier set becomes a LEFT ANTI join (keys are
+    * non-null, so the null-semantics divergence of true NOT IN cannot
+    * bite), then COUNT(DISTINCT supplier) per (brand, size). The
+    * distinct-agg expands to a two-phase aggregate — both shuffles
+    * carry only key groups. */
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val badSupp = t(s, dir, "supplier").filter($"s_acctbal" < 0.0)
+      .select($"s_suppkey")
+    t(s, dir, "lineitem").select($"l_partkey", $"l_suppkey")
+      .join(t(s, dir, "part")
+          .filter($"p_brand" =!= "Brand#5" && $"p_size".isin(1, 14, 23, 45))
+          .select($"p_partkey", $"p_brand", $"p_size"),
+        $"l_partkey" === $"p_partkey")
+      .join(badSupp, $"l_suppkey" === $"s_suppkey", "left_anti")
+      .groupBy($"p_brand", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_size")
+      .limit(20)
+  }
+
+  private val q16Sql =
+    """SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#5' AND p_size IN (1, 14, 23, 45)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_size
+      |LIMIT 20""".stripMargin
+
+  // ----------------------------------------------------------------- q19
+  /** TPC-H Q19-style disjunctive predicate revenue: three OR'd
+    * conjunction groups mixing part attributes and lineitem
+    * quantities. The per-side conjuncts that appear in EVERY branch
+    * don't exist here by design — the point is that Catalyst still
+    * pushes the part-only disjunction (brand×size) into the part scan
+    * and evaluates the residual after the join, instead of a
+    * cross-product-and-filter. */
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice", $"l_discount")
+      .join(t(s, dir, "part").select($"p_partkey", $"p_brand", $"p_size"),
+        $"p_partkey" === $"l_partkey")
+      .filter(
+        ($"p_brand" === "Brand#12" && $"p_size".between(1, 15) && $"l_quantity".between(1.0, 11.0)) ||
+        ($"p_brand" === "Brand#23" && $"p_size".between(1, 25) && $"l_quantity".between(10.0, 20.0)) ||
+        ($"p_brand" === "Brand#15" && $"p_size".between(1, 35) && $"l_quantity".between(20.0, 30.0)))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  private val q19Sql =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1.0 AND 11.0)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10.0 AND 20.0)
+      |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20.0 AND 30.0)""".stripMargin
+
+  // ----------------------------------------------------------------- q21
+  /** TPC-H Q21-style waiting-supplier ranking, re-expressed without
+    * commit/receipt dates: a supplier "kept an order waiting" when it
+    * shipped >90 days after the order date in a MULTI-supplier order
+    * where NO other supplier was late. The EXISTS / NOT EXISTS pair of
+    * the original decorrelates into two aggregation levels — per
+    * (order, supplier) lateness, then per-order supplier/late counts —
+    * followed by one qualification filter; no correlated re-scans of
+    * lineitem. */
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perOrderSupp = t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+      .join(t(s, dir, "orders").select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey", $"l_suppkey")
+      .agg(max(when($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAY"), 1)
+        .otherwise(0)).as("is_late"))
+    val perOrder = perOrderSupp
+      .groupBy($"l_orderkey".as("po_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), sum($"is_late").as("n_late"))
+    perOrderSupp
+      .join(perOrder, $"l_orderkey" === $"po_orderkey")
+      .filter($"is_late" === 1 && $"n_supp" > 1 && $"n_late" === 1)
+      .join(t(s, dir, "supplier").select($"s_suppkey", $"s_name"),
+        $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_name")
+      .limit(20)
+  }
+
+  private val q21Sql =
+    """WITH per_os AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS is_late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY l_orderkey, l_suppkey),
+      |per_o AS (
+      |  SELECT l_orderkey, COUNT(*) AS n_supp, SUM(is_late) AS n_late
+      |  FROM per_os GROUP BY l_orderkey)
+      |SELECT s_name, COUNT(*) AS numwait
+      |FROM per_os
+      |JOIN per_o USING (l_orderkey)
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE is_late = 1 AND n_supp > 1 AND n_late = 1
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- registry
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q6_forecast_revenue"  -> (q6 _),
+    "q7_volume_shipping"   -> (q7 _),
+    "q8_market_share"      -> (q8 _),
+    "q10_returned_items"   -> (q10 _),
+    "q13_order_distribution" -> (q13 _),
+    "q14_promo_share"      -> (q14 _),
+    "q15_top_supplier"     -> (q15 _),
+    "q16_supplier_cnt"     -> (q16 _),
+    "q19_disjunctive_revenue" -> (q19 _),
+    "q21_late_sole_supplier"  -> (q21 _))
+
+  val oracles: Map[String, String] = Map(
+    "q6_forecast_revenue"  -> q6Sql,
+    "q7_volume_shipping"   -> q7Sql,
+    "q8_market_share"      -> q8Sql,
+    "q10_returned_items"   -> q10Sql,
+    "q13_order_distribution" -> q13Sql,
+    "q14_promo_share"      -> q14Sql,
+    "q15_top_supplier"     -> q15Sql,
+    "q16_supplier_cnt"     -> q16Sql,
+    "q19_disjunctive_revenue" -> q19Sql,
+    "q21_late_sole_supplier"  -> q21Sql)
+}

@@ -27,12 +27,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    AnalyticsQueries.registry ++ EtlQueries.registry ++ LlmQueries.registry ++
+    AnalyticsQueries.registry ++ AnalyticsDsQueries.registry ++
+      EtlQueries.registry ++ LlmQueries.registry ++
       ScaleQueries.registry ++ CurationQueries.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    AnalyticsQueries.oracles ++ EtlQueries.oracles ++ LlmQueries.oracles ++
+    AnalyticsQueries.oracles ++ AnalyticsDsQueries.oracles ++
+      EtlQueries.oracles ++ LlmQueries.oracles ++
       ScaleQueries.oracles ++ CurationQueries.oracles
 }

@@ -164,6 +164,20 @@ object ScaleBench {
         s"SPARK_GRAFT_ONLY names not in ScaleBench.heavy: " +
           s"${unknown.toSeq.sorted.mkString(",")} (valid: ${heavy.mkString(",")})")
     }
+    // SPARK_GRAFT_SKIP=a,b drops named queries but — unlike ONLY —
+    // keeps the run FULL: at-rest builds and the streaming section
+    // still run and the skip is recorded in the artifact note. Needed
+    // because the sf100 rung deliberately excludes docs_simhash_pairs
+    // (its fixed pigeonhole keyspace makes post-cap candidates ∝ n²,
+    // so the cell would measure the cap, not the engine) yet the
+    // round-6 verdict asks for sf100 BUILD cells, which ONLY-mode
+    // reruns skip.
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    require((skip -- heavy.toSet).isEmpty,
+      s"SPARK_GRAFT_SKIP names not in ScaleBench.heavy: " +
+        s"${(skip -- heavy.toSet).toSeq.sorted.mkString(",")}")
     // Shuffle sizing must scale with the data or the ladder measures
     // memory pressure instead of the engine: a fixed 32-partition run
     // OOM'd the 316× rung's window+agg stages (UnsafeExternalSorter
@@ -208,7 +222,7 @@ object ScaleBench {
       }
     }
 
-    val selected = heavy.filter(q => only.forall(_.contains(q)))
+    val selected = heavy.filter(q => only.forall(_.contains(q)) && !skip(q))
     val upsertQueries = Set("etl_upsert", "etl_upsert_partitioned")
 
     // at-rest builds at min-of-N too: they are single-shot by design
@@ -384,9 +398,13 @@ object ScaleBench {
     // query's first rep absorbs memoized build cost — recorded in the
     // partial artifact so a reader can't mistake it for steady state
     val note =
-      if (only.isEmpty) ""
-      else s""""note":"filtered rerun: at-rest builds skipped; first rep of """ +
-        s"""build-dependent queries absorbs build cost","""
+      if (only.nonEmpty)
+        s""""note":"filtered rerun: at-rest builds skipped; first rep of """ +
+          s"""build-dependent queries absorbs build cost","""
+      else if (skip.nonEmpty)
+        s""""note":"full run (builds + streaming) with queries skipped by """ +
+          s"""design: ${skip.toSeq.sorted.mkString(",")}","""
+      else ""
     val detail =
       s"""{"metric":"scale_curve",$note"sfs":[${sfs.mkString(",")}],""" +
         s""""gen_version":"${SynthGen.version}",""" +
@@ -396,9 +414,11 @@ object ScaleBench {
         s""""gen_sec":[${measured.map(m => ms(m._2)).mkString(",")}],""" +
         s""""codebook_residency":$codebookJson,$streamingJson""" +
         s""""builds":$buildsJson,"queries":$qJson}"""
-    // a filtered rerun must not clobber the full committed artifact
-    val outFile =
-      if (only.isEmpty) "SCALE_BENCH.json" else "SCALE_BENCH_PARTIAL.json"
+    // a filtered rerun must not clobber the full committed artifact;
+    // SPARK_GRAFT_OUT redirects any run (e.g. the sf100 extension
+    // ladder writes SCALE_BENCH_SF100.json, not the five-rung file)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_OUT",
+      if (only.isEmpty) "SCALE_BENCH.json" else "SCALE_BENCH_PARTIAL.json")
     val w = new java.io.PrintWriter(outFile)
     try w.println(detail) finally w.close()
     println(detail)

@@ -35,6 +35,9 @@ class RegistryPlanGateSpec extends SparkSpec {
     *    recall baseline the LSH/IVF paths are graded against;
     *  - q22_idle_rich — comparison against a broadcast ONE-ROW scalar
     *    aggregate (the standard scalar-subquery execution shape);
+    *  - q15_top_supplier — the same one-row-scalar shape: the
+    *    quarterly per-supplier aggregate is compared against its own
+    *    broadcast MAX (a single row by construction);
     *  - emb_ivf_lloyd_table — exact-Lloyd assignment with the codebook
     *    AS DATA: the broadcast loop join's build side is the K-row
     *    codebook (bounded index metadata), the scan side streams once;
@@ -43,7 +46,7 @@ class RegistryPlanGateSpec extends SparkSpec {
     *    literals (round-6 verdict task 1). */
   private val exactOracles =
     Set("docs_jaccard_pairs", "emb_knn_exact", "multimodal_knn", "q22_idle_rich",
-      "emb_ivf_lloyd_table")
+      "q15_top_supplier", "emb_ivf_lloyd_table")
 
   /** Allowlisted EMPTY-partition windows, each over a metadata-sized
     * frame, not the corpus:
