@@ -2,8 +2,8 @@ package graft
 
 import graft.ext.dedup.NearDup
 import graft.ext.multimodal.Multimodal
-import graft.ext.similarity.{CosineKNN, IvfKNN, PqKNN}
-import graft.ext.text.TextFunctions
+import graft.ext.similarity.{CosineKNN, IvfKNN, PqKNN, RandomProjection}
+import graft.ext.text.{NgramLm, TextFunctions}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1207,6 +1207,77 @@ object LlmQueries {
       |  CAST(LEAST(n_resized, 1024) AS BIGINT) AS width_out
       |FROM base ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------- bigram-LM scoring
+
+  /** Bigram language-model quality scoring (NgramLm): model trained on
+    * the corpus itself here (self-scoring — the degenerate but fully
+    * deterministic case; at 100 TB the model is an at-rest table
+    * trained once on a reference corpus). Integer fixed-point keeps
+    * the DuckDB replay hash-exact end to end: counts, ⌊S·cb/cu⌋
+    * floor-division, exact BIGINT sums. */
+  private def qLmScore(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val model = NgramLm.train(d, "doc_id", "text")
+    NgramLm.score(d, model, "doc_id", "text").orderBy(col("doc_id"))
+  }
+
+  private val qLmScoreSql =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(trim(text)) = 0 THEN []
+       |         ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks
+       |  FROM documents),
+       |pairs AS (
+       |  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2
+       |  FROM (SELECT doc_id,
+       |          unnest(list_transform(range(1, len(toks)),
+       |            i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS bg
+       |        FROM t)),
+       |uni AS (
+       |  SELECT w, COUNT(*) AS cu
+       |  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+       |bi AS (SELECT w1, w2, COUNT(*) AS cb FROM pairs GROUP BY w1, w2),
+       |model AS (
+       |  SELECT w1, w2, (${NgramLm.Scale} * cb) // cu AS score_scaled
+       |  FROM bi JOIN uni ON w1 = w),
+       |perdoc AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(COALESCE(score_scaled, 0)) AS BIGINT) AS sum_scaled,
+       |    COUNT(*) AS nb
+       |  FROM pairs LEFT JOIN model USING (w1, w2) GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  COALESCE(sum_scaled, 0) AS lm_sum_scaled,
+       |  COALESCE(nb, 0) AS n_bigrams,
+       |  CASE WHEN COALESCE(nb, 0) = 0 THEN 0.0
+       |       ELSE CAST(sum_scaled AS DOUBLE) / nb END AS lm_avg
+       |FROM t LEFT JOIN perdoc ON t.doc_id = perdoc.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
+  // ------------------------------------------- JL random projection
+
+  /** 64→16-dim Johnson–Lindenstrauss projection (RandomProjection):
+    * pure map pass against the fixed seeded plane matrix; long-form
+    * output (vec_id, component, value) rounded to 9 dp. The oracle
+    * inlines the same plane constants (Double.toString round-trips
+    * exactly) and replays each component as a SUM-of-products. */
+  private def qRandProj(s: SparkSession, dir: String): DataFrame =
+    RandomProjection.projectLong(emb(s, dir), "vec_id", "embedding",
+        targetDim = 16, dim = 64)
+      .orderBy(col("vec_id"), col("j"))
+
+  private lazy val qRandProjSql = {
+    val planes = CosineKNN.hyperplanes(16, 64)
+    val values = planes.zipWithIndex.map { case (p, j) =>
+      s"($j, [${p.mkString(", ")}])" }.mkString(", ")
+    s"""WITH planes AS (SELECT j, p FROM (VALUES $values) AS t(j, p))
+       |SELECT vec_id, CAST(j AS INT) AS j,
+       |  round(SUM(CAST(x AS DOUBLE) * y), 9) AS proj
+       |FROM (SELECT e.vec_id, pl.j, unnest(e.embedding) AS x, unnest(pl.p) AS y
+       |      FROM embeddings e, planes pl)
+       |GROUP BY vec_id, j
+       |ORDER BY vec_id, j""".stripMargin
+  }
+
   // ---------------------------------------------------------------- registry
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1235,6 +1306,8 @@ object LlmQueries {
     "emb_ivf_lloyd2"      -> (qIvfLloyd2 _),
     "emb_ivf_lloyd_table" -> (qIvfLloydTable _),
     "docs_term_rank"      -> (qTermRank _),
+    "docs_lm_score"       -> (qLmScore _),
+    "emb_rand_proj"       -> (qRandProj _),
     "docs_split"          -> (qSplit _),
     "emb_neardup_pairs"   -> (qEmbNearDup _),
     "multimodal_knn"      -> (qMultimodalKnn _),
@@ -1267,6 +1340,8 @@ object LlmQueries {
     "emb_ivf_lloyd2"     -> qIvfLloyd2Sql,
     "emb_ivf_lloyd_table" -> qIvfLloydTableSql,
     "docs_term_rank"     -> qTermRankSql,
+    "docs_lm_score"      -> qLmScoreSql,
+    "emb_rand_proj"      -> qRandProjSql,
     "docs_split"         -> qSplitSql,
     "emb_neardup_pairs"  -> qEmbNearDupSql,
     "multimodal_knn"     -> qMultimodalKnnSql,

@@ -1,0 +1,85 @@
+package graft.ext.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained bigram language-model scoring — the CCNet/Gopher
+  * "perplexity-style" quality signal, re-expressed relationally so it
+  * runs as joins + aggregations instead of a per-row model lookup
+  * against driver state.
+  *
+  * Model = conditional bigram frequencies over a training corpus:
+  * score(w1 w2) = ⌊SCALE · c(w1,w2) / c(w1)⌋ — an integer surrogate
+  * for log P(w2|w1) (higher = more predictable text). Integer floor
+  * division keeps every intermediate exact, so the DuckDB oracle
+  * replays the whole pipeline hash-identically (the same trick as
+  * docs_term_rank's integer-scaled idf: `ln`/`log` have no
+  * cross-engine bit guarantee, ⌊a·S/b⌋ does).
+  *
+  * Scale shape (the reason this is joins, not a broadcast dictionary):
+  *  - unigram + bigram counts are corpus aggregations — map-side
+  *    partial, one shuffle each, output bounded by the VOCABULARY
+  *    (Heaps-law sublinear in the corpus), not the corpus;
+  *  - the model join (bigram counts ⋈ unigram counts on w1) runs over
+  *    the vocab-sized tables only;
+  *  - per-doc scoring joins the exploded bigram stream against the
+  *    model on (w1,w2) — an equi-join that hash-co-partitions both
+  *    sides; hot bigrams ("of the") are ordinary AQE join skew;
+  *  - nothing is collected: at 100 TB the model is an at-rest table
+  *    (train once on a reference corpus, score any corpus against it),
+  *    which is why [[train]] and [[score]] are separate entry points.
+  *
+  * No UDFs anywhere — tokenization and pairing are higher-order array
+  * expressions inside WholeStageCodegen.
+  */
+object NgramLm {
+
+  /** Fixed-point scale for the conditional-frequency surrogate. */
+  val Scale = 1000000L
+
+  /** (w1, w2) bigram structs of a token array; <2 tokens → empty. */
+  def bigrams(toks: Column): Column =
+    when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1), i =>
+        struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
+
+  /** One row per (doc, bigram occurrence): (idCol, w1, w2). */
+  def docBigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(bigrams(TextFunctions.tokens(col(textCol))))
+        .as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  /** Train the model on a corpus: (w1, w2, score_scaled) where
+    * score_scaled = ⌊Scale·c(w1,w2)/c(w1)⌋. Both inputs to the final
+    * join are vocab-sized aggregates. */
+  def train(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val bi = docBigrams(docs, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    bi.join(uni, bi("w1") === uni("w"))
+      .select(col("w1"), col("w2"),
+        expr(s"($Scale * cb) div cu").as("score_scaled"))
+  }
+
+  /** Score every document against a trained model: per-doc exact sum
+    * of bigram scores, bigram count, and their (deterministic) double
+    * ratio. Docs with <2 tokens score 0 over 0 bigrams. Bigrams absent
+    * from the model contribute 0 (OOV floor) via the left join. */
+  def score(docs: DataFrame, model: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val perDoc = docBigrams(docs, idCol, textCol)
+      .join(model, Seq("w1", "w2"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(coalesce(col("score_scaled"), lit(0L))).as("sum_scaled"),
+        count(lit(1)).as("nb"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("sum_scaled"), lit(0L)).as("lm_sum_scaled"),
+        coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+        when(coalesce(col("nb"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("sum_scaled").cast("double") / col("nb"))
+          .as("lm_avg"))
+  }
+}

@@ -111,6 +111,10 @@ class RegistryPlanGateSpec extends SparkSpec {
   private val literalBudgetExceptions: Map[String, Long] = Map(
     "emb_knn_ivf" -> 32768L,
     "emb_knn_lsh" -> 16384L,
+    // the 16×64-double JL plane matrix (~8.2 KB): sized by the
+    // PROJECTION SCHEME (targetDim·dim), constant in the corpus —
+    // the same fixed-metadata class as the LSH hyperplanes above
+    "emb_rand_proj" -> 16384L,
     "emb_neardup_pairs" -> 8192L,
     "emb_pq_codes" -> 49152L,
     "emb_knn_pq" -> 61440L,
