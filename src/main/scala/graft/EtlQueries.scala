@@ -228,7 +228,51 @@ object EtlQueries {
       |  UNION ALL SELECT 'event_id_unique', c_event_id_unique, n FROM agg)
       |ORDER BY check_name""".stripMargin
 
+  /** Type-2 history twin of the upsert contract (operators/Scd2):
+    * the same two-batch replay as etl_upsert, but keyed on user_id so
+    * keys genuinely re-deliver across batches — batch 1 (even
+    * event_ids) loads each user's latest state, batch 2 (odd) closes
+    * it and appends the new current row. Verifies close stamps,
+    * pass-through of non-redelivered keys, and the is_current flag;
+    * the oracle rebuilds the history from scratch with one window
+    * (valid_to = next version per user). */
+  private def qScd2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val base = events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"), col("ts"))
+      .cache()
+    try {
+      val ord = Seq(col("ts").desc, col("event_id").desc)
+      val h1 = graft.operators.Scd2.mergeBatch(None,
+        base.filter(col("event_id") % 2 === 0), Seq("user_id"), ord, 1)
+      val h2 = graft.operators.Scd2.mergeBatch(Some(h1),
+        base.filter(col("event_id") % 2 === 1), Seq("user_id"), ord, 2)
+      h2.select(col("user_id"), col("event_id"), col("value"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy(col("user_id"), col("valid_from"))
+    } finally base.unpersist()
+  }
+
+  private val qScd2Sql =
+    """WITH b AS (
+      |  SELECT event_id, user_id, value, ts,
+      |    CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS batch
+      |  FROM events),
+      |latest AS (
+      |  SELECT * FROM b
+      |  QUALIFY row_number() OVER (PARTITION BY user_id, batch
+      |    ORDER BY ts DESC, event_id DESC) = 1),
+      |hist AS (
+      |  SELECT user_id, event_id, value,
+      |    CAST(batch AS INT) AS valid_from,
+      |    CAST(lead(batch) OVER (PARTITION BY user_id ORDER BY batch) AS INT) AS valid_to
+      |  FROM latest)
+      |SELECT user_id, event_id, value, valid_from, valid_to,
+      |  valid_to IS NULL AS is_current
+      |FROM hist ORDER BY user_id, valid_from""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_scd2_history"       -> (qScd2 _),
     "etl_expectations"       -> (qExpectations _),
     "etl_normalize"          -> (qNormalize _),
     "etl_keygen"             -> (qKeygen _),
@@ -239,6 +283,7 @@ object EtlQueries {
     "etl_upsert_partitioned" -> (qUpsertPartitioned _))
 
   val oracles: Map[String, String] = Map(
+    "etl_scd2_history"       -> qScd2Sql,
     "etl_expectations"       -> qExpectationsSql,
     "etl_normalize"          -> qNormalizeSql,
     "etl_keygen"             -> qKeygenSql,
