@@ -123,6 +123,32 @@ object PqKNN {
       (array_position(d2s, array_min(d2s)) - 1).cast("int")
     }: _*)
 
+  /** [[pqCodes]] as the native [[graft.functions.PqEncode]] loop —
+    * value-identical (PqKNNSpec pins bit-parity over the corpus), but
+    * ONE expression node instead of ~256 unrolled fvec_dot sub-trees.
+    *
+    * Why it exists: the ADC paths fuse encoding + Generate +
+    * broadcast join + partial aggregation into one whole-stage-
+    * codegen method; with the unrolled tree inlined, that method
+    * blows Janino's 64 KB limit, and Spark re-pays a multi-second
+    * FAILED compile on every execution before interpreting the giant
+    * tree row by row (measured 2.4–5 s per rep on a 500-row corpus —
+    * pure fixed overhead). The native node generates a single call,
+    * so the fused stage compiles and the book loop runs as primitive
+    * arrays. */
+  def pqCodesNative(vec: Column, book: PqBook): Column =
+    graft.functions.PqEncode.of(vec,
+      book.flatten.map(_.sub.toIndexedSeq),
+      book.flatten.map(_.cc), M, dsub, ksub)
+
+  /** Exploded `(keep…, m, code)` rows — the shape the ADC joins
+    * consume — via the native encoder. */
+  def codesLong(df: DataFrame, vecCol: String, book: PqBook,
+      keep: Seq[String]): DataFrame =
+    df.select(keep.map(col) :+ posexplode(pqCodesNative(col(vecCol), book)): _*)
+      .withColumnRenamed("pos", "m")
+      .withColumnRenamed("col", "code")
+
   /** The M 4-bit codes packed into one BIGINT word
     * (`Σ code_m << 4m`) — the at-rest form: 8 bytes per vector
     * instead of 256. */
@@ -141,24 +167,16 @@ object PqKNN {
     * rows (1280 for the registry's 10 queries): always broadcastable
     * because the codebook factor is corpus-independent. */
   def lutFor(queries: DataFrame, idCol: String, vecCol: String, book: PqBook)
-      : DataFrame = {
-    val bookLit = array((0 until M).map { m =>
-      array(book(m).map(c => litF(c.sub)): _*)
-    }: _*)
-    val ccLit = array((0 until M).flatMap(m => book(m).map(c => lit(c.cc))): _*)
+      : DataFrame =
     queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("m", explode(array((0 until M).map(lit): _*)))
-      .withColumn("code", explode(array((0 until ksub).map(lit): _*)))
-      .select(col("query_id"), col("m"), col("code"),
-        {
-          val qs = slice(col("qv"), col("m") * dsub + 1, lit(dsub))
-          val cv = element_at(element_at(bookLit, col("m") + 1), col("code") + 1)
-          val cc = element_at(ccLit, col("m") * ksub + col("code") + 1)
-          (CosineKNN.dot(qs, qs) - lit(2.0) * CosineKNN.dot(qs, cv) + cc)
-            .as("term")
-        })
-  }
+      .select(col(idCol).as("query_id"),
+        posexplode(graft.functions.PqLutTerms.of(col(vecCol),
+          book.flatten.map(_.sub.toIndexedSeq), book.flatten.map(_.cc),
+          M, dsub, ksub)))
+      .select(col("query_id"),
+        (col("pos") / lit(ksub)).cast("int").as("m"),
+        pmod(col("pos"), lit(ksub)).cast("int").as("code"),
+        col("col").as("term"))
 
   /** Shared ADC tail: codes-with-query rows `(query_id, neighbor_id,
     * m, code)` ⋈ broadcast LUT → per-pair rounded distance → bounded
@@ -189,10 +207,9 @@ object PqKNN {
   def adcTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, book: PqBook, k: Int): DataFrame = {
-    val codes = corpus.select(
-      col(idCol).as("neighbor_id"),
-      posexplode(pqCodes(col(vecCol), book)))
-      .select(col("neighbor_id"), col("pos").as("m"), col("col").as("code"))
+    val codes = codesLong(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol)),
+      vecCol, book, keep = Seq("neighbor_id"))
     // the (m, code) ⋈ LUT join fans each neighbor row out to every
     // query (the LUT carries all queries for that cell) — candidate
     // generation and scoring are the same broadcast join
@@ -212,11 +229,10 @@ object PqKNN {
       idCol: String, vecCol: String,
       cents: Seq[IvfKNN.Centroid], book: PqBook, k: Int, nprobe: Int)
       : DataFrame = {
-    val codes = IvfKNN.assignLists(corpus, vecCol, cents)
-      .select(col(idCol).as("neighbor_id"), col("list_id"),
-        posexplode(pqCodes(col(vecCol), book)))
-      .select(col("neighbor_id"), col("list_id"),
-        col("pos").as("m"), col("col").as("code"))
+    val codes = codesLong(
+      IvfKNN.assignLists(corpus, vecCol, cents)
+        .select(col(idCol).as("neighbor_id"), col("list_id"), col(vecCol)),
+      vecCol, book, keep = Seq("neighbor_id", "list_id"))
     val probes = queries.select(
       col(idCol).as("query_id"),
       explode(IvfKNN.probeLists(col(vecCol), cents, nprobe)).as("list_id"))

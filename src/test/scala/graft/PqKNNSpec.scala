@@ -145,4 +145,40 @@ class PqKNNSpec extends SparkSpec {
     assert(hits >= (got.length * 0.9).toInt,
       s"only $hits/${got.length} PQ neighbors in the query's own cluster")
   }
+
+  test("native PqEncode is bit-identical to the unrolled pqCodes chain") {
+    // the ADC paths ride graft.functions.PqEncode (one node, loop) —
+    // the unrolled Column form is the reference it must match code
+    // for code over the whole corpus (same slices, dots, rounding,
+    // argmin tie rule)
+    val b = book
+    val native = emb.select($"vec_id",
+      PqKNN.pqCodesNative($"embedding", b).as("codes"))
+    val unrolled = emb.select($"vec_id",
+      PqKNN.pqCodes($"embedding", b).as("codes"))
+    assert(native.exceptAll(unrolled).count() === 0)
+    assert(unrolled.exceptAll(native).count() === 0)
+  }
+
+  test("native PqLutTerms matches the expanded per-cell term formula") {
+    val b = book
+    val q = emb.filter($"vec_id" < 5)
+    val native = PqKNN.lutFor(q, "vec_id", "embedding", b)
+      .as[(Long, Int, Int, Double)].collect()
+      .map { case (id, m, c, t) => (id, m, c) -> t }.toMap
+    val vecs = q.select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    for ((id, v) <- vecs; m <- 0 until PqKNN.M; c <- 0 until PqKNN.ksub) {
+      val sub = b(m)(c)
+      val off = m * PqKNN.dsub
+      var qq = 0.0
+      var dot = 0.0
+      for (i <- 0 until PqKNN.dsub) {
+        qq += v(off + i).toDouble * v(off + i).toDouble
+        dot += v(off + i).toDouble * sub.sub(i).toDouble
+      }
+      val expected = qq - 2.0 * dot + sub.cc
+      assert(native((id, m, c)) === expected,
+        s"lut term mismatch at vec $id m $m code $c")
+    }
+  }
 }
