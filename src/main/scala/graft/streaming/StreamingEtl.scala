@@ -237,6 +237,65 @@ object StreamingEtl {
       }
       .start()
 
+  /** Streaming SCD2 maintenance: each micro-batch is merged into the
+    * type-2 history table with [[graft.operators.Scd2.mergeBatch]].
+    *
+    * Exactly-once across restarts without any side file:
+    *  - the version is `batchId + 1` (foreachBatch's batchId is
+    *    stable under checkpoint replay);
+    *  - a replayed batch is detected by `valid_from == version`
+    *    already present in the history and SKIPPED — merging is
+    *    idempotent per version;
+    *  - the rewrite uses the upsert sink's staging/backup naming
+    *    (`<table>__staging` / `<table>__backup`) and promote order,
+    *    so [[graft.sinks.ParquetUpsertSink.recover]] — invoked at
+    *    the top of every batch — rolls any crash state forward: a
+    *    complete history exists at every instant.
+    *
+    * Per batch the merge is one per-key window over the BATCH plus
+    * one equi join against history (Scd2's contract); Scd2Spec owns
+    * the merge semantics, StreamingSpec drives this wrapper across
+    * batches and a restart. */
+  def scd2Stream(
+      stream: DataFrame,
+      tablePath: String,
+      key: Seq[String],
+      ord: Seq[org.apache.spark.sql.Column],
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          graft.sinks.ParquetUpsertSink.recover(s, tablePath)
+          val version = (batchId + 1).toInt
+          val tableP = new org.apache.hadoop.fs.Path(tablePath)
+          val hfs = tableP.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val history =
+            if (hfs.exists(new org.apache.hadoop.fs.Path(s"$tablePath/_SUCCESS")))
+              Some(s.read.parquet(tablePath))
+            else None
+          val alreadyApplied = history.exists(h =>
+            !h.filter(col("valid_from") === version).isEmpty)
+          if (!alreadyApplied) {
+            val merged = graft.operators.Scd2
+              .mergeBatch(history, batch.toDF(), key, ord, version)
+            val staged = tablePath.stripSuffix("/") + "__staging"
+            val backup = tablePath.stripSuffix("/") + "__backup"
+            merged.write.mode("overwrite").parquet(staged)
+            val stagedP = new org.apache.hadoop.fs.Path(staged)
+            val backupP = new org.apache.hadoop.fs.Path(backup)
+            if (hfs.exists(tableP))
+              require(hfs.rename(tableP, backupP), s"rename $tableP -> $backupP failed")
+            require(hfs.rename(stagedP, tableP), s"rename $stagedP -> $tableP failed")
+            hfs.delete(backupP, true)
+          }
+        }
+        ()
+      }
+      .start()
+
   /** Watermarked stream-stream join: each purchase matched to clicks
     * from the same user within the preceding hour. Both sides carry
     * watermarks so join state is bounded and late rows are dropped —

@@ -329,4 +329,39 @@ class StreamingSpec extends SparkSpec {
     assert(flushed.length == 1 && flushed.head.sumValue == 5.0)
     q.stop()
   }
+
+  test("streaming SCD2 maintains type-2 history across batches and restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val table = tmpDir("scd2stream") + "/hist"
+    val ckpt = tmpDir("scd2ckpt")
+    val ord = Seq($"seq".desc)
+    val input = MemoryStream[(Long, String, Long)]
+    def start() = StreamingEtl.scd2Stream(
+      input.toDS().toDF("k", "v", "seq"), table, Seq("k"), ord, ckpt)
+    val q = start()
+    input.addData((1L, "a", 1L), (1L, "b", 2L), (2L, "x", 1L))
+    q.processAllAvailable()
+    val h1 = spark.read.parquet(table)
+    assert(h1.count() === 2)                       // latest-per-key of batch 1
+    assert(h1.filter($"k" === 1 && $"v" === "b").count() === 1)
+    input.addData((1L, "c", 3L))
+    q.processAllAvailable()
+    val h2 = spark.read.parquet(table)
+    assert(h2.count() === 3)                       // k=1 closed + reopened, k=2 untouched
+    assert(h2.filter($"k" === 1 && $"is_current" && $"v" === "c").count() === 1)
+    assert(h2.filter($"k" === 1 && !$"is_current" && $"valid_to".isNotNull).count() === 1)
+    assert(h2.filter($"k" === 2 && $"is_current").count() === 1)
+    q.stop()
+    // restart from the same checkpoint: new batches keep versioning
+    val q2 = start()
+    input.addData((2L, "y", 9L))
+    q2.processAllAvailable()
+    val h3 = spark.read.parquet(table)
+    assert(h3.count() === 4)
+    assert(h3.filter($"k" === 2 && $"is_current" && $"v" === "y").count() === 1)
+    // as-of still reconstructs the first version
+    val v1 = graft.operators.Scd2.asOf(h3, 1)
+    assert(v1.count() === 2)
+    q2.stop()
+  }
 }
