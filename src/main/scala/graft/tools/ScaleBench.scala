@@ -75,6 +75,12 @@ object ScaleBench {
     "q9_nation_profit",      // multi-join star aggregation
     "q_range_join",          // bucketized inequality join
     "q_sessionize",          // per-user ordered window
+    // second-to-last: the bigram-LM model join is corpus-sized on
+    // BOTH sides under the Heaps-law synthetic vocabulary (most
+    // bigrams are unique), so it carries the same OOM class as the
+    // miners — late placement bounds the blast radius if a rung
+    // kills the shared SparkContext
+    "docs_lm_score",         // bigram-LM scoring: count aggs + model join
     // LAST by design: the heaviest-memory query in the list. Its
     // nested sort-merge pair joins buffer whole key groups, and a
     // top-rung executor OOM kills local-mode's shared SparkContext —

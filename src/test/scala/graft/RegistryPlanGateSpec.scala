@@ -71,6 +71,9 @@ class RegistryPlanGateSpec extends SparkSpec {
     "q17_small_qty_revenue", "q18_large_orders", "q22_idle_rich",
     "q2_cheapest_supplier", "q3_shipping_priority", "q4_order_priority",
     "q5_region_volume", "q9_nation_profit",
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "q10_returned_items", "q14_promo_share", "q15_top_supplier",
+    "q19_disjunctive_revenue",
     "q_array_agg", "q_asof_last_click", "q_asof_tolerance",
     "q_attribution_batch", "q_brand_revenue", "q_click_not_purchase",
     "q_incremental_agg", "q_incremental_distinct", "q_interval_join",
