@@ -116,7 +116,12 @@ object EtlQueries {
       .select(col(KeyGen.columnName), col("event_id"), col("user_id"), col("value"))
       .cache()
     try {
-      val scratch = graft.tools.Scratch.dir("graft_upsert") + "/t"
+      // reusableDir: each rep re-materializes a full events-sized table;
+      // with JVM-lifetime dirs the bench ladder accumulated one table
+      // copy per rep per rung and filled the disk at sf100 (the
+      // partitioned twin died in a shuffle spill, "No space left on
+      // device") — wipe-at-call bounds disk to one live copy
+      val scratch = graft.tools.Scratch.reusableDir("graft_upsert") + "/t"
       val batch1 = base.filter(col("event_id") % 2 === 0)
       val batch2 = base.filter(col("event_id") % 2 === 1)
       ParquetUpsertSink.upsert(s, batch1, scratch, KeyGen.columnName, orderCol = Some("event_id"))
@@ -161,7 +166,7 @@ object EtlQueries {
         to_date(col("ts")).as("event_date"))
       .cache()
     try {
-      val scratch = graft.tools.Scratch.dir("graft_upsert_part") + "/t"
+      val scratch = graft.tools.Scratch.reusableDir("graft_upsert_part") + "/t"
       val batch1 = base.filter(col("event_id") % 2 === 0)
       val batch2 = base.filter(col("event_id") % 2 === 1)
       ParquetUpsertSink.upsertPartitioned(s, batch1, scratch, KeyGen.columnName,

@@ -45,4 +45,33 @@ object Scratch {
     created.add(p)
     p.toString
   }
+
+  private val reusable =
+    new java.util.concurrent.ConcurrentHashMap[String, Path]()
+
+  /** A scratch directory REUSED across calls with the same tag, wiped
+    * at every call. For queries that materialize a table per
+    * invocation and are invoked many times in one JVM (bench reps ×
+    * ladder rungs): with [[dir]], every rep leaked a full table copy
+    * until JVM exit — at the sf100 rung the accumulated upsert tables
+    * plus live shuffle spill filled the disk and killed the rung
+    * ("No space left on device" in stage 2050's sort spill). Wiping
+    * at call start bounds disk to ONE live copy per tag.
+    *
+    * Contract: the caller must fully consume any DataFrame reading a
+    * previous call's output before calling again with the same tag —
+    * true for the bench/verify loops, which materialize each query's
+    * result before the next invocation. */
+  def reusableDir(tag: String): String = {
+    hookInstalled
+    val p = reusable.computeIfAbsent(tag, _ => {
+      val d = Files.createTempDirectory(tag)
+      created.add(d)
+      d
+    })
+    // wipe contents, keep the dir itself
+    val s = Files.list(p)
+    try s.forEach(deleteRecursively) finally s.close()
+    p.toString
+  }
 }
