@@ -1283,16 +1283,15 @@ object LlmQueries {
   /** Merge count for the registry's BPE queries: small enough that the
     * generated oracle stays readable, large enough to exercise repeated
     * winners and multi-char merges on the corpus vocabulary. */
-  private val bpeMergeCount = 8
+  private val bpeMergeCount = graft.ext.text.BpeTrainer.RegistryMerges
 
   /** Learned BPE merge table: (merge_rank, left_sym, right_sym,
     * pair_freq). Training materializes vocab-sized checkpoints during
     * construction (the mining-query class); the returned plan is a
     * union of the eight one-row winner frames. */
   private def qBpeMerges(s: SparkSession, dir: String): DataFrame = {
-    val (merges, words) = graft.ext.text.BpeTrainer.train(
-      docs(s, dir), "text", bpeMergeCount)
-    words.unpersist()
+    val (merges, _) = graft.ext.text.BpeTrainer.cachedTrain(
+      docs(s, dir), "text", bpeMergeCount, source = dir)
     merges.orderBy(col("merge_rank"))
   }
 
@@ -1301,8 +1300,8 @@ object LlmQueries {
     * is explode + equi-join against the vocab-sized trained table —
     * the per-character fold never touches a document. */
   private def qBpeTokenize(s: SparkSession, dir: String): DataFrame = {
-    val (_, words) = graft.ext.text.BpeTrainer.train(
-      docs(s, dir), "text", bpeMergeCount)
+    val (_, words) = graft.ext.text.BpeTrainer.cachedTrain(
+      docs(s, dir), "text", bpeMergeCount, source = dir)
     graft.ext.text.BpeTrainer
       .tokenStats(docs(s, dir), words, "doc_id", "text")
       .orderBy(col("doc_id"))

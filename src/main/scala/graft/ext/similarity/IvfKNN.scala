@@ -63,7 +63,7 @@ object IvfKNN {
     * serving the stale codebook — the round-4 hygiene item. Non-file
     * frames (in-memory tests) token as "mem", preserving plain
     * per-source memoization. */
-  private def snapshotToken(corpus: DataFrame): String = {
+  private[graft] def snapshotToken(corpus: DataFrame): String = {
     val files = corpus.inputFiles.sorted
     if (files.isEmpty) "mem"
     else {

@@ -53,6 +53,11 @@ import org.apache.spark.sql.functions._
   */
 object BpeTrainer {
 
+  /** Merge count used by the registry queries and the at-rest build —
+    * one constant so the bench builds exactly what the queries
+    * consume. */
+  val RegistryMerges = 8
+
   /** (word, freq): corpus word frequencies — the one corpus-sized
     * aggregation; its output is vocabulary-sized. */
   def wordFreqs(docs: DataFrame, textCol: String): DataFrame =
@@ -153,6 +158,34 @@ object BpeTrainer {
       }
     }
     (merges.result().reduce(_.union(_)), words)
+  }
+
+  private val trainMemo = new scala.collection.concurrent.TrieMap[
+    (String, String, Int), (DataFrame, DataFrame)]
+
+  /** [[train]] memoized per (corpus snapshot, text column, merge
+    * count) — a tokenizer is an AT-REST artifact like an IVF
+    * codebook: trained once when the corpus is built, reused by every
+    * query; retraining per query would bill build cost to query
+    * latency. The snapshot token (file lengths + mtimes,
+    * [[graft.ext.similarity.IvfKNN.snapshotToken]]) invalidates the
+    * entry when the corpus is rewritten in place. Memoized frames are
+    * vocabulary-sized checkpoints — bounded session state. */
+  def cachedTrain(docs: DataFrame, textCol: String, numMerges: Int,
+      source: String): (DataFrame, DataFrame) =
+    trainMemo.getOrElseUpdate(
+      (source + "@" + graft.ext.similarity.IvfKNN.snapshotToken(docs),
+        textCol, numMerges),
+      train(docs, textCol, numMerges))
+
+  /** Drop the training memo (ScaleBench min-of-N builds: the second
+    * rep must retrain, not hit the memo), freeing the checkpointed
+    * RDDs it pinned. */
+  private[graft] def clearTrainMemo(): Unit = {
+    trainMemo.values.foreach { case (m, w) =>
+      freeCheckpoint(m); freeCheckpoint(w)
+    }
+    trainMemo.clear()
   }
 
   /** Per-document piece statistics under a trained tokenizer:

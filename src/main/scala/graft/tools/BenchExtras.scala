@@ -51,6 +51,14 @@ object AtRestBuilds {
     "bucketed_layout" -> { (s, dir) =>
       graft.ScaleQueries.ensureBucketedLayout(s, dir)
     },
+    // BPE tokenizer training (8 merges over the documents vocabulary)
+    // — the at-rest artifact behind docs_bpe_merges/docs_bpe_tokenize
+    "bpe_tokenizer" -> { (s, dir) =>
+      graft.ext.text.BpeTrainer.cachedTrain(
+        graft.Tables(s, dir, "documents"), "text",
+        graft.ext.text.BpeTrainer.RegistryMerges, source = dir)
+      ()
+    },
     // at-rest z-order clustering of events on (user bucket, hour
     // bucket) — the write ZOrderSpec audits for both-dims skipping
     "zorder_layout" -> { (s, dir) =>

@@ -67,6 +67,7 @@ object ScaleBench {
     "docs_block_dedup",      // corpus-wide first-occurrence + reassembly
     "docs_pack_shards",      // two-level distributed prefix sum
     "docs_curation_pipeline",// fused multi-stage curation plan
+    "docs_bpe_tokenize",     // BPE: one corpus agg + vocab-sized merge loop
     "emb_semantic_dedup",    // map-only assign + one cluster shuffle
     "emb_knn_ivf",           // pruned ANN probe (codebook built at-rest)
     "etl_upsert",            // merge-on-write upsert
@@ -243,6 +244,7 @@ object ScaleBench {
         if (r > 0) {
           graft.ext.similarity.IvfKNN.clearBuildMemos()
           graft.ScaleQueries.clearLayoutMemo()
+          graft.ext.text.BpeTrainer.clearTrainMemo()
         }
         AtRestBuilds.measure(spark, dir)
       }
