@@ -157,7 +157,17 @@ object BpeTrainer {
         rank += 1
       }
     }
-    (merges.result().reduce(_.union(_)), words)
+    val learned = merges.result()
+    if (learned.isEmpty) {
+      // degenerate corpus (empty, or every word a single symbol):
+      // an empty merge table with the contract schema, not a throw
+      val empty = docs.sparkSession.emptyDataFrame
+        .select(lit(0).cast("int").as("merge_rank"),
+          lit("").as("left_sym"), lit("").as("right_sym"),
+          lit(0L).as("pair_freq"))
+        .limit(0)
+      (empty, words)
+    } else (learned.reduce(_.union(_)), words)
   }
 
   private val trainMemo = new scala.collection.concurrent.TrieMap[

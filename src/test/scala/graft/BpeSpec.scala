@@ -102,6 +102,15 @@ class BpeSpec extends SparkSpec {
     assert(words.collect().head.getSeq[String](2) == Seq("ab"))
   }
 
+  test("all-single-char vocabulary learns zero merges, schema intact") {
+    val df = docsDf(Seq("a b c", "b c a"))
+    val (merges, words) = BpeTrainer.train(df, "text", 3)
+    assert(merges.count() == 0)
+    assert(merges.columns.toSeq ==
+      Seq("merge_rank", "left_sym", "right_sym", "pair_freq"))
+    assert(words.collect().map(_.getSeq[String](2)).forall(_.length == 1))
+  }
+
   test("tokenStats: pieces from the trained vocab, empty docs 0/0/0.0") {
     val corpus = Seq("low lower lowest", "newest newest low", "")
     val df = docsDf(corpus)
