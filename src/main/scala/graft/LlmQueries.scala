@@ -2,7 +2,7 @@ package graft
 
 import graft.ext.dedup.NearDup
 import graft.ext.multimodal.Multimodal
-import graft.ext.similarity.{CosineKNN, IvfKNN, PqKNN, RandomProjection}
+import graft.ext.similarity.{CosineKNN, IvfKNN, PqKNN, RandomProjection, SqKNN}
 import graft.ext.text.{NgramLm, TextFunctions}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -665,6 +665,102 @@ object LlmQueries {
         |  JOIN assign a ON a.list_id = p.list_id
         |  JOIN codes c ON c.vec_id = a.vec_id
         |  WHERE a.vec_id != p.query_id)""".stripMargin)}""".stripMargin
+
+  // ------------------------------------------------- scalar quantization (SQ8)
+
+  /** Shared SQ oracle CTEs: the trained global range (one min/max
+    * aggregation — no arithmetic, so the floats replay exactly), the
+    * positionally exploded embeddings, and the per-(vector, dim)
+    * codes — the exact replay of [[graft.functions.SqEncode]]
+    * (`floor(t + 0.5)` half-up from the identical double; clamp;
+    * s = 0 guard). */
+  private val sqCtes =
+    """rng AS (
+      |  SELECT CAST(min(x) AS DOUBLE) AS mn,
+      |         (CAST(max(x) AS DOUBLE) - CAST(min(x) AS DOUBLE)) / 255.0 AS s
+      |  FROM (SELECT unnest(embedding) AS x FROM embeddings)),
+      |ex AS (
+      |  SELECT vec_id, unnest(embedding) AS x,
+      |         unnest(range(len(embedding))) AS d
+      |  FROM embeddings),
+      |sqcodes AS (
+      |  SELECT e.vec_id, CAST(e.d AS INT) AS d,
+      |    CASE WHEN r.s = 0 THEN 0
+      |         ELSE GREATEST(0, LEAST(255,
+      |           CAST(floor((CAST(e.x AS DOUBLE) - r.mn) / r.s + 0.5) AS INT))) END AS code
+      |  FROM ex e, rng r)""".stripMargin
+
+  /** SQ8 codes for the whole corpus, exploded per dimension so the
+    * oracle verifies EVERY code positionally: each 64-float embedding
+    * becomes 64 one-byte codes under the single global (mn, s) affine
+    * ([[graft.ext.similarity.SqKNN]] — the FAISS QT_8bit_uniform
+    * scheme). Training is one min/max aggregation; the trained
+    * quantizer is TWO scalars — corpus-size and dimension-count
+    * independent, the cheapest index metadata in the family. Encoding
+    * itself is a pure projection (native [[graft.functions.SqEncode]]
+    * loop), zero shuffle. */
+  private def qSqCodes(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val p = SqKNN.cachedRange(e, "embedding", dir + "#sq")
+    e.select(col("vec_id"), SqKNN.sqCodes(col("embedding"), p).as("codes"))
+      .select(col("vec_id"), posexplode(col("codes")))
+      .select(col("vec_id"), col("pos").as("d"), col("col").as("code"))
+      .orderBy(col("vec_id"), col("d"))
+  }
+
+  private val qSqCodesSql =
+    s"""WITH $sqCtes
+       |SELECT vec_id, d, code FROM sqcodes ORDER BY vec_id, d""".stripMargin
+
+  /** Exhaustive SQ-ADC scan: top-5 by asymmetric distance to the
+    * DEQUANTIZED candidates for 10 queries — the 4×-compressed twin
+    * of emb_knn_exact (64-byte codes on the scan side; per-pair work
+    * is one codegen dot product over the codes, the reconstruction
+    * norm rides the code row). Broadcast side = the bounded query
+    * set, the emb_knn_exact shape. */
+  private def qKnnSq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val p = SqKNN.cachedRange(e, "embedding", dir + "#sq")
+    SqKNN.adcTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+      p, dim = 64, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val qKnnSqSql =
+    s"""WITH $sqCtes,
+       |cst AS (
+       |  SELECT vec_id, SUM(CAST(code AS DOUBLE)) AS csum,
+       |         SUM(CAST(code AS DOUBLE) * CAST(code AS DOUBLE)) AS csq,
+       |         CAST(COUNT(*) AS DOUBLE) AS dims
+       |  FROM sqcodes GROUP BY vec_id),
+       |xh AS (
+       |  SELECT c.vec_id,
+       |    r.mn * r.mn * c.dims + 2 * r.mn * r.s * c.csum
+       |      + r.s * r.s * c.csq AS xhat2
+       |  FROM cst c, rng r),
+       |qs AS (
+       |  SELECT vec_id AS query_id,
+       |    SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS qq,
+       |    SUM(CAST(x AS DOUBLE)) AS qsum
+       |  FROM ex WHERE vec_id < 10 GROUP BY vec_id),
+       |qcd AS (
+       |  SELECT e.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    SUM(CAST(e.x AS DOUBLE) * CAST(c.code AS DOUBLE)) AS qc
+       |  FROM ex e JOIN sqcodes c ON c.d = e.d
+       |  WHERE e.vec_id < 10 AND c.vec_id != e.vec_id
+       |  GROUP BY e.vec_id, c.vec_id),
+       |adc AS (
+       |  SELECT q.query_id, p.neighbor_id,
+       |    round(q.qq - 2 * (r.mn * q.qsum + r.s * p.qc) + x.xhat2, 9) AS adc2
+       |  FROM qcd p
+       |  JOIN qs q ON q.query_id = p.query_id
+       |  JOIN xh x ON x.vec_id = p.neighbor_id, rng r)
+       |SELECT query_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc2, neighbor_id) AS BIGINT) AS rank,
+       |  neighbor_id, adc2
+       |FROM adc
+       |QUALIFY rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
 
   // ------------------------------------------------------ train/val/test split
 
@@ -1415,6 +1511,8 @@ object LlmQueries {
     "emb_pq_codes"        -> (qPqCodes _),
     "emb_knn_pq"          -> (qKnnPq _),
     "emb_knn_ivfpq"       -> (qKnnIvfPq _),
+    "emb_sq_codes"        -> (qSqCodes _),
+    "emb_knn_sq"          -> (qKnnSq _),
     "emb_ivf_lloyd"       -> (qIvfLloyd _),
     "emb_ivf_lloyd2"      -> (qIvfLloyd2 _),
     "emb_ivf_lloyd_table" -> (qIvfLloydTable _),
@@ -1451,6 +1549,8 @@ object LlmQueries {
     "emb_pq_codes"       -> qPqCodesSql,
     "emb_knn_pq"         -> qKnnPqSql,
     "emb_knn_ivfpq"      -> qKnnIvfPqSql,
+    "emb_sq_codes"       -> qSqCodesSql,
+    "emb_knn_sq"         -> qKnnSqSql,
     "emb_ivf_lloyd"      -> qIvfLloydSql,
     "emb_ivf_lloyd2"     -> qIvfLloyd2Sql,
     "emb_ivf_lloyd_table" -> qIvfLloydTableSql,

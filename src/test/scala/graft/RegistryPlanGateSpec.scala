@@ -43,10 +43,14 @@ class RegistryPlanGateSpec extends SparkSpec {
     *    codebook (bounded index metadata), the scan side streams once;
     *    exact assignment is inherently n·K work, and the point of the
     *    query is that the codebook rides a JOIN instead of plan
-    *    literals (round-6 verdict task 1). */
+    *    literals (round-6 verdict task 1);
+    *  - emb_knn_sq — the exhaustive SQ-ADC scan (SqKNN.adcTopK): the
+    *    broadcast side is the bounded query set, the scan side streams
+    *    the 4×-compressed codes once — the emb_knn_exact shape over
+    *    codes instead of vectors. */
   private val exactOracles =
     Set("docs_jaccard_pairs", "emb_knn_exact", "multimodal_knn", "q22_idle_rich",
-      "q15_top_supplier", "emb_ivf_lloyd_table")
+      "q15_top_supplier", "emb_ivf_lloyd_table", "emb_knn_sq")
 
   /** Allowlisted EMPTY-partition windows, each over a metadata-sized
     * frame, not the corpus:
@@ -66,7 +70,8 @@ class RegistryPlanGateSpec extends SparkSpec {
     * below a filter) breaks the pin by name. */
   private val mustPushFilters = Set(
     "docs_decontaminate", "docs_hash_sample",
-    "emb_knn_exact", "emb_knn_ivf", "emb_knn_lsh", "emb_neardup_pairs",
+    "emb_knn_exact", "emb_knn_ivf", "emb_knn_lsh", "emb_knn_sq",
+    "emb_neardup_pairs",
     "etl_entity_split", "etl_split_rejects",
     "q17_small_qty_revenue", "q18_large_orders", "q22_idle_rich",
     "q2_cheapest_supplier", "q3_shipping_priority", "q4_order_priority",
