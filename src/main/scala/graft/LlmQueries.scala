@@ -762,6 +762,104 @@ object LlmQueries {
        |QUALIFY rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  // -------------------------------------------- inverted index + sparse cosine
+
+  /** Inverted-index build over whitespace tokens: term → df, cf, and
+    * the doc_id-ordered posting list capped at 256 entries
+    * ([[graft.ext.text.InvertedIndex.postings]]). The synthetic
+    * corpus's 31-term vocabulary makes every term hot (df ≈ N), so
+    * the TRUNCATION path — the block-capped posting shape real
+    * indexes use — is exercised at every SF, not just at scale. */
+  private def qInvertedIndex(s: SparkSession, dir: String): DataFrame =
+    graft.ext.text.InvertedIndex.postings(docs(s, dir), "doc_id", "text",
+        maxPostings = 256)
+      .orderBy(col("term"))
+
+  private val qInvertedIndexSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |  FROM documents WHERE len(trim(text)) > 0),
+      |tf AS (
+      |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM toks GROUP BY term, doc_id)
+      |SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+      |  list_slice(list(doc_id ORDER BY doc_id), 1, 256) AS doc_ids,
+      |  list_slice(list(tf ORDER BY doc_id), 1, 256) AS tfs,
+      |  COUNT(*) > 256 AS truncated
+      |FROM tf GROUP BY term ORDER BY term""".stripMargin
+
+  /** Index-routed sparse similarity: IDF-weighted cosine over word-
+    * trigram shingle sets, pairs meeting only on shared terms with
+    * stop terms df-pruned first
+    * ([[graft.ext.text.InvertedIndex.tfidfPairs]] — candidate mass
+    * Σ df² ≤ maxDf·Σ df, linear in the corpus for the fixed cap; the
+    * LSH-banding argument with df as the bucket size). At sf0.01 the
+    * survivors are exactly the planted near-dup structure. Exact
+    * integer idf weights + DECIMAL sums; one rounded float op at the
+    * end — full SQL replay. */
+  private def qTfidfPairs(s: SparkSession, dir: String): DataFrame =
+    graft.ext.text.InvertedIndex.tfidfPairs(docs(s, dir), "doc_id", "text",
+        shingleN = 3, maxDf = 64L, threshold = 0.25)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val qTfidfPairsSql =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+      |  FROM documents WHERE len(trim(text)) > 0),
+      |grams AS (
+      |  SELECT DISTINCT doc_id AS doc, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS term
+      |  FROM t, unnest(range(1, len(ts) - 1)) AS u(i)),
+      |dfs AS (
+      |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+      |  FROM grams GROUP BY term HAVING COUNT(*) <= 64),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      |w AS (
+      |  SELECT g.doc, g.term, ((SELECT n FROM n) * 1000000) // d.df AS w
+      |  FROM grams g JOIN dfs d USING (term)),
+      |nrm AS (
+      |  SELECT doc, SUM(CAST(w AS HUGEINT) * w) AS nn FROM w GROUP BY doc),
+      |dots AS (
+      |  SELECT a.doc AS doc_a, b.doc AS doc_b,
+      |         SUM(CAST(a.w AS HUGEINT) * b.w) AS dot
+      |  FROM w a JOIN w b ON a.term = b.term AND a.doc < b.doc
+      |  GROUP BY a.doc, b.doc),
+      |scored AS (
+      |  SELECT d.doc_a, d.doc_b,
+      |    round(CAST(d.dot AS DOUBLE) /
+      |      (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))), 9) AS cosine
+      |  FROM dots d
+      |  JOIN nrm na ON na.doc = d.doc_a
+      |  JOIN nrm nb ON nb.doc = d.doc_b)
+      |SELECT doc_a, doc_b, cosine FROM scored
+      |WHERE cosine >= 0.25
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // -------------------------------------------------- sliding-window chunking
+
+  /** Context-window chunking: each document becomes overlapping
+    * 16-token windows every 12 tokens ([[graft.ext.text.Chunker]]) —
+    * pure map + bounded explode, zero shuffle, deterministic chunk
+    * identity. */
+  private def qChunk(s: SparkSession, dir: String): DataFrame =
+    graft.ext.text.Chunker.chunks(docs(s, dir), "doc_id", "text",
+        window = 16, stride = 12)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  private val qChunkSql =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+      |  FROM documents WHERE len(trim(text)) > 0),
+      |s AS (
+      |  SELECT doc_id, ts, CAST(unnest(range(0, len(ts), 12)) AS INT) AS start
+      |  FROM t),
+      |c AS (
+      |  SELECT doc_id, CAST(start // 12 AS INT) AS chunk_id, start,
+      |         list_slice(ts, start + 1, start + 16) AS ctoks
+      |  FROM s)
+      |SELECT doc_id, chunk_id, start, CAST(len(ctoks) AS BIGINT) AS n_tokens,
+      |  array_to_string(ctoks, ' ') AS chunk_text
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   // ------------------------------------------------------ train/val/test split
 
   /** Deterministic 3-way dataset split (80/10/10 train/val/test) from
@@ -1525,7 +1623,10 @@ object LlmQueries {
     "multimodal_meta"     -> (qMultimodalMeta _),
     "multimodal_stages"   -> (qMultimodalStages _),
     "docs_bpe_merges"     -> (qBpeMerges _),
-    "docs_bpe_tokenize"   -> (qBpeTokenize _))
+    "docs_bpe_tokenize"   -> (qBpeTokenize _),
+    "docs_inverted_index" -> (qInvertedIndex _),
+    "docs_tfidf_pairs"    -> (qTfidfPairs _),
+    "docs_chunk"          -> (qChunk _))
 
   val oracles: Map[String, String] = Map(
     "docs_token_stats"   -> qTokensSql,
@@ -1563,5 +1664,8 @@ object LlmQueries {
     "multimodal_meta"    -> qMultimodalMetaSql,
     "multimodal_stages"  -> qMultimodalStagesSql,
     "docs_bpe_merges"    -> qBpeMergesSql,
-    "docs_bpe_tokenize"  -> qBpeTokenizeSql)
+    "docs_bpe_tokenize"  -> qBpeTokenizeSql,
+    "docs_inverted_index" -> qInvertedIndexSql,
+    "docs_tfidf_pairs"   -> qTfidfPairsSql,
+    "docs_chunk"         -> qChunkSql)
 }
