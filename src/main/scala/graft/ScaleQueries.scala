@@ -503,7 +503,50 @@ object ScaleQueries {
       |  event_type, COUNT(*) AS n_events
       |FROM events GROUP BY event_type ORDER BY rank""".stripMargin
 
+  // ------------------------------------------------------------- pagerank
+
+  /** Weighted PageRank over the customer↔supplier trade graph: nodes
+    * are customers (even ids: custkey·2) and suppliers (odd:
+    * suppkey·2+1), an edge per (customer, supplier) pair that traded,
+    * weighted by lineitem count, symmetric (both directions) so the
+    * bipartite walk has no dangling mass. Four power iterations in
+    * exact fixed-point integers ([[graft.ext.graph.PageRank]] — each
+    * iteration one equi-join + one hash agg, ranks checkpointed per
+    * round, nothing on the driver); the oracle replays the full
+    * training with one generated CTE block per iteration (the
+    * Lloyd/BPE convention). */
+  private def qPageRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem")
+    val o = Tables(s, dir, "orders")
+    val base = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
+      .groupBy($"c", $"s").agg(count(lit(1)).as("w"))
+    val edges = base.select($"c".as("src"), $"s".as("dst"), $"w")
+      .unionByName(base.select($"s".as("src"), $"c".as("dst"), $"w"))
+    graft.ext.graph.PageRank.ranks(edges, "src", "dst", "w", iters = 4)
+      .select(
+        when(pmod($"node", lit(2)) === 1, "supplier").otherwise("customer").as("kind"),
+        expr("node div 2").as("entity_id"), $"rank")
+      .orderBy($"kind", $"entity_id")
+  }
+
+  private val qPageRankSql =
+    s"""WITH base AS (
+       |  SELECT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s,
+       |         CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |  GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT c AS src, s AS dst, w FROM base
+       |  UNION ALL SELECT s, c, w FROM base),
+       |${graft.ext.graph.PageRank.oracleCtes(4)}
+       |SELECT CASE WHEN node % 2 = 1 THEN 'supplier' ELSE 'customer' END AS kind,
+       |  CAST(node // 2 AS BIGINT) AS entity_id, rank
+       |FROM r4 ORDER BY kind, entity_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank"         -> (qPageRank _),
     "q_salted_join"      -> (qSaltedJoin _),
     "q_bucketed_join"    -> (qBucketedJoin _),
     "q_range_join"       -> (qRangeJoin _),
@@ -517,6 +560,7 @@ object ScaleQueries {
     "q_approx_quantiles" -> (qApproxQuantiles _))
 
   val oracles: Map[String, String] = Map(
+    "q_pagerank"         -> qPageRankSql,
     "q_salted_join"      -> qSaltedJoinSql,
     "q_bucketed_join"    -> qBucketedJoinSql,
     "q_range_join"       -> qRangeJoinSql,

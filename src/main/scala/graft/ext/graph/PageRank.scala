@@ -1,0 +1,110 @@
+package graft.ext.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Weighted PageRank as iterated relational algebra — the graph twin
+  * of the repo's other fixed-iteration operators (exact Lloyd
+  * training, BPE merge learning, dup-group label propagation):
+  * every iteration is ONE rank ⋈ edge equi-join plus one
+  * destination-keyed hash aggregation, nothing graph-shaped lives on
+  * the driver, and the damping arithmetic is EXACT INTEGER so the
+  * whole training loop replays hash-identically in SQL.
+  *
+  * Update rule (Page, Brin, Motwani, Winograd 1999, damping d = 0.85,
+  * teleport over the |V| graph vertices), in fixed-point integers at
+  * `scale` (ranks start at `scale` per vertex):
+  *
+  *   r'(v) = (15·scale div 100) + Σ_{(u,v,w)} (r(u)·85·w) div (100·W(u))
+  *
+  * where W(u) is u's total out-weight. Per-edge integer division is
+  * part of the DEFINITION here (not an approximation of float PR):
+  * both engines compute the identical `div`, so ranks are
+  * bit-reproducible — the docs_term_rank/ln rationale applied to
+  * graph analytics. Rank mass leaks a few units per division (floor)
+  * — immaterial for ranking, essential for determinism.
+  *
+  * Scale posture: rank state and edges shuffle on vertex keys each
+  * round (edges can stay hash-partitioned by src across rounds);
+  * per-round plans are constant-size because each round
+  * `localCheckpoint`s its rank frame — the DupGroups idiom; rounds
+  * are a fixed small count (power iteration converges geometrically
+  * at 0.85^k). Dangling vertices (no out-edges) keep receiving rank
+  * but stop redistributing it — acceptable for ranking; symmetric
+  * edge lists (the registry query's shape) have none.
+  */
+object PageRank {
+
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
+  /** Ranks after `iters` rounds over `edges(srcCol, dstCol, wCol)`.
+    * Vertices = every id appearing as src or dst. Output:
+    * `(node, rank)` with rank the fixed-point integer (BIGINT). */
+  def ranks(
+      edges: DataFrame,
+      srcCol: String, dstCol: String, wCol: String,
+      iters: Int,
+      scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val e = edges.select(
+      col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"),
+      col(wCol).cast("long").as("w"))
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val ew = e.join(outW, Seq("src"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val teleport = 15L * scale / 100L
+
+    var ranks = nodes.select(col("node"), lit(scale).as("rank"))
+    var prev: Option[DataFrame] = None
+    (1 to iters).foreach { _ =>
+      val contrib = ew
+        .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
+        .select(col("dst").as("node"),
+          expr("(rank * 85 * w) div (100 * wout)").as("c"))
+        .groupBy(col("node"))
+        .agg(sum(col("c")).as("inflow"))
+      // left join keeps rank-receiving-nothing vertices at teleport
+      val next = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) + coalesce(col("inflow"), lit(0L))).as("rank"))
+        .localCheckpoint(true)
+      prev.foreach(freeCheckpoint)
+      prev = Some(next)
+      ranks = next
+    }
+    ranks
+  }
+
+  /** The generated DuckDB replay: one CTE block per iteration over a
+    * caller-supplied `edges(src, dst, w)` CTE — the Lloyd/BPE oracle
+    * convention. Returns the text after the edges CTE; final relation
+    * is `r$iters(node, rank)`. */
+  def oracleCtes(iters: Int, scale: Long = 1000000000L): String = {
+    val teleport = 15L * scale / 100L
+    val base =
+      s"""outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM edges GROUP BY src),
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+         |r0 AS (SELECT node, CAST($scale AS BIGINT) AS rank FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |    CAST($teleport + COALESCE(f.inflow, 0) AS BIGINT) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      SUM((r.rank * 85 * e.w) // (100 * o.wout)) AS inflow
+         |    FROM edges e
+         |    JOIN r${i - 1} r ON r.node = e.src
+         |    JOIN outw o ON o.src = e.src
+         |    GROUP BY e.dst) f ON f.node = n.node)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+}
