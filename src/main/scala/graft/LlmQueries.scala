@@ -726,9 +726,11 @@ object LlmQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  private val qKnnSqSql =
-    s"""WITH $sqCtes,
-       |cst AS (
+  /** Shared SQ-ADC tail over whatever `cand`(query_id, neighbor_id)
+    * the caller routes: reconstruction norms from code sums, query
+    * constants, per-pair code dot, rounded expansion, rank. */
+  private def sqAdcTail(candCte: String): String =
+    s"""cst AS (
        |  SELECT vec_id, SUM(CAST(code AS DOUBLE)) AS csum,
        |         SUM(CAST(code AS DOUBLE) * CAST(code AS DOUBLE)) AS csq,
        |         CAST(COUNT(*) AS DOUBLE) AS dims
@@ -743,12 +745,14 @@ object LlmQueries {
        |    SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS qq,
        |    SUM(CAST(x AS DOUBLE)) AS qsum
        |  FROM ex WHERE vec_id < 10 GROUP BY vec_id),
+       |$candCte,
        |qcd AS (
-       |  SELECT e.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |    SUM(CAST(e.x AS DOUBLE) * CAST(c.code AS DOUBLE)) AS qc
-       |  FROM ex e JOIN sqcodes c ON c.d = e.d
-       |  WHERE e.vec_id < 10 AND c.vec_id != e.vec_id
-       |  GROUP BY e.vec_id, c.vec_id),
+       |  SELECT c.query_id, c.neighbor_id,
+       |    SUM(CAST(e.x AS DOUBLE) * CAST(s.code AS DOUBLE)) AS qc
+       |  FROM cand c
+       |  JOIN ex e ON e.vec_id = c.query_id
+       |  JOIN sqcodes s ON s.vec_id = c.neighbor_id AND s.d = e.d
+       |  GROUP BY c.query_id, c.neighbor_id),
        |adc AS (
        |  SELECT q.query_id, p.neighbor_id,
        |    round(q.qq - 2 * (r.mn * q.qsum + r.s * p.qc) + x.xhat2, 9) AS adc2
@@ -761,6 +765,64 @@ object LlmQueries {
        |FROM adc
        |QUALIFY rank <= 5
        |ORDER BY query_id, rank""".stripMargin
+
+  private val qKnnSqSql =
+    s"""WITH $sqCtes,
+       |${sqAdcTail(
+      """cand AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 10) q,
+        |       (SELECT DISTINCT vec_id FROM embeddings) c
+        |  WHERE c.vec_id != q.vec_id)""".stripMargin)}""".stripMargin
+
+  /** IVF-SQ: the emb_knn_ivf coarse routing (same codebook + probe
+    * rules, replayed verbatim) prunes candidates to the probed
+    * inverted lists; SQ-ADC scores the survivors from codes — the
+    * FAISS "IVF,SQ8" layout. Coarse book bounded by the fixed ANN K,
+    * SQ quantizer by two scalars. */
+  private def qKnnIvfSq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = IvfKNN.cachedSampledCentroids(e, "vec_id", "embedding", 16, dir)
+    val p = SqKNN.cachedRange(e, "embedding", dir + "#sq")
+    SqKNN.ivfsqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+      cents, p, dim = 64, k = 5, nprobe = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val qKnnIvfSqSql =
+    s"""WITH $sqCtes,
+       |cent AS (
+       |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+       |norms AS (
+       |  SELECT vec_id, SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nn
+       |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+       |cnorm AS (
+       |  SELECT cid, SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS cn
+       |  FROM (SELECT cid, unnest(cv) AS x FROM cent) GROUP BY cid),
+       |vcd AS (
+       |  SELECT vec_id, cid, SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot
+       |  FROM (SELECT e.vec_id, c.cid, unnest(e.embedding) AS x, unnest(c.cv) AS y
+       |        FROM embeddings e, cent c)
+       |  GROUP BY vec_id, cid),
+       |vccos AS (
+       |  SELECT v.vec_id, v.cid,
+       |    round(v.dot / (sqrt(n.nn) * sqrt(cn.cn)), 9) AS cos
+       |  FROM vcd v
+       |  JOIN norms n ON n.vec_id = v.vec_id
+       |  JOIN cnorm cn ON cn.cid = v.cid),
+       |assign AS (
+       |  SELECT vec_id, cid AS list_id FROM vccos
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid AS list_id FROM vccos
+       |  WHERE vec_id < 10
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) <= 4),
+       |${sqAdcTail(
+      """cand AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id
+        |  FROM probes p
+        |  JOIN assign a ON a.list_id = p.list_id
+        |  WHERE a.vec_id != p.query_id)""".stripMargin)}""".stripMargin
 
   // -------------------------------------------- inverted index + sparse cosine
 
@@ -1611,6 +1673,7 @@ object LlmQueries {
     "emb_knn_ivfpq"       -> (qKnnIvfPq _),
     "emb_sq_codes"        -> (qSqCodes _),
     "emb_knn_sq"          -> (qKnnSq _),
+    "emb_knn_ivfsq"       -> (qKnnIvfSq _),
     "emb_ivf_lloyd"       -> (qIvfLloyd _),
     "emb_ivf_lloyd2"      -> (qIvfLloyd2 _),
     "emb_ivf_lloyd_table" -> (qIvfLloydTable _),
@@ -1652,6 +1715,7 @@ object LlmQueries {
     "emb_knn_ivfpq"      -> qKnnIvfPqSql,
     "emb_sq_codes"       -> qSqCodesSql,
     "emb_knn_sq"         -> qKnnSqSql,
+    "emb_knn_ivfsq"      -> qKnnIvfSqSql,
     "emb_ivf_lloyd"      -> qIvfLloydSql,
     "emb_ivf_lloyd2"     -> qIvfLloyd2Sql,
     "emb_ivf_lloyd_table" -> qIvfLloydTableSql,

@@ -87,16 +87,18 @@ object SqKNN {
     * vector. The code-array dots run as [[graft.functions.FloatVectorDot]]
     * loops over the int→float cast (every [0,255] int is float-exact). */
   def withCodes(df: DataFrame, idCol: String, vecCol: String,
-      p: SqParams, dim: Int): DataFrame = {
+      p: SqParams, dim: Int, keep: Seq[String] = Nil): DataFrame = {
     val codes = sqCodes(col(vecCol), p)
-    val withC = df.select(col(idCol).as("neighbor_id"), codes.as("codes"))
+    val withC = df.select(
+        col(idCol).as("neighbor_id") +: keep.map(col) :+ codes.as("codes"): _*)
       .withColumn("codesf", col("codes").cast("array<float>"))
     val csum = graft.functions.FloatVectorDot.dot(col("codesf"), onesF(dim))
     val csq = graft.functions.FloatVectorDot.dot(col("codesf"), col("codesf"))
-    withC.select(col("neighbor_id"), col("codes"), col("codesf"),
-      csum.as("csum"),
-      (lit(p.mn * p.mn * dim) + lit(2.0 * p.mn * p.s) * csum
-        + lit(p.s * p.s) * csq).as("xhat2"))
+    withC.select(
+      col("neighbor_id") +: keep.map(col) :+ col("codes") :+ col("codesf") :+
+        csum.as("csum") :+
+        (lit(p.mn * p.mn * dim) + lit(2.0 * p.mn * p.s) * csum
+          + lit(p.s * p.s) * csq).as("xhat2"): _*)
   }
 
   /** Exhaustive SQ scan: every corpus vector ADC-scored from its
@@ -105,22 +107,23 @@ object SqKNN {
     * instead of 256-byte vectors; the broadcast side is the bounded
     * query set). Output: `(query_id, rank, neighbor_id, adc2)` with
     * rank by (adc2 asc, neighbor_id asc). */
-  def adcTopK(corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, p: SqParams, dim: Int, k: Int)
-      : DataFrame = {
-    val c = withCodes(corpus, idCol, vecCol, p, dim)
-    val q = broadcast(queries.select(
+  private def queryConsts(queries: DataFrame, idCol: String, vecCol: String,
+      dim: Int): DataFrame =
+    queries.select(
       col(idCol).as("query_id"), col(vecCol).as("qv"),
       CosineKNN.dot(col(vecCol), col(vecCol)).as("qq"),
-      graft.functions.FloatVectorDot.dot(col(vecCol), onesF(dim)).as("qsum")))
+      graft.functions.FloatVectorDot.dot(col(vecCol), onesF(dim)).as("qsum"))
+
+  /** Shared ADC tail: per-pair rounded distance from the expansion,
+    * then the bounded top-k heap (fed the negated distance — the PQ
+    * rule; −(−0.0) = 0.0, so no negative-zero reaches the output). */
+  private def rankSq(withQuery: DataFrame, p: SqParams, k: Int): DataFrame = {
     val qc = graft.functions.FloatVectorDot.dot(col("qv"), col("codesf"))
-    val scored = c.crossJoin(q)
+    val scored = withQuery
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("adc2", round(
         col("qq") - lit(2.0) * (lit(p.mn) * col("qsum") + lit(p.s) * qc)
           + col("xhat2"), 9))
-      // heap ranks by score DESC: feed the negated distance (PQ rule;
-      // −(−0.0) = 0.0, so no negative-zero can reach the output)
       .withColumn("score", col("adc2") * lit(-1.0))
     scored.groupBy(col("query_id"))
       .agg(graft.functions.TopKByScore.topk(col("score"), col("neighbor_id"), k)
@@ -129,5 +132,35 @@ object SqKNN {
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as("neighbor_id"),
         (col("col.score") * lit(-1.0)).as("adc2"))
+  }
+
+  def adcTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, p: SqParams, dim: Int, k: Int)
+      : DataFrame = {
+    val c = withCodes(corpus, idCol, vecCol, p, dim)
+    rankSq(c.crossJoin(broadcast(queryConsts(queries, idCol, vecCol, dim))),
+      p, k)
+  }
+
+  /** IVF-SQ: coarse IVF routing prunes the candidate set to the
+    * probed inverted lists, then SQ-ADC scores the survivors from
+    * their codes — the FAISS "IVF,SQ8" layout (public). The coarse
+    * codebook is bounded by the ANN family's fixed K; the SQ
+    * quantizer is two scalars; the corpus side never shuffles
+    * (probes and query constants broadcast onto the code scan). */
+  def ivfsqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      cents: Seq[IvfKNN.Centroid], p: SqParams, dim: Int, k: Int, nprobe: Int)
+      : DataFrame = {
+    val c = withCodes(
+      IvfKNN.assignLists(corpus, vecCol, cents)
+        .select(col(idCol), col("list_id"), col(vecCol)),
+      idCol, vecCol, p, dim, keep = Seq("list_id"))
+    val probes = queries.select(
+      col(idCol).as("query_id"),
+      explode(IvfKNN.probeLists(col(vecCol), cents, nprobe)).as("list_id"))
+    val routed = c.join(broadcast(probes), Seq("list_id"))
+    rankSq(routed.join(broadcast(queryConsts(queries, idCol, vecCol, dim)),
+      Seq("query_id")), p, k)
   }
 }

@@ -71,7 +71,7 @@ class RegistryPlanGateSpec extends SparkSpec {
   private val mustPushFilters = Set(
     "docs_decontaminate", "docs_hash_sample",
     "emb_knn_exact", "emb_knn_ivf", "emb_knn_lsh", "emb_knn_sq",
-    "emb_neardup_pairs",
+    "emb_knn_ivfsq", "emb_neardup_pairs",
     "etl_entity_split", "etl_split_rejects",
     "q17_small_qty_revenue", "q18_large_orders", "q22_idle_rich",
     "q2_cheapest_supplier", "q3_shipping_priority", "q4_order_priority",
@@ -126,7 +126,11 @@ class RegistryPlanGateSpec extends SparkSpec {
     "emb_neardup_pairs" -> 8192L,
     "emb_pq_codes" -> 49152L,
     "emb_knn_pq" -> 61440L,
-    "emb_knn_ivfpq" -> 73728L)
+    "emb_knn_ivfpq" -> 73728L,
+    // IVF-SQ: the fixed k=16×64-float coarse IVF codebook inlined for
+    // assign + probe (the emb_knn_ivf payload); the SQ quantizer
+    // itself adds two scalars
+    "emb_knn_ivfsq" -> 32768L)
 
   private def elemSize(dt: org.apache.spark.sql.types.DataType): Long = {
     import org.apache.spark.sql.types._

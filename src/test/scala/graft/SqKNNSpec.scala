@@ -127,6 +127,34 @@ class SqKNNSpec extends SparkSpec {
     }
   }
 
+  test("IVF-SQ with a full probe equals the exhaustive SQ-ADC scan") {
+    // nprobe = K: routing prunes nothing, so the composition must
+    // reproduce the exhaustive ranking exactly (the PqKNNSpec law
+    // for the PQ composition, applied to SQ)
+    val p = params
+    val cents = graft.ext.similarity.IvfKNN
+      .sampledCentroids(emb, "vec_id", "embedding", 16)
+    val full = SqKNN.ivfsqTopK(emb, emb.filter($"vec_id" < 5),
+        "vec_id", "embedding", cents, p, dim = 64, k = 5, nprobe = 16)
+      .select($"query_id", $"rank", $"neighbor_id", $"adc2")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val exhaustive = SqKNN.adcTopK(emb, emb.filter($"vec_id" < 5),
+        "vec_id", "embedding", p, dim = 64, k = 5)
+      .select($"query_id", $"rank", $"neighbor_id", $"adc2")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(full.toSeq == exhaustive.toSeq)
+  }
+
+  test("IVF-SQ with a partial probe returns k ranked rows per query") {
+    val p = params
+    val cents = graft.ext.similarity.IvfKNN
+      .sampledCentroids(emb, "vec_id", "embedding", 16)
+    val got = SqKNN.ivfsqTopK(emb, emb.filter($"vec_id" < 5),
+        "vec_id", "embedding", cents, p, dim = 64, k = 5, nprobe = 4)
+      .groupBy($"query_id").count().as[(Long, Long)].collect()
+    assert(got.length == 5 && got.forall(_._2 == 5))
+  }
+
   test("SQ recall vs exact L2 KNN: high on clustered embeddings") {
     // On CLUSTERED corpora (where neighbor gaps exceed the <= s/2
     // per-dimension quantization noise) the compressed ranking agrees
