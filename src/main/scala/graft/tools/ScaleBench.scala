@@ -76,6 +76,8 @@ object ScaleBench {
     "q9_nation_profit",      // multi-join star aggregation
     "q_range_join",          // bucketized inequality join
     "q_sessionize",          // per-user ordered window
+    "q_pagerank",            // 4 iterated rank-edge joins + hash aggs
+    "docs_tfidf_pairs",      // df-pruned term-routed sparse cosine pairs
     // second-to-last: the bigram-LM model join is corpus-sized on
     // BOTH sides under the Heaps-law synthetic vocabulary (most
     // bigrams are unique), so it carries the same OOM class as the
