@@ -8,8 +8,13 @@ import org.apache.spark.sql.SparkSession
   * Queries run in sorted-name order (stable across rounds); a warmup
   * executes the flagship aggregation once so JIT/classloading cost
   * lands outside the measured loop. Each query is forced with
-  * `count()` (results are small by construction — every query either
-  * aggregates or is subset-bounded).
+  * [[graft.tools.Force.rows]] — count(*) + a hash over every output
+  * column, so ALL computed values are produced. (Through round 7 the
+  * forcing was a bare `count()`, which let Catalyst prune pure-map
+  * and join-eliminable plans down to parquet metadata — those cells
+  * timed the optimizer, not the operator. Cells for such queries are
+  * NOT comparable across that boundary; everything else is, since
+  * the final ORDER BY is optimized away under both forcings.)
   *
   * Noise control (this host has shown 1.6× total drift between
   * identical binaries hours apart): each query runs
@@ -49,7 +54,7 @@ object Bench {
     // text/array-heavy query so codegen+JIT cost for both expression
     // families lands before timing starts
     Seq("q1_pricing_summary", "docs_token_stats").foreach { q =>
-      try SparkEntry.queries(q)(spark, sfDir).count()
+      try graft.tools.Force.rows(SparkEntry.queries(q)(spark, sfDir))
       catch { case _: Throwable => () }
     }
 
@@ -75,7 +80,10 @@ object Bench {
       var r = 0
       while (r < reps && err.isEmpty) {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 }
+        try {
+          graft.tools.Force.rows(fn(spark, sfDir))
+          times += (System.nanoTime() - t0) / 1e9
+        }
         catch { case e: Throwable =>
           err = Some(e.toString.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)) }
         // Caches are KEPT across queries by default: the round-1

@@ -273,7 +273,12 @@ object ScaleBench {
           probe.reset()
           val t0 = System.nanoTime()
           try {
-            val rows = fn(spark, dir).count()
+            // Force.rows, not count(): a bare count lets Catalyst
+            // prune pure-map projections to parquet metadata and
+            // eliminate aggregate-keyed left joins — the flat
+            // token_stats/keygen/lm_score rows of the earlier ladder
+            // artifacts measured exactly that (round-7 fix)
+            val rows = graft.tools.Force.rows(fn(spark, dir))
             val sec = (System.nanoTime() - t0) / 1e9
             org.apache.spark.graftbridge.ListenerBridge
               .waitUntilEmpty(spark.sparkContext)
@@ -310,7 +315,7 @@ object ScaleBench {
     // against the tiny corpus (see scaladoc)
     if (only.isEmpty) AtRestBuilds.measure(spark, dirW)
     selected.foreach { q =>
-      try graft.SparkEntry.queries(q)(spark, dirW).count()
+      try graft.tools.Force.rows(graft.SparkEntry.queries(q)(spark, dirW))
       catch { case _: Throwable => () }
     }
 
