@@ -89,9 +89,13 @@ object InvertedIndex {
     val dfs = grams.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
+    // the weighted term table feeds the norm aggregate AND both sides
+    // of the pair join: persist it once or the shingle+df pipeline is
+    // re-derived three times (the NearDup cache-at-fanout rule)
     val w = grams.join(dfs, Seq("term"))
       .select(col("doc"), col("term"),
         expr(s"CAST(${nDocs * 1000000L} AS BIGINT) div df").cast(wDec).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nrm = w.groupBy(col("doc"))
       .agg(sum(col("w") * col("w")).as("nn"))
     val dots = w.select(col("term"), col("doc").as("doc_a"), col("w").as("wa"))

@@ -76,7 +76,11 @@ object ScaleBench {
     "q9_nation_profit",      // multi-join star aggregation
     "q_range_join",          // bucketized inequality join
     "q_sessionize",          // per-user ordered window
-    "q_pagerank",            // 4 iterated rank-edge joins + hash aggs
+    // q_pagerank is NOT in the ladder: the synthetic trade graph is
+    // dense (≈6 edges per lineitem row — 120 M directed edges at
+    // sf10), so four power iterations cost ~8× the heaviest miner
+    // per rung. Its per-iteration plan is the DupGroups shape the
+    // ladder already measures; the registry bench times it at sf0.1.
     "docs_tfidf_pairs",      // df-pruned term-routed sparse cosine pairs
     // second-to-last: the bigram-LM model join is corpus-sized on
     // BOTH sides under the Heaps-law synthetic vocabulary (most
