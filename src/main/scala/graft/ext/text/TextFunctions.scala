@@ -121,9 +121,16 @@ object TextFunctions {
 
   /** Repetition score (C4/Gopher-style quality signal): frequency of
     * the most repeated word bigram over the bigram count; 0 for docs
-    * shorter than a bigram. Computed with pure array expressions from
-    * a materialized token column. */
-  def repetitionScore(toks: Column): Column = {
+    * shorter than a bigram. One native O(n) hash-map pass
+    * ([[graft.functions.MaxBigramShare]]); the HOF form it replaced
+    * ([[repetitionScoreReference]]) is O(distinct·n) interpreted per
+    * document and is kept as the spec parity reference. */
+  def repetitionScore(toks: Column): Column =
+    graft.functions.MaxBigramShare.of(toks)
+
+  /** The original pure-array-expression form — value-identical
+    * (TextFunctionsSpec pins bit-parity over the corpus). */
+  private[graft] def repetitionScoreReference(toks: Column): Column = {
     val grams = when(size(toks) < 2, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(toks) - 1),
         i => concat_ws(" ", slice(toks, i, lit(2)))))
