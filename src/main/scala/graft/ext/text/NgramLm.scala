@@ -37,11 +37,20 @@ object NgramLm {
   /** Fixed-point scale for the conditional-frequency surrogate. */
   val Scale = 1000000L
 
-  /** (w1, w2) bigram structs of a token array; <2 tokens → empty. */
+  /** (w1, w2) bigram structs of a token array; <2 tokens → empty.
+    * Built with `zip_with` against the shifted copy (the
+    * [[TextFunctions.shinglesFromTokens]] idiom): the token array is
+    * referenced O(1) times total, where the previous
+    * `transform(sequence…, element_at)` form re-evaluated the
+    * referenced array per element — the dominant cost of the
+    * lm-score query once benchmark forcing computed it for real. The
+    * zip_with null-padded tail pair is sliced off; the cast names
+    * the struct fields positionally. */
   def bigrams(toks: Column): Column =
     when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - 1), i =>
-        struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
+      .otherwise(slice(
+        zip_with(toks, slice(toks, lit(2), size(toks)), (a, b) => struct(a, b)),
+        lit(1), size(toks) - 1).cast("array<struct<w1:string,w2:string>>"))
 
   /** One row per (doc, bigram occurrence): (idCol, w1, w2). */
   def docBigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
