@@ -21,6 +21,19 @@ for name, sql in sorted(oracle.items()):
         continue
     ran += 1
     spark_tbl = pq.read_table(files[0])
+    # The DRIVER gate sorts columns through pandas, which cannot
+    # factorize list/struct cells (unhashable numpy.ndarray) — round 7
+    # shipped docs_inverted_index red because this local gate's
+    # repr-canonicalization was laxer. Reject nested output up front so
+    # local and driver gates agree: queries must serialize lists to
+    # canonical strings (array_join / array_to_string).
+    import pyarrow as pa
+    nested = [f.name for f in spark_tbl.schema
+              if pa.types.is_nested(f.type)]
+    if nested:
+        fail.append((name, f"array/struct output columns {nested} — "
+                     "driver gate cannot sort these; array_join them"))
+        continue
     try:
         duck_tbl = con.execute(sql).fetch_arrow_table()
     except Exception as e:

@@ -831,10 +831,20 @@ object LlmQueries {
     * ([[graft.ext.text.InvertedIndex.postings]]). The synthetic
     * corpus's 31-term vocabulary makes every term hot (df ≈ N), so
     * the TRUNCATION path — the block-capped posting shape real
-    * indexes use — is exercised at every SF, not just at scale. */
+    * indexes use — is exercised at every SF, not just at scale.
+    *
+    * The posting lists are emitted as canonical comma-joined STRINGS
+    * (the `q_array_agg` convention): the driver gate sorts output
+    * columns through pandas, which cannot factorize raw arrays —
+    * round 7 shipped this row red with
+    * `TypeError: unhashable numpy.ndarray` for exactly that reason. */
   private def qInvertedIndex(s: SparkSession, dir: String): DataFrame =
     graft.ext.text.InvertedIndex.postings(docs(s, dir), "doc_id", "text",
         maxPostings = 256)
+      .select(col("term"), col("df"), col("cf"),
+        array_join(col("doc_ids"), ",").as("doc_ids"),
+        array_join(col("tfs"), ",").as("tfs"),
+        col("truncated"))
       .orderBy(col("term"))
 
   private val qInvertedIndexSql =
@@ -845,8 +855,8 @@ object LlmQueries {
       |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
       |  FROM toks GROUP BY term, doc_id)
       |SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
-      |  list_slice(list(doc_id ORDER BY doc_id), 1, 256) AS doc_ids,
-      |  list_slice(list(tf ORDER BY doc_id), 1, 256) AS tfs,
+      |  array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 256), ',') AS doc_ids,
+      |  array_to_string(list_slice(list(tf ORDER BY doc_id), 1, 256), ',') AS tfs,
       |  COUNT(*) > 256 AS truncated
       |FROM tf GROUP BY term ORDER BY term""".stripMargin
 

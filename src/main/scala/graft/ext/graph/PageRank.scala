@@ -84,11 +84,16 @@ object PageRank {
       prev = Some(next)
       ranks = next
     }
-    // the final rank frame is checkpoint-materialized — the graph
-    // structures can be released
+    // Dump the final ranks to scratch parquet and free EVERY cached
+    // RDD — including the last iteration's, which round 7 leaked one
+    // per bench rep for the life of the session (ADVICE): the caller
+    // gets a plain parquet-backed frame that owns no executor storage.
+    val out = graft.ext.dedup.NearDup.materializeAndRelease(
+      ranks, "pagerank")
+    prev.foreach(freeCheckpoint)
     freeCheckpoint(ew)
     freeCheckpoint(nodes)
-    ranks
+    out
   }
 
   /** The generated DuckDB replay: one CTE block per iteration over a

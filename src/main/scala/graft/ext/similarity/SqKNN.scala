@@ -66,11 +66,16 @@ object SqKNN {
   }
 
   /** [[trainedRange]] memoized per corpus snapshot, like the IVF/PQ
-    * codebooks — train once per corpus, reuse across queries. */
+    * codebooks — train once per corpus, reuse across queries. The key
+    * folds in [[IvfKNN.snapshotToken]] (file length + mtime), not just
+    * the caller tag: a corpus regenerated in place within one JVM must
+    * invalidate the trained (mn, s) or its codes would hash-mismatch
+    * the oracle (round-7 ADVICE). */
   private val rangeMemo =
     new java.util.concurrent.ConcurrentHashMap[String, SqParams]()
   def cachedRange(corpus: DataFrame, vecCol: String, tag: String): SqParams =
-    rangeMemo.computeIfAbsent(tag, _ => trainedRange(corpus, vecCol))
+    rangeMemo.computeIfAbsent(tag + "@" + IvfKNN.snapshotToken(corpus),
+      _ => trainedRange(corpus, vecCol))
 
   /** SQ codes of a vector: `array<int>` with one [0, 255] code per
     * dimension. Pure projection. */

@@ -104,7 +104,7 @@ object InvertedIndex {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(sum(col("wa") * col("wb")).as("dot"))
-    dots
+    val out = dots
       .join(nrm.select(col("doc").as("doc_a"), col("nn").as("na")), Seq("doc_a"))
       .join(nrm.select(col("doc").as("doc_b"), col("nn").as("nb")), Seq("doc_b"))
       .withColumn("cosine", round(
@@ -112,5 +112,11 @@ object InvertedIndex {
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 9))
       .filter(col("cosine") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("cosine"))
+    // Eagerly materialize the (small, threshold-filtered) pair output
+    // and release the corpus-sized weighted-term cache: without this
+    // the MEMORY_AND_DISK blocks outlive the query for the rest of the
+    // session (ENOSPC-prone at sf100), and CacheManager's plan match
+    // would let bench rep 2+ time only the pair join (round-7 ADVICE).
+    graft.ext.dedup.NearDup.materializeAndRelease(out, "tfidf", w)
   }
 }

@@ -30,9 +30,10 @@ object Force {
     * overflow-free under ANSI mode (a `sum` of hashes overflows
     * BIGINT immediately). */
   def rows(df: DataFrame): Long = {
-    val cols = df.columns.toIndexedSeq.map(col)
-    df.agg(count(lit(1)).as("n"),
-        expr(s"bit_xor(xxhash64(${df.columns.map(c => s"`$c`").mkString(",")}))"))
+    // Column-API aggregate (no string-interpolated expr): survives
+    // backticks/duplicates in output column names (round-7 ADVICE).
+    val hash = xxhash64(df.columns.toIndexedSeq.map(c => df.col(s"`$c`")): _*)
+    df.agg(count(lit(1)).as("n"), bit_xor(hash).as("h"))
       .head().getLong(0)
   }
 }
