@@ -242,11 +242,16 @@ object ScaleQueries {
     * 5-minute window, count the site-wide `purchase` events inside it
     * and sum their value. Spark's native plan for the inequality-only
     * condition is a BroadcastNestedLoopJoin — O(|err|·|purch|)
-    * comparisons and a broadcast that dies at scale.
-    * [[graft.operators.RangeJoin]] rewrites it to a bucket equi-join
-    * (each window spans ≤2 five-minute buckets) + residual filter;
-    * the DuckDB oracle runs the NAIVE inequality join, so the hash
-    * match proves the rewrite is exact, empty windows included. */
+    * comparisons and a broadcast that dies at scale. Because the
+    * consumer here is an AGGREGATE, even the bucketized
+    * [[graft.operators.RangeJoin]] pair join is super-linear (window
+    * density ∝ sf ⇒ pair mass ∝ sf² — the round-7 ladder measured
+    * 8.5× time for 3.16× data), so this routes through
+    * [[graft.operators.IntervalAgg]]: prefix sums over the purchase
+    * timeline + two as-of lookups per window, O(points + windows).
+    * The DuckDB oracle still runs the NAIVE inequality join, so the
+    * hash match proves the prefix-sum form exact, empty windows and
+    * DECIMAL sums included. */
   private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables(s, dir, "events")
@@ -255,14 +260,12 @@ object ScaleQueries {
       ($"ts" + expr("INTERVAL 5 MINUTES")).as("w_end"))
     val purch = ev.filter($"event_type" === "purchase")
       .select($"ts".as("p_ts"), $"value".as("p_value"))
-    val hits = graft.operators.RangeJoin
-      .pointInInterval(purch, err, "p_ts", "w_start", "w_end", bucketWidthSec = 300L)
-      .groupBy($"err_id")
-      .agg(count(lit(1)).as("n_purchases"), dsum($"p_value").as("purchase_value"))
-    err.join(hits, Seq("err_id"), "left")
+    graft.operators.IntervalAgg
+      .countSum(purch, err, "p_ts", "p_value",
+        "err_id", "w_start", "w_end", bucketWidthSec = 300L)
       .select($"err_id",
-        coalesce($"n_purchases", lit(0L)).as("n_purchases"),
-        coalesce($"purchase_value", lit(0.0)).as("purchase_value"))
+        $"n_points".as("n_purchases"),
+        $"sum_value".as("purchase_value"))
       .orderBy($"err_id")
   }
 
@@ -286,10 +289,12 @@ object ScaleQueries {
 
   /** q_range_join with OPEN (strict) bounds — real user SQL writes
     * `s < p AND p < e` as often as the closed form, and the rewrite
-    * must not silently widen it: the bucket span is unchanged, only
-    * the residual comparison is strict. Oracle is the naive strict
-    * inequality join, so the hash match pins boundary rows (a
-    * purchase exactly at w_start/w_end) to EXCLUDED. */
+    * must not silently widen it: [[graft.operators.IntervalAgg]]
+    * expresses the open bound as a 1 µs probe shift (timestamp
+    * resolution), so `cum(e−1µs) − cum(s)` counts exactly the open
+    * interval. Oracle is the naive strict inequality join, so the
+    * hash match pins boundary rows (a purchase exactly at
+    * w_start/w_end) to EXCLUDED. */
   private def qRangeJoinStrict(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables(s, dir, "events")
@@ -298,15 +303,13 @@ object ScaleQueries {
       ($"ts" + expr("INTERVAL 5 MINUTES")).as("w_end"))
     val purch = ev.filter($"event_type" === "purchase")
       .select($"ts".as("p_ts"), $"value".as("p_value"))
-    val hits = graft.operators.RangeJoin
-      .pointInInterval(purch, err, "p_ts", "w_start", "w_end",
-        bucketWidthSec = 300L, closedStart = false, closedEnd = false)
-      .groupBy($"err_id")
-      .agg(count(lit(1)).as("n_purchases"), dsum($"p_value").as("purchase_value"))
-    err.join(hits, Seq("err_id"), "left")
+    graft.operators.IntervalAgg
+      .countSum(purch, err, "p_ts", "p_value",
+        "err_id", "w_start", "w_end", bucketWidthSec = 300L,
+        closedStart = false, closedEnd = false)
       .select($"err_id",
-        coalesce($"n_purchases", lit(0L)).as("n_purchases"),
-        coalesce($"purchase_value", lit(0.0)).as("purchase_value"))
+        $"n_points".as("n_purchases"),
+        $"sum_value".as("purchase_value"))
       .orderBy($"err_id")
   }
 

@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Per-interval COUNT/SUM of points inside the interval, computed by
+  * prefix sums instead of pair materialization.
+  *
+  * [[RangeJoin.pointInInterval]] is the right plan when the consumer
+  * needs the (interval, point) PAIRS; when the consumer is an
+  * AGGREGATE (count/sum per window), the pair form is avoidably
+  * super-linear: with a fixed time span, window density grows with
+  * the corpus, so pair mass grows ∝ n² — the round-7 ladder measured
+  * 8.5× time for 3.16× data on exactly that shape. The aggregate
+  * answer needs no pairs at all:
+  *
+  *   agg over [s, e]  =  cum(e) − cum(s⁻)
+  *
+  * where `cum(t)` is the running count/sum of all points with
+  * ts ≤ t. Each interval costs TWO prefix-sum lookups — total work
+  * O(points + intervals), independent of window density.
+  *
+  * The prefix sum and the lookups run in one distributed pass (the
+  * ShardPacker two-level discipline — no global window anywhere):
+  *
+  *  1. time is bucketed (`⌊unix_micros/width⌋`); per-bucket point
+  *     totals roll up via hash-agg (map-side combine);
+  *  2. a DENSE bucket frame (every id in [minB, maxB] — `sequence`
+  *     off one aggregate row, bounded by `targetBuckets`) takes the
+  *     running bucket-total offsets through a window over bucket
+  *     METADATA rows, then broadcasts;
+  *  3. each interval emits two probe rows (+1 at the upper bound,
+  *     −1 just below the lower bound — closed/open bounds shift the
+  *     probe ts by 1 µs, timestamp resolution, instead of changing
+  *     the comparison); probes and points union and one window
+  *     PARTITIONED BY BUCKET accumulates within-bucket running
+  *     totals, so a probe row reads `off(bucket) + within` as its
+  *     exact global prefix value;
+  *  4. a final hash-agg by interval id folds each probe pair:
+  *     `Σ sign·cum` — the count and the (exact DECIMAL) sum.
+  *
+  * Probe buckets outside the point range clamp to [minB, maxB]: a
+  * later-than-everything probe still sorts after every point in the
+  * top bucket (its raw ts is kept), reading the grand total; an
+  * earlier-than-everything probe reads 0.
+  *
+  * Sums accumulate in DECIMAL(18,6) end to end — the prefix
+  * difference is exact, so results hash-match the naive
+  * inequality-join oracle bit for bit.
+  */
+object IntervalAgg {
+
+  private val dec = DecimalType(18, 6)
+
+  /** Exact integer bucket id. `floor(tm / w)` would route through
+    * DOUBLE division, whose ulp at ~10⁷ quotients (2e-9) can exceed
+    * the 1/w distance-to-integer of near-boundary micros for wide
+    * buckets — a point and the driver-side Long division would then
+    * disagree on the bucket. `(tm − pmod(tm, w)) / w` keeps every
+    * intermediate exactly representable, so the quotient is the true
+    * integer for any epoch-micros value. */
+  private def bucketOf(tm: Column, w: Long): Column =
+    ((tm - pmod(tm, lit(w))) / lit(w)).cast("long")
+
+  /** @param points    point side; `pointTs` timestamp + `valueCol`
+    *                   numeric column to sum
+    * @param intervals  interval side; `idCol` unique id, bounds in
+    *                   `[startCol, endCol]` (closed by default, open
+    *                   per end via `closedStart`/`closedEnd`)
+    * @param bucketWidthSec minimum time-bucket width; widened
+    *                   automatically so the dense bucket frame stays
+    *                   under `targetBuckets` rows whatever the span
+    * @return one row per interval: `(idCol, n_points BIGINT,
+    *         sum_value DOUBLE)` — empty intervals included with
+    *         (0, 0.0), so no left join against the interval side is
+    *         needed downstream. */
+  def countSum(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointTs: String,
+      valueCol: String,
+      idCol: String,
+      startCol: String,
+      endCol: String,
+      bucketWidthSec: Long,
+      closedStart: Boolean = true,
+      closedEnd: Boolean = true,
+      targetBuckets: Long = 100000L): DataFrame = {
+
+    val micro = 1000000L
+    // span drives the effective width: the dense offsets frame is
+    // span/width rows and must stay metadata-sized (three scalars of
+    // index metadata — the SqKNN trainedRange precedent)
+    val span = points.agg(
+      min(unix_micros(col(pointTs))).as("mn"),
+      max(unix_micros(col(pointTs))).as("mx")).head()
+    if (span.isNullAt(0)) {
+      // no points at all: every interval aggregates to (0, 0.0)
+      return intervals.select(col(idCol),
+        lit(0L).as("n_points"), lit(0.0).as("sum_value"))
+    }
+    val widthMicros = math.max(bucketWidthSec * micro,
+      ((span.getLong(1) - span.getLong(0)) / targetBuckets + 1))
+    val minB = Math.floorDiv(span.getLong(0), widthMicros)
+    val maxB = Math.floorDiv(span.getLong(1), widthMicros)
+
+    // 1–2: dense per-bucket offsets (running totals of buckets < b)
+    val totals = points
+      .groupBy(bucketOf(unix_micros(col(pointTs)), widthMicros).as("__b"))
+      .agg(count(lit(1)).as("__tc"),
+        sum(col(valueCol).cast(dec)).as("__ts"))
+    val spark = points.sparkSession
+    val offW = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = spark.range(minB, maxB + 1).toDF("__b")
+      .join(totals, Seq("__b"), "left")
+      .select(col("__b"),
+        coalesce(sum(col("__tc")).over(offW), lit(0L)).as("__offc"),
+        coalesce(sum(col("__ts")).over(offW), lit(0).cast(dec)).as("__offs"))
+
+    // 3: probes — (+1, upper bound) and (−1, just-below-lower-bound),
+    // with closed/open expressed as a 1 µs probe shift so the union
+    // window's comparison is always plain `point.ts ≤ probe.ts`
+    val us1 = expr("INTERVAL 1 MICROSECOND")
+    val hi = if (closedEnd) col(endCol) else col(endCol) - us1
+    val lo = if (closedStart) col(startCol) - us1 else col(startCol)
+    val probes = intervals.select(col(idCol).as("__iid"),
+        array(struct(hi.as("__t"), lit(1L).as("__sign")),
+          struct(lo.as("__t"), lit(-1L).as("__sign"))).as("__ps"))
+      .select(col("__iid"), explode(col("__ps")).as("__p"))
+      .select(col("__iid"), col("__p.__t").as("__ts"), col("__p.__sign").as("__sign"))
+      .select(col("__iid"), col("__sign"), unix_micros(col("__ts")).as("__tm"),
+        greatest(lit(minB), least(lit(maxB),
+          bucketOf(unix_micros(col("__ts")), widthMicros))).as("__b"))
+
+    val pPts = points.select(
+      bucketOf(unix_micros(col(pointTs)), widthMicros).as("__b"),
+      unix_micros(col(pointTs)).as("__tm"),
+      lit(0).as("__side"),
+      lit(1L).as("__cnt"),
+      col(valueCol).cast(dec).as("__val"),
+      lit(null).cast("long").as("__iidL"),
+      lit(null).cast("string").as("__iidS"),
+      lit(null).cast("long").as("__sign"))
+    // interval ids may be long or string — carry both shapes so the
+    // union stays schema-stable without reflection on the id type
+    val idIsString =
+      intervals.schema(idCol).dataType == org.apache.spark.sql.types.StringType
+    val pPrb = probes.select(
+      col("__b"), col("__tm"), lit(1).as("__side"),
+      lit(null).cast("long").as("__cnt"),
+      lit(null).cast(dec).as("__val"),
+      (if (idIsString) lit(null).cast("long") else col("__iid").cast("long")).as("__iidL"),
+      (if (idIsString) col("__iid").cast("string") else lit(null).cast("string")).as("__iidS"),
+      col("__sign"))
+
+    val w = Window.partitionBy(col("__b"))
+      .orderBy(col("__tm"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = pPts.unionByName(pPrb)
+      .select(col("*"),
+        sum(coalesce(col("__cnt"), lit(0L))).over(w).as("__wc"),
+        sum(coalesce(col("__val"), lit(0).cast(dec))).over(w).as("__ws"))
+      .filter(col("__side") === 1)
+
+    // 4: off(b) + within  →  fold the ± probe pair per interval
+    val folded = cum.join(broadcast(offsets), Seq("__b"))
+      .groupBy(col("__iidL"), col("__iidS"))
+      .agg(
+        sum(col("__sign") * (col("__offc") + col("__wc"))).as("n_points"),
+        sum(when(col("__sign") === 1L, col("__offs") + col("__ws"))
+          .otherwise(-(col("__offs") + col("__ws")))).as("__sv"))
+      .select(
+        (if (idIsString) col("__iidS") else col("__iidL")).as(idCol),
+        col("n_points"),
+        col("__sv").cast(dec).cast("double").as("sum_value"))
+    folded
+  }
+}

@@ -175,4 +175,30 @@ class CurationSpec extends SparkSpec {
     assert(shards.sliding(2).forall(w => w.length < 2 || w(1) - w(0) >= 0))
     assert(shards.distinct.sorted.sameElements(0L to shards.max))
   }
+
+  test("shard packing: adaptive width bounds the bucket frame on a huge sparse id range") {
+    // ids spread over ~5×10^12: a fixed width=100 would make the
+    // second-level (unpartitioned) window sort 5×10^10 bucket rows —
+    // the round-7 scale hazard. The adaptive default must pick a
+    // width that caps the bucket frame at targetBuckets AND still
+    // produce the width-invariant global prefix sum.
+    val docs = Tables(spark, sf, "documents")
+      .select(($"doc_id" * 10000000L).as("doc_id"), $"text")
+    val packed = ShardPacker.packShards(docs, "doc_id", "text", budget = 1000L)
+    val naive = docs.select($"doc_id",
+        TextFunctions.tokenCount($"text").as("n_tokens"))
+      .withColumn("cum_tokens",
+        sum($"n_tokens").over(Window.orderBy($"doc_id")))
+    val diff = packed.as("p").join(naive.as("n"), "doc_id")
+      .filter($"p.cum_tokens" =!= $"n.cum_tokens")
+    assert(diff.count() == 0)
+    // replicate the width rule and check the bucket-frame bound
+    val Array(mn, mx) = docs.agg(min($"doc_id"), max($"doc_id"))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val width = math.max(100L, (mx - mn) / 100000L + 1)
+    val buckets = docs.select(($"doc_id" - ($"doc_id" % width)) / width)
+      .distinct().count()
+    assert(buckets <= 100000L, s"bucket frame $buckets rows exceeds the cap")
+    assert(width > 100L, "fixture failed to trigger the adaptive branch")
+  }
 }

@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.IntervalAgg
+import org.apache.spark.sql.functions._
+
+/** Prefix-sum interval aggregation vs the naive inequality join —
+  * the same exactness bar the bucketized pair join carries, plus the
+  * edge geometry the prefix form must get right: boundary ties under
+  * closed/open bounds, probes outside the point range (bucket
+  * clamping), empty intervals, empty point sides, string interval
+  * ids, and the adaptive bucket width. */
+class IntervalAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev = Tables(spark, "/root/testdata/sf0.001", "events")
+
+  private def err = ev.filter($"event_type" === "error").select(
+    $"event_id".as("err_id"), $"ts".as("w_start"),
+    ($"ts" + expr("INTERVAL 5 MINUTES")).as("w_end"))
+  private def purch = ev.filter($"event_type" === "purchase")
+    .select($"ts".as("p_ts"), $"value".as("p_value"))
+
+  private def naive(closed: Boolean): Map[Long, (Long, Double)] = {
+    val lo = if (closed) $"p_ts" >= $"w_start" else $"p_ts" > $"w_start"
+    val hi = if (closed) $"p_ts" <= $"w_end" else $"p_ts" < $"w_end"
+    val hits = err.join(purch, lo && hi)
+      .groupBy($"err_id")
+      .agg(count(lit(1)).as("n"),
+        sum($"p_value".cast("decimal(18,6)")).cast("double").as("v"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    err.select($"err_id").collect()
+      .map(r => r.getLong(0) -> naiveOrZero(hits, r.getLong(0))).toMap
+  }
+  private def naiveOrZero(m: Map[Long, (Long, Double)], k: Long) =
+    m.getOrElse(k, (0L, 0.0))
+
+  private def prefix(closed: Boolean): Map[Long, (Long, Double)] =
+    IntervalAgg.countSum(purch, err, "p_ts", "p_value",
+        "err_id", "w_start", "w_end", bucketWidthSec = 300L,
+        closedStart = closed, closedEnd = closed)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+  test("closed bounds: count and decimal sum equal the naive join, empty windows included") {
+    val n = naive(closed = true)
+    assert(n.values.exists(_._1 > 0), "fixture produced no in-window points")
+    assert(prefix(closed = true) == n)
+  }
+
+  test("open bounds exclude exact-boundary points") {
+    assert(prefix(closed = false) == naive(closed = false))
+  }
+
+  test("intervals outside the point range clamp to zero / grand total") {
+    val pts = Seq(("2024-01-01 12:00:00", 1.5), ("2024-01-01 13:00:00", 2.5))
+      .toDF("s", "p_value").select(to_timestamp($"s").as("p_ts"), $"p_value")
+    val iv = Seq(
+      (1L, "2020-01-01 00:00:00", "2020-01-02 00:00:00"), // before everything
+      (2L, "2030-01-01 00:00:00", "2030-01-02 00:00:00"), // after everything
+      (3L, "2020-01-01 00:00:00", "2030-01-01 00:00:00")  // spans everything
+    ).toDF("iid", "a", "b").select($"iid",
+      to_timestamp($"a").as("s"), to_timestamp($"b").as("e"))
+    val out = IntervalAgg.countSum(pts, iv, "p_ts", "p_value",
+        "iid", "s", "e", bucketWidthSec = 300L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out == Map(1L -> ((0L, 0.0)), 2L -> ((0L, 0.0)), 3L -> ((2L, 4.0))))
+  }
+
+  test("empty point side yields (0, 0.0) for every interval") {
+    val out = IntervalAgg.countSum(
+        purch.filter(lit(false)), err, "p_ts", "p_value",
+        "err_id", "w_start", "w_end", bucketWidthSec = 300L)
+      .collect()
+    assert(out.length == err.count())
+    assert(out.forall(r => r.getLong(1) == 0L && r.getDouble(2) == 0.0))
+  }
+
+  test("string interval ids survive the union's dual-id carry") {
+    val named = err.select(concat(lit("w"), $"err_id").as("err_id"),
+      $"w_start", $"w_end")
+    val out = IntervalAgg.countSum(purch, named, "p_ts", "p_value",
+        "err_id", "w_start", "w_end", bucketWidthSec = 300L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out == naive(closed = true).map { case (k, v) => s"w$k" -> v })
+  }
+
+  test("result is bucket-width invariant (adaptive width included)") {
+    val base = prefix(closed = true)
+    val wide = IntervalAgg.countSum(purch, err, "p_ts", "p_value",
+        "err_id", "w_start", "w_end", bucketWidthSec = 86400L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // tiny targetBuckets forces the adaptive width far above the hint
+    val adaptive = IntervalAgg.countSum(purch, err, "p_ts", "p_value",
+        "err_id", "w_start", "w_end", bucketWidthSec = 1L, targetBuckets = 7L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(wide == base && adaptive == base)
+  }
+
+  test("work is linear: no pair join — plan has no BNLJ/cartesian and one probe row pair per interval") {
+    val df = IntervalAgg.countSum(purch, err, "p_ts", "p_value",
+      "err_id", "w_start", "w_end", bucketWidthSec = 300L)
+    val bad = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(bad.isEmpty, s"pair-materializing join in the plan: $bad")
+  }
+}

@@ -59,9 +59,15 @@ class RegistryPlanGateSpec extends SparkSpec {
     *    the corpus-sized first level is partitioned by bucket —
     *    ShardPacker's whole design);
     *  - docs_term_rank — row_number over an already-LIMIT-50 frame
-    *    (the TakeOrdered output), bounded by construction. */
+    *    (the TakeOrdered output), bounded by construction;
+    *  - q_range_join / q_range_join_strict — IntervalAgg's
+    *    bucket-offset window over the DENSE bucket frame, capped at
+    *    targetBuckets (1e5) rows by the adaptive width whatever the
+    *    corpus size (the corpus-sized cumulative pass is partitioned
+    *    by bucket). */
   private val boundedGlobalWindows =
-    Set("docs_pack_shards", "docs_term_rank")
+    Set("docs_pack_shards", "docs_term_rank",
+      "q_range_join", "q_range_join_strict")
 
   /** Queries whose semantics filter a base-table scan; each must keep
     * a non-empty `PushedFilters` on at least one parquet scan. Pinned
