@@ -50,6 +50,17 @@ trait MonitorStore {
   def targetTableExists(table: String): Boolean
 }
 
+/** Provisioning + audit-read surface shared by the store backends, so
+  * the pipeline e2e (JobsSpec) runs identically against the parquet
+  * store and the JDBC store: `migrate` is the init.sql twin, the row
+  * readers return audit rows under the case classes' camelCase names
+  * whatever the backend's physical column naming. */
+trait StoreAdmin {
+  def migrate(tables: Seq[String]): Unit
+  def ingestorRows(): Seq[Row]
+  def handlerRows(): Seq[Row]
+}
+
 /** Parquet-backed monitor store. The monitor tables are tiny (one row
   * per run) so every read is a driver-cheap scan; appends are
   * single-row parquet appends.
@@ -66,7 +77,7 @@ trait MonitorStore {
 class FileMonitorStore(spark: SparkSession, dir: String,
     warehouseDir: Option[String] = None,
     knownTables: Set[String] = Set("vehicle_location", "operating_periods"))
-  extends MonitorStore {
+  extends MonitorStore with StoreAdmin {
 
   import spark.implicits._
 
@@ -116,7 +127,7 @@ class FileMonitorStore(spark: SparkSession, dir: String,
 
   /** Create the (empty) target-table directories — the file-warehouse
     * twin of applying the reference's `migrations/init.sql`. Idempotent. */
-  def migrate(tables: Seq[String]): Unit =
+  override def migrate(tables: Seq[String]): Unit =
     warehouseDir.foreach { w =>
       tables.foreach { t =>
         val p = new Path(s"$w/$t")
@@ -124,8 +135,8 @@ class FileMonitorStore(spark: SparkSession, dir: String,
       }
     }
 
-  def ingestorRows(): Seq[Row] =
+  override def ingestorRows(): Seq[Row] =
     if (exists(ingestorPath)) spark.read.parquet(ingestorPath).collect().toSeq else Seq.empty
-  def handlerRows(): Seq[Row] =
+  override def handlerRows(): Seq[Row] =
     if (exists(handlerPath)) spark.read.parquet(handlerPath).collect().toSeq else Seq.empty
 }

@@ -312,7 +312,11 @@ object ScaleBench {
       (builds, qs)
     }
 
-    val (dirW, _) = ensureCorpus(sfs.min / 10)
+    // warm-up corpus: a tenth of the smallest rung, clamped — JIT
+    // warm-up only needs the plan SHAPES, and an unclamped sfs.min/10
+    // would make a single-rung sf100 process warm up over a full sf10
+    // corpus (an entire untimed rung's worth of work)
+    val (dirW, _) = ensureCorpus(math.min(sfs.min / 10, 0.1))
     val rungs = sfs.map(sf => sf -> ensureCorpus(sf))
 
     // untimed JIT warm-up: every build and every heavy plan shape once,
@@ -348,8 +352,13 @@ object ScaleBench {
     // streaming section drives 5 × ~1200-row batches; here the same
     // paths run against the ladder rung nearest sf10 — 500 k docs =
     // 100 k-row batches, where bounded-vs-exact state pressure is real
+    // SPARK_GRAFT_STREAMING=off skips the section: the per-rung-JVM
+    // ladder (dev/scale_ladder.sh) runs streaming only in the sf10
+    // rung's process — without the toggle every isolated rung would
+    // re-run it at its own scale
     val streamingJson =
-      if (only.nonEmpty) ""
+      if (only.nonEmpty ||
+          sys.env.get("SPARK_GRAFT_STREAMING").contains("off")) ""
       else rungs.map(_._1).filter(_ >= 1.0).minByOption(sf => math.abs(sf - 10.0))
         .map { sf =>
           val dir = s"$workDir/sf$sf"
