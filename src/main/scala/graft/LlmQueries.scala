@@ -1519,6 +1519,62 @@ object LlmQueries {
        |FROM t LEFT JOIN perdoc ON t.doc_id = perdoc.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
+  /** LM scoring against a FIXED reference model (round-7 verdict
+    * task 6 — the CCNet-true posture): the model trains once on the
+    * fixed snapshot `doc_id < 5000` (an at-rest parquet table,
+    * [[NgramLm.cachedRefTrain]]) and the WHOLE corpus scores against
+    * it. Unlike the self-scoring `docs_lm_score`, the model here is
+    * bounded by the snapshot — at sf10/sf100 the scored corpus grows
+    * 100× while the model's vocabulary stays flat, so the scoring
+    * join's build side is constant-size. At sf ≤ 0.1 the snapshot
+    * covers the whole corpus (ids are dense from 0), which keeps the
+    * oracle replay total; the ladder rungs are where snapshot ≪
+    * corpus. */
+  private def qLmScoreRef(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val model = NgramLm.cachedRefTrain(d, "doc_id", "text",
+      maxRefId = LmRefSnapshotMaxId, source = dir)
+    NgramLm.score(d, model, "doc_id", "text").orderBy(col("doc_id"))
+  }
+
+  /** Fixed reference-snapshot bound shared by query and oracle. */
+  private val LmRefSnapshotMaxId = 5000L
+
+  private val qLmScoreRefSql =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(trim(text)) = 0 THEN []
+       |         ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks
+       |  FROM documents),
+       |tref AS (SELECT * FROM t WHERE doc_id < $LmRefSnapshotMaxId),
+       |pairs AS (
+       |  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2
+       |  FROM (SELECT doc_id,
+       |          unnest(list_transform(range(1, len(toks)),
+       |            i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS bg
+       |        FROM t)),
+       |uni AS (
+       |  SELECT w, COUNT(*) AS cu
+       |  FROM (SELECT unnest(toks) AS w FROM tref) GROUP BY w),
+       |bi AS (
+       |  SELECT w1, w2, COUNT(*) AS cb
+       |  FROM pairs WHERE doc_id < $LmRefSnapshotMaxId GROUP BY w1, w2),
+       |model AS (
+       |  SELECT w1, w2, (${NgramLm.Scale} * cb) // cu AS score_scaled
+       |  FROM bi JOIN uni ON w1 = w),
+       |perdoc AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(COALESCE(score_scaled, 0)) AS BIGINT) AS sum_scaled,
+       |    COUNT(*) AS nb
+       |  FROM pairs LEFT JOIN model USING (w1, w2) GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  COALESCE(sum_scaled, 0) AS lm_sum_scaled,
+       |  COALESCE(nb, 0) AS n_bigrams,
+       |  CASE WHEN COALESCE(nb, 0) = 0 THEN 0.0
+       |       ELSE CAST(sum_scaled AS DOUBLE) / nb END AS lm_avg
+       |FROM t LEFT JOIN perdoc ON t.doc_id = perdoc.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   // ------------------------------------------- JL random projection
 
   /** 64→16-dim Johnson–Lindenstrauss projection (RandomProjection):
@@ -1689,6 +1745,7 @@ object LlmQueries {
     "emb_ivf_lloyd_table" -> (qIvfLloydTable _),
     "docs_term_rank"      -> (qTermRank _),
     "docs_lm_score"       -> (qLmScore _),
+    "docs_lm_score_ref"   -> (qLmScoreRef _),
     "emb_rand_proj"       -> (qRandProj _),
     "docs_split"          -> (qSplit _),
     "emb_neardup_pairs"   -> (qEmbNearDup _),
@@ -1731,6 +1788,7 @@ object LlmQueries {
     "emb_ivf_lloyd_table" -> qIvfLloydTableSql,
     "docs_term_rank"     -> qTermRankSql,
     "docs_lm_score"      -> qLmScoreSql,
+    "docs_lm_score_ref"  -> qLmScoreRefSql,
     "emb_rand_proj"      -> qRandProjSql,
     "docs_split"         -> qSplitSql,
     "emb_neardup_pairs"  -> qEmbNearDupSql,

@@ -59,6 +59,15 @@ object AtRestBuilds {
         graft.ext.text.BpeTrainer.RegistryMerges, source = dir)
       ()
     },
+    // fixed-snapshot bigram-LM reference model (doc_id < 5000) — the
+    // at-rest artifact behind docs_lm_score_ref; flat in the corpus
+    // size by construction
+    "lm_ref_model" -> { (s, dir) =>
+      graft.ext.text.NgramLm.cachedRefTrain(
+        graft.Tables(s, dir, "documents"), "doc_id", "text",
+        maxRefId = 5000L, source = dir)
+      ()
+    },
     // at-rest z-order clustering of events on (user bucket, hour
     // bucket) — the write ZOrderSpec audits for both-dims skipping
     "zorder_layout" -> { (s, dir) =>

@@ -88,6 +88,11 @@ object ScaleBench {
     // miners — late placement bounds the blast radius if a rung
     // kills the shared SparkContext
     "docs_lm_score",         // bigram-LM scoring: count aggs + model join
+    // the fixed-reference-model twin: model FLAT in the corpus (built
+    // at-rest on the doc_id<5000 snapshot), so this row is the
+    // evidence that scoring itself is linear once the model stops
+    // growing with the scored corpus (round-7 verdict task 6)
+    "docs_lm_score_ref",     // bigram-LM scoring vs fixed at-rest model
     // LAST by design: the heaviest-memory query in the list. Its
     // nested sort-merge pair joins buffer whole key groups, and a
     // top-rung executor OOM kills local-mode's shared SparkContext —
@@ -251,6 +256,7 @@ object ScaleBench {
           graft.ext.similarity.IvfKNN.clearBuildMemos()
           graft.ScaleQueries.clearLayoutMemo()
           graft.ext.text.BpeTrainer.clearTrainMemo()
+          graft.ext.text.NgramLm.clearRefModelMemo()
         }
         AtRestBuilds.measure(spark, dir)
       }

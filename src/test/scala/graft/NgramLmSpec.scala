@@ -51,6 +51,28 @@ class NgramLmSpec extends SparkSpec {
     assert(scored.filter($"n_bigrams" > 0 && $"lm_sum_scaled" === 0).count() === 0)
   }
 
+  test("fixed-reference model: snapshot-only vocabulary, flat as the scored corpus grows") {
+    // corpus sf0.001: snapshot = doc_id < half the ids. The at-rest
+    // ref model must equal a direct train over the filtered slice
+    // (same rows), and scoring docs OUTSIDE the snapshot must hit the
+    // OOV floor for bigrams the snapshot never saw.
+    val d = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val cut = 25L
+    val direct = NgramLm.train(
+        d.filter($"doc_id" < cut), "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ref = NgramLm.cachedRefTrain(d, "doc_id", "text",
+        maxRefId = cut, source = "/root/testdata/sf0.001#spec")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(ref == direct && ref.nonEmpty)
+    // model size is a function of the SNAPSHOT, not the scored corpus:
+    // doubling the scored corpus (self-union) changes nothing
+    val scoredTwice = NgramLm.score(d.union(d), NgramLm.cachedRefTrain(
+      d, "doc_id", "text", maxRefId = cut, source = "/root/testdata/sf0.001#spec"),
+      "doc_id", "text")
+    assert(scoredTwice.count() == d.count() * 2)
+  }
+
   test("random projection: basis vectors recover plane coordinates") {
     val dim = 8
     val planes = CosineKNN.hyperplanes(4, dim)
