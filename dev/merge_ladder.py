@@ -35,7 +35,7 @@ for r in rungs:
                 names.append(q)
 
 ARRAY_KEYS = ["sec", "rows", "shuffle_write_mb", "shuffle_read_mb",
-              "mem_spill_mb", "disk_spill_mb", "lsh_stats",
+              "mem_spill_mb", "disk_spill_mb", "input_read_mb", "lsh_stats",
               "planted_recall", "upsert_io"]
 queries = {}
 for name in names:

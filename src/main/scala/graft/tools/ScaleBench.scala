@@ -87,12 +87,14 @@ object ScaleBench {
     // bigrams are unique), so it carries the same OOM class as the
     // miners — late placement bounds the blast radius if a rung
     // kills the shared SparkContext
-    "docs_lm_score",         // bigram-LM scoring: count aggs + model join
-    // the fixed-reference-model twin: model FLAT in the corpus (built
-    // at-rest on the doc_id<5000 snapshot), so this row is the
-    // evidence that scoring itself is linear once the model stops
-    // growing with the scored corpus (round-7 verdict task 6)
+    // the fixed-reference-model twin FIRST: model FLAT in the corpus
+    // (built at-rest on the doc_id<5000 snapshot) — the evidence that
+    // scoring itself is linear once the model stops growing with the
+    // scored corpus (round-7 verdict task 6). Ordered BEFORE the
+    // self-scoring row so an OOM-class lm_score casualty at the top
+    // rung cannot take this cell with it.
     "docs_lm_score_ref",     // bigram-LM scoring vs fixed at-rest model
+    "docs_lm_score",         // bigram-LM scoring: count aggs + model join
     // LAST by design: the heaviest-memory query in the list. Its
     // nested sort-merge pair joins buffer whole key groups, and a
     // top-rung executor OOM kills local-mode's shared SparkContext —
@@ -110,6 +112,7 @@ object ScaleBench {
     private val sr = new java.util.concurrent.atomic.AtomicLong
     private val sm = new java.util.concurrent.atomic.AtomicLong
     private val sd = new java.util.concurrent.atomic.AtomicLong
+    private val ib = new java.util.concurrent.atomic.AtomicLong
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
       if (m != null) {
@@ -117,11 +120,16 @@ object ScaleBench {
         sr.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         sm.addAndGet(m.memoryBytesSpilled)
         sd.addAndGet(m.diskBytesSpilled)
+        ib.addAndGet(m.inputMetrics.bytesRead)
       }
     }
-    def reset(): Unit = { sw.set(0); sr.set(0); sm.set(0); sd.set(0) }
-    /** (shuffleWrite, shuffleRead, memSpill, diskSpill) bytes. */
-    def snap(): (Long, Long, Long, Long) = (sw.get, sr.get, sm.get, sd.get)
+    def reset(): Unit = { sw.set(0); sr.set(0); sm.set(0); sd.set(0); ib.set(0) }
+    /** (shuffleWrite, shuffleRead, memSpill, diskSpill, inputRead)
+      * bytes — inputRead is the source-scan volume (round-7 verdict
+      * task 7: the sf100 token_stats cell needs bytes-read evidence
+      * to adjudicate IO-bound vs compute-super-linear). */
+    def snap(): (Long, Long, Long, Long, Long) =
+      (sw.get, sr.get, sm.get, sd.get, ib.get)
   }
 
   /** One measured rep: wall seconds + that rep's task-metric window
@@ -129,6 +137,7 @@ object ScaleBench {
   private case class Rep(
       sec: Double, rows: Long,
       shuffleWrite: Long, shuffleRead: Long, memSpill: Long, diskSpill: Long,
+      inputRead: Long,
       upsertIo: Option[graft.sinks.ParquetUpsertSink.UpsertIo])
 
   private case class QueryPoint(
@@ -292,8 +301,8 @@ object ScaleBench {
             val sec = (System.nanoTime() - t0) / 1e9
             org.apache.spark.graftbridge.ListenerBridge
               .waitUntilEmpty(spark.sparkContext)
-            val (sw, sr, sm, sd) = probe.snap()
-            repsSeen += Rep(sec, rows, sw, sr, sm, sd,
+            val (sw, sr, sm, sd, ib) = probe.snap()
+            repsSeen += Rep(sec, rows, sw, sr, sm, sd, ib,
               if (upsertQueries(name)) Some(graft.sinks.ParquetUpsertSink.ioStats)
               else None)
           }
@@ -396,6 +405,7 @@ object ScaleBench {
           s""""shuffle_write_mb":[${arr(r => mb(r.shuffleWrite))}],""" +
           s""""shuffle_read_mb":[${arr(r => mb(r.shuffleRead))}],""" +
           s""""mem_spill_mb":[${arr(r => mb(r.memSpill))}],""" +
+          s""""input_read_mb":[${arr(r => mb(r.inputRead))}],""" +
           s""""disk_spill_mb":[${arr(r => mb(r.diskSpill))}],""" +
           s""""ratio":${ms(ratio)},"ratio_sf_span":${ms(ratioSpan)}"""
       val errJson = points.zip(measured).collect {
