@@ -313,6 +313,53 @@ object ScaleQueries {
       .orderBy($"err_id")
   }
 
+  /** KEYED range aggregation: for each error's 5-minute window, count
+    * and sum the SAME-USER purchases inside it — the per-entity form
+    * every real event pipeline needs ("what did this user buy within
+    * 5 minutes of their error?"). Routed through
+    * [[graft.operators.IntervalAgg.countSumByKey]]: the equi-key
+    * partitions the prefix sum, so there is no pair join and no
+    * bucket machinery — one per-user window pass + one fold, linear
+    * whatever the per-user window density. Oracle is the naive keyed
+    * inequality join, so the hash match proves the keyed prefix form
+    * exact, empty windows included. */
+  private def qRangeJoinUser(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+    val err = ev.filter($"event_type" === "error").select(
+      $"event_id".as("err_id"), $"user_id", $"ts".as("w_start"),
+      ($"ts" + expr("INTERVAL 5 MINUTES")).as("w_end"))
+    val purch = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("p_ts"), $"value".as("p_value"))
+    graft.operators.IntervalAgg
+      .countSumByKey(purch, err, "user_id", "p_ts", "p_value",
+        "err_id", "w_start", "w_end")
+      .select($"err_id", $"user_id",
+        $"n_points".as("n_purchases"),
+        $"sum_value".as("purchase_value"))
+      .orderBy($"err_id")
+  }
+
+  private val qRangeJoinUserSql =
+    """WITH err AS (
+      |  SELECT event_id AS err_id, user_id, ts AS w_start,
+      |    ts + INTERVAL 5 MINUTE AS w_end
+      |  FROM events WHERE event_type = 'error'),
+      |purch AS (
+      |  SELECT user_id, ts AS p_ts, value AS p_value FROM events
+      |  WHERE event_type = 'purchase'),
+      |hits AS (
+      |  SELECT e.err_id, COUNT(*) AS n_purchases,
+      |    CAST(SUM(CAST(p.p_value AS DECIMAL(18,6))) AS DOUBLE) AS purchase_value
+      |  FROM err e JOIN purch p ON p.user_id = e.user_id
+      |    AND p.p_ts >= e.w_start AND p.p_ts <= e.w_end
+      |  GROUP BY e.err_id)
+      |SELECT e.err_id, e.user_id,
+      |  COALESCE(h.n_purchases, 0) AS n_purchases,
+      |  COALESCE(h.purchase_value, 0.0) AS purchase_value
+      |FROM err e LEFT JOIN hits h ON h.err_id = e.err_id
+      |ORDER BY e.err_id""".stripMargin
+
   private val qRangeJoinStrictSql =
     """WITH err AS (
       |  SELECT event_id AS err_id, ts AS w_start, ts + INTERVAL 5 MINUTE AS w_end
@@ -553,6 +600,7 @@ object ScaleQueries {
     "q_salted_join"      -> (qSaltedJoin _),
     "q_bucketed_join"    -> (qBucketedJoin _),
     "q_range_join"       -> (qRangeJoin _),
+    "q_range_join_user"  -> (qRangeJoinUser _),
     "q_range_join_strict" -> (qRangeJoinStrict _),
     "q_interval_join"    -> (qIntervalJoin _),
     "q_zorder_layout"    -> (qZOrder _),
@@ -567,6 +615,7 @@ object ScaleQueries {
     "q_salted_join"      -> qSaltedJoinSql,
     "q_bucketed_join"    -> qBucketedJoinSql,
     "q_range_join"       -> qRangeJoinSql,
+    "q_range_join_user"  -> qRangeJoinUserSql,
     "q_range_join_strict" -> qRangeJoinStrictSql,
     "q_interval_join"    -> qIntervalJoinSql,
     "q_zorder_layout"    -> qZOrderSql,

@@ -3,7 +3,7 @@ package graft.jobs
 import java.util.UUID
 
 import graft.config.EntitySchema
-import graft.meta.FileMonitorStore
+import graft.meta.{FileMonitorStore, JdbcMonitorStore, MonitorStore, StoreAdmin}
 import org.apache.spark.sql.SparkSession
 
 /** CLI entry point (reference entry point 1, `src/executor.py`):
@@ -21,7 +21,12 @@ object Executor {
       step: String = "all",
       workflow: Option[String] = None,
       root: String = "/tmp/graft-warehouse",
-      landing: Option[String] = None)
+      landing: Option[String] = None,
+      // execution-metadata backend: None = parquet FileMonitorStore
+      // under --root; Some(url) = JdbcMonitorStore on that JDBC URL
+      // (the reference's Postgres posture - Derby in this sandbox,
+      // e.g. jdbc:derby:memory:monitor;create=true)
+      monitorUrl: Option[String] = None)
 
   def parse(argv: Seq[String]): Args = {
     def loop(rest: List[String], acc: Args): Args = rest match {
@@ -30,6 +35,7 @@ object Executor {
       case ("-w" | "--workflow") :: v :: t => loop(t, acc.copy(workflow = Some(v)))
       case "--root" :: v :: t              => loop(t, acc.copy(root = v))
       case "--landing" :: v :: t           => loop(t, acc.copy(landing = Some(v)))
+      case "--monitor-url" :: v :: t       => loop(t, acc.copy(monitorUrl = Some(v)))
       case other :: _ => throw new IllegalArgumentException(s"unknown arg: $other")
     }
     val a = loop(argv.toList, Args())
@@ -57,8 +63,11 @@ object Executor {
   }
 
   def run(spark: SparkSession, args: Args): Unit = {
-    val store = new FileMonitorStore(spark, s"${args.root}/monitor",
-      warehouseDir = Some(s"${args.root}/tables"))
+    val store: MonitorStore with StoreAdmin = args.monitorUrl match {
+      case Some(url) => new JdbcMonitorStore(spark, url)
+      case None => new FileMonitorStore(spark, s"${args.root}/monitor",
+        warehouseDir = Some(s"${args.root}/tables"))
+    }
     val schemas = EntitySchema.reference
     // bootstrap = applying the reference's migrations/init.sql; the
     // handler's precheck then verifies the tables genuinely exist

@@ -178,4 +178,82 @@ object IntervalAgg {
         col("__sv").cast(dec).cast("double").as("sum_value"))
     folded
   }
+
+  /** KEYED per-interval COUNT/SUM: each interval aggregates only the
+    * points sharing its `keyCol` value. The keyed case needs NONE of
+    * the bucket machinery — the equi-key already partitions the
+    * prefix sum, so points and probes union into ONE window
+    * partitioned by the key (the q_sessionize shape: parallelism =
+    * key cardinality, per-key sort bounded by that key's activity,
+    * hot keys are ordinary AQE window skew), each probe reads its
+    * running `cum(≤ t)` directly, and a hash-agg folds the ± probe
+    * pair. One shuffle on the key, one on the interval id — linear
+    * whatever the window density, where a keyed pair join's output
+    * still grows ∝ (per-key density)².
+    *
+    * Bounds and determinism match [[countSum]]: closed/open ends are
+    * a 1 µs probe shift, points sort before probes at equal
+    * timestamps, sums accumulate in DECIMAL(18,6).
+    *
+    * @return one row per interval: `(idCol, keyCol, n_points BIGINT,
+    *         sum_value DOUBLE)`, empty intervals included. */
+  def countSumByKey(
+      points: DataFrame,
+      intervals: DataFrame,
+      keyCol: String,
+      pointTs: String,
+      valueCol: String,
+      idCol: String,
+      startCol: String,
+      endCol: String,
+      closedStart: Boolean = true,
+      closedEnd: Boolean = true): DataFrame = {
+
+    val us1 = expr("INTERVAL 1 MICROSECOND")
+    val hi = if (closedEnd) col(endCol) else col(endCol) - us1
+    val lo = if (closedStart) col(startCol) - us1 else col(startCol)
+    val idIsString =
+      intervals.schema(idCol).dataType == org.apache.spark.sql.types.StringType
+
+    val pPts = points.select(
+      col(keyCol).as("__k"),
+      unix_micros(col(pointTs)).as("__tm"),
+      lit(0).as("__side"),
+      lit(1L).as("__cnt"),
+      col(valueCol).cast(dec).as("__val"),
+      lit(null).cast("long").as("__iidL"),
+      lit(null).cast("string").as("__iidS"),
+      lit(null).cast("long").as("__sign"))
+    val pPrb = intervals.select(col(keyCol).as("__k"),
+        col(idCol).as("__iid"),
+        array(struct(hi.as("__t"), lit(1L).as("__sign")),
+          struct(lo.as("__t"), lit(-1L).as("__sign"))).as("__ps"))
+      .select(col("__k"), col("__iid"), explode(col("__ps")).as("__p"))
+      .select(col("__k"), unix_micros(col("__p.__t")).as("__tm"),
+        lit(1).as("__side"),
+        lit(null).cast("long").as("__cnt"),
+        lit(null).cast(dec).as("__val"),
+        (if (idIsString) lit(null).cast("long") else col("__iid").cast("long")).as("__iidL"),
+        (if (idIsString) col("__iid").cast("string") else lit(null).cast("string")).as("__iidS"),
+        col("__p.__sign").as("__sign"))
+
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__tm"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    pPts.unionByName(pPrb)
+      .select(col("*"),
+        sum(coalesce(col("__cnt"), lit(0L))).over(w).as("__wc"),
+        sum(coalesce(col("__val"), lit(0).cast(dec))).over(w).as("__ws"))
+      .filter(col("__side") === 1)
+      .groupBy(col("__k"), col("__iidL"), col("__iidS"))
+      .agg(sum(col("__sign") * col("__wc")).as("n_points"),
+        sum(when(col("__sign") === 1L, col("__ws"))
+          .otherwise(-col("__ws"))).as("__sv"))
+      .select(
+        (if (idIsString) col("__iidS") else col("__iidL")).as(idCol),
+        col("__k").as(keyCol),
+        col("n_points"),
+        coalesce(col("__sv"), lit(0).cast(dec)).cast(dec).cast("double")
+          .as("sum_value"))
+  }
 }

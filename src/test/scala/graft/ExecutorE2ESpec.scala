@@ -29,4 +29,28 @@ class ExecutorE2ESpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/monitor/ingestor_executions").count() == 1)
     assert(spark.read.parquet(s"$root/monitor/handler_executions").count() == 2)
   }
+
+  test("executor --monitor-url routes execution metadata through the JDBC store") {
+    val root = tmpDir("exec-jdbc")
+    val landing = s"$root/landing"
+    Files.createDirectories(Paths.get(landing))
+    val p = Paths.get(s"$landing/a.json")
+    Files.write(p, Seq(
+      """{"event": "update", "on": "vehicle", "at": "2022-11-24T10:02:11Z", "organization_id": "o", "data": {"id": "v-1", "location": {"lat": 1.0, "lng": 2.0, "at": "2022-11-24T10:02:10Z"}}}"""
+    ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.setLastModifiedTime(p, FileTime.from(IngestorJob.coldStart.plusSeconds(60)))
+
+    val url = s"jdbc:derby:memory:exec_${java.util.UUID.randomUUID().toString.take(8)};create=true"
+    Executor.run(spark, Executor.parse(
+      Seq("--root", root, "--landing", landing, "--monitor-url", url)))
+
+    // data lands in the warehouse; metadata lives in Derby, NOT parquet
+    assert(spark.read.parquet(s"$root/tables/vehicle_location").count() == 1)
+    assert(!Files.exists(Paths.get(s"$root/monitor")),
+      "JDBC mode must not write parquet monitor tables")
+    val store = new graft.meta.JdbcMonitorStore(spark, url)
+    assert(store.ingestorRows().size == 1)
+    assert(store.handlerRows().size == 2)
+    assert(store.lastSuccessfulFetchHour().contains(IngestorJob.coldStart))
+  }
 }

@@ -95,6 +95,47 @@ class IntervalAggSpec extends SparkSpec {
     assert(wide == base && adaptive == base)
   }
 
+  test("keyed variant equals the naive keyed join, including keys with no points") {
+    // reference = explicit keyed inequality join
+    val errU = ev.filter($"event_type" === "error").select(
+      $"event_id".as("err_id"), $"user_id", $"ts".as("w_start"),
+      ($"ts" + expr("INTERVAL 5 MINUTES")).as("w_end"))
+    val purchU = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"ts".as("p_ts"), $"value".as("p_value"))
+    val hits = errU.join(purchU,
+        $"pu" === $"user_id" && $"p_ts" >= $"w_start" && $"p_ts" <= $"w_end")
+      .groupBy($"err_id")
+      .agg(count(lit(1)).as("n"),
+        sum($"p_value".cast("decimal(18,6)")).cast("double").as("v"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val expected = errU.select($"err_id").collect()
+      .map(r => r.getLong(0) -> hits.getOrElse(r.getLong(0), (0L, 0.0))).toMap
+    assert(expected.values.exists(_._1 > 0),
+      "fixture produced no same-user in-window purchases")
+    val got = graft.operators.IntervalAgg
+      .countSumByKey(purchU.select($"pu".as("user_id"), $"p_ts", $"p_value"),
+        errU, "user_id", "p_ts", "p_value", "err_id", "w_start", "w_end")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == expected)
+  }
+
+  test("keyed variant: key whose points all fall outside every window scores zero") {
+    val pts = Seq((1L, "2024-01-01 01:00:00", 5.0), (2L, "2024-01-01 02:00:00", 7.0))
+      .toDF("k", "s", "p_value")
+      .select($"k", to_timestamp($"s").as("p_ts"), $"p_value")
+    val iv = Seq((10L, 1L, "2024-01-01 00:55:00", "2024-01-01 01:05:00"),
+        (11L, 2L, "2024-01-01 03:00:00", "2024-01-01 04:00:00"))
+      .toDF("iid", "k", "a", "b")
+      .select($"iid", $"k", to_timestamp($"a").as("s"), to_timestamp($"b").as("e"))
+    val out = graft.operators.IntervalAgg
+      .countSumByKey(pts, iv, "k", "p_ts", "p_value", "iid", "s", "e")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // window 10 sees key 1's in-window point; window 11's key-2 point
+    // is outside its window → (0, 0.0); cross-key leakage would make
+    // either row wrong
+    assert(out == Map(10L -> ((1L, 5.0)), 11L -> ((0L, 0.0))))
+  }
+
   test("work is linear: no pair join — plan has no BNLJ/cartesian and one probe row pair per interval") {
     val df = IntervalAgg.countSum(purch, err, "p_ts", "p_value",
       "err_id", "w_start", "w_end", bucketWidthSec = 300L)

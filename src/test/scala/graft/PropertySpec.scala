@@ -140,4 +140,39 @@ class PropertySpec extends SparkSpec {
       sig.toLongArray.zip(sig3.toLongArray).foreach { case (a, b) => assert(b <= a) }
     }
   }
+
+  test("IntervalAgg prefix-sum equals the naive inequality join on random timelines") {
+    // adversarial geometry the fixed corpus can't promise: duplicate
+    // timestamps, points exactly on window bounds, zero-length and
+    // overlapping windows, empty windows — closed AND open bounds
+    val micros = Gen.choose(1_700_000_000_000_000L, 1_700_000_600_000_000L)
+    val gen = Gen.zip(
+      Gen.listOfN(60, Gen.zip(micros, Gen.choose(-100.0, 100.0))),
+      Gen.listOfN(25, Gen.zip(micros, Gen.choose(0L, 120_000_000L))))
+    forSamples(gen, n = 4) { case (ptRaw, ivRaw) =>
+      val pts = ptRaw.toDF("tm", "p_value")
+        .select(timestamp_micros($"tm").as("p_ts"), $"p_value")
+      val iv = ivRaw.zipWithIndex
+        .map { case ((s, len), i) => (i.toLong, s, s + len) }
+        .toDF("iid", "sm", "em")
+        .select($"iid", timestamp_micros($"sm").as("s"),
+          timestamp_micros($"em").as("e"))
+      for (closed <- Seq(true, false)) {
+        val lo = if (closed) $"p_ts" >= $"s" else $"p_ts" > $"s"
+        val hi = if (closed) $"p_ts" <= $"e" else $"p_ts" < $"e"
+        val hits = iv.join(pts, lo && hi)
+          .groupBy($"iid")
+          .agg(count(lit(1)).as("n"),
+            sum($"p_value".cast("decimal(18,6)")).cast("double").as("v"))
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+        val expected = ivRaw.indices
+          .map(i => i.toLong -> hits.getOrElse(i.toLong, (0L, 0.0))).toMap
+        val got = graft.operators.IntervalAgg
+          .countSum(pts, iv, "p_ts", "p_value", "iid", "s", "e",
+            bucketWidthSec = 37L, closedStart = closed, closedEnd = closed)
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+        assert(got == expected, s"closed=$closed")
+      }
+    }
+  }
 }
