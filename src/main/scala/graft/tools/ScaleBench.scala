@@ -74,7 +74,8 @@ object ScaleBench {
     "etl_upsert_partitioned",// partition-scoped merge-on-write
     "etl_keygen",            // per-row surrogate keys (pure map)
     "q9_nation_profit",      // multi-join star aggregation
-    "q_range_join",          // bucketized inequality join
+    "q_range_join",          // prefix-sum interval aggregation
+    "q_range_join_user",     // keyed interval aggregation (one per-key window)
     "q_sessionize",          // per-user ordered window
     // q_pagerank is NOT in the ladder: the synthetic trade graph is
     // dense (≈6 edges per lineitem row — 120 M directed edges at
