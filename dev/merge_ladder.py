@@ -58,7 +58,17 @@ for name in names:
         merged["ratio_sf_span"] = round(ok[-1][0] / ok[0][0], 3)
     queries[name] = merged
 
-first = next(r for r in rungs if r)
+first = next((r for r in rungs if r), None)
+if first is None:
+    # all rungs missing: still write an artifact (the module contract:
+    # a bad rung becomes null cells, never a lost artifact) and fail
+    with open(out_path, "w") as f:
+        json.dump({"metric": "scale_curve_reforced",
+                   "note": "ALL rungs missing/unparsable: " +
+                           ", ".join(rung_paths),
+                   "sfs": sfs, "queries": {}}, f)
+    print(f"merged 0/{len(rungs)} rungs -> {out_path}", file=sys.stderr)
+    sys.exit(1)
 merged = {
     "metric": "scale_curve_reforced",
     "note": ("per-rung JVM isolation (dev/scale_ladder.sh): each rung "

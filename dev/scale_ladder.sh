@@ -19,8 +19,11 @@ cd "$(dirname "$0")/.."
 for SF in 10.0 31.6 100.0; do
   echo "=== rung sf$SF ($(date -u +%H:%M:%S)) ==="
   STREAM=off
-  SKIP_ARGS=()
   [ "$SF" = "10.0" ] && STREAM=on
+  # a stale rung artifact from a previous run must never be merged as
+  # fresh data: a rung JVM that dies before writing its output leaves
+  # the old file in place otherwise
+  rm -f "SCALE_RUNG_sf$SF.json"
   if [ "$SF" = "100.0" ]; then export SPARK_GRAFT_SKIP=docs_simhash_pairs; else unset SPARK_GRAFT_SKIP || true; fi
   # fresh scratch per rung: a killed JVM cannot leak blockmgr/scratch
   # into the next rung's disk budget

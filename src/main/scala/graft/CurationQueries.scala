@@ -161,7 +161,7 @@ object CurationQueries {
     * exactly (integer arithmetic — no tolerance). */
   private def qPackShards(s: SparkSession, dir: String): DataFrame =
     ShardPacker.packShards(Tables(s, dir, "documents"), "doc_id", "text",
-      budget = 2000L, bucketWidth = 100L)
+      budget = 2000L)
       .orderBy(col("doc_id"))
 
   private val qPackShardsSql =

@@ -1533,12 +1533,12 @@ object LlmQueries {
   private def qLmScoreRef(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val model = NgramLm.cachedRefTrain(d, "doc_id", "text",
-      maxRefId = LmRefSnapshotMaxId, source = dir)
+      maxRefId = NgramLm.RegistryRefSnapshotMaxId, source = dir)
     NgramLm.score(d, model, "doc_id", "text").orderBy(col("doc_id"))
   }
 
-  /** Fixed reference-snapshot bound shared by query and oracle. */
-  private val LmRefSnapshotMaxId = 5000L
+  /** Alias of the shared constant (see NgramLm.RegistryRefSnapshotMaxId). */
+  private val LmRefSnapshotMaxId = NgramLm.RegistryRefSnapshotMaxId
 
   private val qLmScoreRefSql =
     s"""WITH t AS (

@@ -37,6 +37,14 @@ object NgramLm {
   /** Fixed-point scale for the conditional-frequency surrogate. */
   val Scale = 1000000L
 
+  /** The registry's fixed reference-snapshot bound (docs_lm_score_ref
+    * trains on `doc_id < RegistryRefSnapshotMaxId`). ONE constant
+    * shared by the query, its oracle, and the at-rest build — if the
+    * bench built a model under a different bound, the memo keys would
+    * diverge and the query's first timed rep would silently absorb
+    * full training cost. */
+  val RegistryRefSnapshotMaxId = 5000L
+
   /** (w1, w2) bigram structs of a token array; <2 tokens → empty.
     * Built with `zip_with` against the shifted copy (the
     * [[TextFunctions.shinglesFromTokens]] idiom): the token array is

@@ -64,6 +64,31 @@ object IntervalAgg {
   private def bucketOf(tm: Column, w: Long): Column =
     ((tm - pmod(tm, lit(w))) / lit(w)).cast("long")
 
+  /** The ± probe timestamps for one interval row, with the DEGENERATE
+    * cases pinned to the naive join's semantics:
+    *  - closed/open bounds become a 1 µs shift (timestamp resolution),
+    *    so the cumulative comparison is always `point.ts ≤ probe.ts`;
+    *  - an interval that is EMPTY under its bounds (end < start, or a
+    *    zero-length open-open window, where the shifted hi sorts
+    *    BELOW lo) collapses both probes onto one timestamp — the fold
+    *    then yields exactly (0, 0.0) instead of a NEGATIVE count;
+    *  - a NULL bound means the naive inequality join matches nothing
+    *    (NULL comparisons are never true), so it also collapses to
+    *    the empty pair rather than letting a null probe sort
+    *    nulls-first and read a garbage prefix. */
+  private def probeBounds(startCol: String, endCol: String,
+      closedStart: Boolean, closedEnd: Boolean): (Column, Column) = {
+    val us1 = expr("INTERVAL 1 MICROSECOND")
+    val hi0 = if (closedEnd) col(endCol) else col(endCol) - us1
+    val lo0 = if (closedStart) col(startCol) - us1 else col(startCol)
+    val empty = col(startCol).isNull || col(endCol).isNull || (hi0 < lo0)
+    // any single valid timestamp works for the empty pair: cum(x) −
+    // cum(x) = 0 whatever x; epoch covers the both-bounds-null row
+    val anchor = coalesce(lo0, hi0, to_timestamp(lit("1970-01-01")))
+    (when(empty, anchor).otherwise(hi0),
+      when(empty, anchor).otherwise(lo0))
+  }
+
   /** @param points    point side; `pointTs` timestamp + `valueCol`
     *                   numeric column to sum
     * @param intervals  interval side; `idCol` unique id, bounds in
@@ -97,8 +122,14 @@ object IntervalAgg {
       min(unix_micros(col(pointTs))).as("mn"),
       max(unix_micros(col(pointTs))).as("mx")).head()
     if (span.isNullAt(0)) {
-      // no points at all: every interval aggregates to (0, 0.0)
-      return intervals.select(col(idCol),
+      // no points at all: every interval aggregates to (0, 0.0).
+      // Mirror the main path's id typing (string kept, everything
+      // else LONG) or the output schema would depend on the DATA
+      val idOut =
+        if (intervals.schema(idCol).dataType ==
+            org.apache.spark.sql.types.StringType) col(idCol)
+        else col(idCol).cast("long").as(idCol)
+      return intervals.select(idOut,
         lit(0L).as("n_points"), lit(0.0).as("sum_value"))
     }
     val widthMicros = math.max(bucketWidthSec * micro,
@@ -123,9 +154,7 @@ object IntervalAgg {
     // 3: probes — (+1, upper bound) and (−1, just-below-lower-bound),
     // with closed/open expressed as a 1 µs probe shift so the union
     // window's comparison is always plain `point.ts ≤ probe.ts`
-    val us1 = expr("INTERVAL 1 MICROSECOND")
-    val hi = if (closedEnd) col(endCol) else col(endCol) - us1
-    val lo = if (closedStart) col(startCol) - us1 else col(startCol)
+    val (hi, lo) = probeBounds(startCol, endCol, closedStart, closedEnd)
     val probes = intervals.select(col(idCol).as("__iid"),
         array(struct(hi.as("__t"), lit(1L).as("__sign")),
           struct(lo.as("__t"), lit(-1L).as("__sign"))).as("__ps"))
@@ -209,13 +238,16 @@ object IntervalAgg {
       closedStart: Boolean = true,
       closedEnd: Boolean = true): DataFrame = {
 
-    val us1 = expr("INTERVAL 1 MICROSECOND")
-    val hi = if (closedEnd) col(endCol) else col(endCol) - us1
-    val lo = if (closedStart) col(startCol) - us1 else col(startCol)
+    val (hi, lo) = probeBounds(startCol, endCol, closedStart, closedEnd)
     val idIsString =
       intervals.schema(idCol).dataType == org.apache.spark.sql.types.StringType
 
-    val pPts = points.select(
+    // null-timestamp points match nothing in the naive inequality
+    // join; without this filter they would sort FIRST in the key
+    // partition (asc nulls-first) and inflate every window's running
+    // sum. (countSum excludes them structurally: a null bucket id
+    // never equi-joins the dense offsets frame.)
+    val pPts = points.filter(col(pointTs).isNotNull).select(
       col(keyCol).as("__k"),
       unix_micros(col(pointTs)).as("__tm"),
       lit(0).as("__side"),

@@ -65,7 +65,8 @@ object AtRestBuilds {
     "lm_ref_model" -> { (s, dir) =>
       graft.ext.text.NgramLm.cachedRefTrain(
         graft.Tables(s, dir, "documents"), "doc_id", "text",
-        maxRefId = 5000L, source = dir)
+        maxRefId = graft.ext.text.NgramLm.RegistryRefSnapshotMaxId,
+        source = dir)
       ()
     },
     // at-rest z-order clustering of events on (user bucket, hour

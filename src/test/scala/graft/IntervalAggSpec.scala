@@ -65,6 +65,49 @@ class IntervalAggSpec extends SparkSpec {
     assert(out == Map(1L -> ((0L, 0.0)), 2L -> ((0L, 0.0)), 3L -> ((2L, 4.0))))
   }
 
+  test("degenerate intervals match the naive join: zero-length open-open, reversed, null bounds") {
+    // a point EXACTLY at the zero-length window's bound — the case
+    // where the shifted hi probe (s−1µs) sorts below the lo probe (s)
+    // and an unguarded fold would return −1 (round-8 review finding)
+    val pts = Seq(("2024-01-01 12:00:00", 5.0))
+      .toDF("s", "p_value").select(to_timestamp($"s").as("p_ts"), $"p_value")
+    val iv = Seq(
+      (1L, Some("2024-01-01 12:00:00"), Some("2024-01-01 12:00:00")), // zero-length
+      (2L, Some("2024-01-01 13:00:00"), Some("2024-01-01 11:00:00")), // reversed
+      (3L, Some("2024-01-01 11:00:00"), None),                        // null end
+      (4L, None, Some("2024-01-01 13:00:00")),                        // null start
+      (5L, None, None),                                               // both null
+      (6L, Some("2024-01-01 11:00:00"), Some("2024-01-01 13:00:00"))  // control
+    ).toDF("iid", "a", "b").select($"iid",
+      to_timestamp($"a").as("s"), to_timestamp($"b").as("e"))
+    for (closed <- Seq(true, false)) {
+      val out = IntervalAgg.countSum(pts, iv, "p_ts", "p_value",
+          "iid", "s", "e", bucketWidthSec = 300L,
+          closedStart = closed, closedEnd = closed)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      // naive semantics: NULL comparisons never match; reversed and
+      // (open) zero-length windows are empty; closed zero-length
+      // includes the exact-bound point
+      val w1 = if (closed) (1L, 5.0) else (0L, 0.0)
+      assert(out == Map(1L -> w1, 2L -> ((0L, 0.0)), 3L -> ((0L, 0.0)),
+        4L -> ((0L, 0.0)), 5L -> ((0L, 0.0)), 6L -> ((1L, 5.0))),
+        s"closed=$closed")
+    }
+  }
+
+  test("keyed variant ignores null-timestamp points (naive join matches nothing on NULL)") {
+    val pts = Seq((1L, Some("2024-01-01 12:00:00"), 5.0), (1L, None, 99.0))
+      .toDF("k", "s", "p_value")
+      .select($"k", to_timestamp($"s").as("p_ts"), $"p_value")
+    val iv = Seq((10L, 1L, "2024-01-01 11:00:00", "2024-01-01 13:00:00"))
+      .toDF("iid", "k", "a", "b")
+      .select($"iid", $"k", to_timestamp($"a").as("s"), to_timestamp($"b").as("e"))
+    val out = IntervalAgg.countSumByKey(pts, iv, "k", "p_ts", "p_value",
+        "iid", "s", "e")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map(10L -> ((1L, 5.0))))
+  }
+
   test("empty point side yields (0, 0.0) for every interval") {
     val out = IntervalAgg.countSum(
         purch.filter(lit(false)), err, "p_ts", "p_value",

@@ -89,6 +89,7 @@ class RegistryPlanGateSpec extends SparkSpec {
     "q_attribution_batch", "q_brand_revenue", "q_click_not_purchase",
     "q_incremental_agg", "q_incremental_distinct", "q_interval_join",
     "q_pivot_user_events", "q_range_join", "q_range_join_strict",
+    "q_range_join_user",
     "q_scalar_functions", "q_top_orders_per_cust", "q_user_windows")
 
   /** Literal-payload budget per analyzed plan (round-6 verdict task
