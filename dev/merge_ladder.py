@@ -7,7 +7,7 @@ mode this pipeline exists to prevent).
 
 Usage: merge_ladder.py <out.json> <rung1.json> [<rung2.json> ...]
 """
-import sys, json
+import re, sys, json
 
 out_path, rung_paths = sys.argv[1], sys.argv[2:]
 rungs = []
@@ -24,8 +24,12 @@ for p, r in zip(rung_paths, rungs):
         assert len(r["sfs"]) == 1, f"{p} is not a single-rung artifact"
         sfs.append(r["sfs"][0])
     else:
-        # recover the sf from the file name SCALE_RUNG_sf<sf>.json
-        sfs.append(float(p.split("sf")[-1].replace(".json", "")))
+        # recover the sf from the file name SCALE_RUNG_sf<sf>.json; a
+        # name not shaped that way must not crash the merge (the
+        # module contract: a bad rung becomes null cells, never a
+        # lost artifact)
+        m = re.search(r"sf([0-9]+(?:\.[0-9]+)?)\.json$", p)
+        sfs.append(float(m.group(1)) if m else None)
 
 names = []
 for r in rungs:

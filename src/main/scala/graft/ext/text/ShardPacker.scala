@@ -63,13 +63,14 @@ object ShardPacker {
         if (r.isNullAt(0)) 100L
         else math.max(100L, (r.getLong(1) - r.getLong(0)) / targetBuckets + 1)
       }
-    // exact integer bucket id — float division's ulp at huge ids can
-    // misroute boundary rows (the IntervalAgg.bucketOf rationale)
+    // exact integer bucket id — the shared IntervalAgg.bucketOf
+    // floor-division idiom (float division's ulp at huge ids can
+    // misroute boundary rows)
     val idL = col(idCol).cast("long")
     val base = docs.select(
       col(idCol),
       TextFunctions.tokenCount(col(textCol)).as("n_tokens"),
-      ((idL - pmod(idL, lit(width))) / lit(width)).cast("long").as("__b"))
+      graft.operators.IntervalAgg.bucketOf(idL, width).as("__b"))
     val within = base.withColumn("__cum",
       sum(col("n_tokens")).over(
         Window.partitionBy(col("__b")).orderBy(col(idCol))))

@@ -135,15 +135,20 @@ class JdbcMonitorStore(spark: SparkSession, url: String)
   }
 
   override def targetTableExists(table: String): Boolean = withConn { conn =>
-    // DatabaseMetaData is the portable information_schema.tables:
-    // Derby case-folds unquoted DDL identifiers to upper case, so the
-    // catalog probe matches case-insensitively (Postgres folds the
-    // same DDL to lower) — both spellings are THIS table
-    val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
-    var found = false
-    while (!found && rs.next())
-      found = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
-    found
+    // DatabaseMetaData is the portable information_schema.tables,
+    // probed as a POINT LOOKUP scoped to the connection's CURRENT
+    // schema — an O(catalog) all-schema scan would false-pass on a
+    // same-named table in an unrelated schema (the reference's
+    // information_schema check is schema-scoped too). Derby
+    // case-folds unquoted DDL identifiers to upper case, Postgres to
+    // lower — both spellings are THIS table, so both are probed.
+    val md = conn.getMetaData
+    val schema = conn.getSchema
+    def probe(name: String): Boolean = {
+      val rs = md.getTables(null, schema, name, Array("TABLE"))
+      try rs.next() finally rs.close()
+    }
+    probe(table.toUpperCase) || probe(table.toLowerCase) || probe(table)
   }
 
   private def jdbcTable(table: String) =

@@ -54,15 +54,18 @@ object IntervalAgg {
 
   private val dec = DecimalType(18, 6)
 
-  /** Exact integer bucket id. `floor(tm / w)` would route through
-    * DOUBLE division, whose ulp at ~10⁷ quotients (2e-9) can exceed
-    * the 1/w distance-to-integer of near-boundary micros for wide
-    * buckets — a point and the driver-side Long division would then
-    * disagree on the bucket. `(tm − pmod(tm, w)) / w` keeps every
-    * intermediate exactly representable, so the quotient is the true
-    * integer for any epoch-micros value. */
-  private def bucketOf(tm: Column, w: Long): Column =
-    ((tm - pmod(tm, lit(w))) / lit(w)).cast("long")
+  /** Exact integer bucket id — the shared floor-division idiom (also
+    * [[graft.ext.text.ShardPacker]]). `floor(tm / w)` would route
+    * through DOUBLE division, whose ulp can exceed the 1/w
+    * distance-to-integer of near-boundary values; subtracting the
+    * non-negative `pmod` remainder first makes the dividend exactly
+    * divisible, and INTEGRAL division (`div`) keeps the quotient a
+    * pure Long op — exact for the full Long range, where a double
+    * quotient loses integer resolution past 2⁵³ and could disagree
+    * with the driver-side `Math.floorDiv` bucket bounds. (Truncating
+    * `div` equals floor here because the remainder is already zero.) */
+  private[graft] def bucketOf(tm: Column, w: Long): Column =
+    call_function("div", tm - pmod(tm, lit(w)), lit(w))
 
   /** The ± probe timestamps for one interval row, with the DEGENERATE
     * cases pinned to the naive join's semantics:
@@ -246,8 +249,15 @@ object IntervalAgg {
     // join; without this filter they would sort FIRST in the key
     // partition (asc nulls-first) and inflate every window's running
     // sum. (countSum excludes them structurally: a null bucket id
-    // never equi-joins the dense offsets frame.)
-    val pPts = points.filter(col(pointTs).isNotNull).select(
+    // never equi-joins the dense offsets frame.) Null KEYS likewise
+    // match nothing in the naive equi-join (NULL = NULL is not true),
+    // but window partitionBy groups them TOGETHER — so null-key
+    // points are dropped here; a null-key interval then shares its
+    // partition with no points and folds to (0, 0.0), the join's
+    // left-join-shaped answer.
+    val pPts = points
+      .filter(col(pointTs).isNotNull && col(keyCol).isNotNull)
+      .select(
       col(keyCol).as("__k"),
       unix_micros(col(pointTs)).as("__tm"),
       lit(0).as("__side"),

@@ -108,6 +108,25 @@ class IntervalAggSpec extends SparkSpec {
     assert(out == Map(10L -> ((1L, 5.0))))
   }
 
+  test("keyed variant treats NULL keys as matching nothing (naive equi-join)") {
+    // NULL = NULL is never true in the naive join, but window
+    // partitionBy groups null keys TOGETHER — a null-key point must
+    // not count into a null-key interval (round-8 review finding)
+    val pts = Seq((Option.empty[Long], Some("2024-01-01 12:00:00"), 7.0),
+        (Some(1L), Some("2024-01-01 12:00:00"), 5.0))
+      .toDF("k", "s", "p_value")
+      .select($"k", to_timestamp($"s").as("p_ts"), $"p_value")
+    val iv = Seq((10L, Option.empty[Long], "2024-01-01 11:00:00", "2024-01-01 13:00:00"),
+        (11L, Some(1L), "2024-01-01 11:00:00", "2024-01-01 13:00:00"))
+      .toDF("iid", "k", "a", "b")
+      .select($"iid", $"k", to_timestamp($"a").as("s"), to_timestamp($"b").as("e"))
+    val out = IntervalAgg.countSumByKey(pts, iv, "k", "p_ts", "p_value",
+        "iid", "s", "e")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // the null-key interval still appears, with the empty aggregate
+    assert(out == Map(10L -> ((0L, 0.0)), 11L -> ((1L, 5.0))))
+  }
+
   test("empty point side yields (0, 0.0) for every interval") {
     val out = IntervalAgg.countSum(
         purch.filter(lit(false)), err, "p_ts", "p_value",
