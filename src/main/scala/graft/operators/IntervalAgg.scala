@@ -92,6 +92,34 @@ object IntervalAgg {
       when(empty, anchor).otherwise(lo0))
   }
 
+  /** The cumulative prefix pass shared by both variants: union the
+    * point and probe frames (same 8-column shape), accumulate the
+    * running count/sum per `part` partition ordered by (ts, side) —
+    * points sort BEFORE probes at equal timestamps, so a closed
+    * upper bound sees its boundary point — and keep only the probe
+    * rows, each carrying its exact within-partition prefix as
+    * (`__wc`, `__ws`). Keeping this in ONE place is what guarantees
+    * the bucketed and keyed variants can never drift on the
+    * tie-ordering or the null-coalescing of the running sums. */
+  private def cumProbes(pPts: DataFrame, pPrb: DataFrame,
+      part: String): DataFrame = {
+    val w = Window.partitionBy(col(part))
+      .orderBy(col("__tm"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    pPts.unionByName(pPrb)
+      .select(col("*"),
+        sum(coalesce(col("__cnt"), lit(0L))).over(w).as("__wc"),
+        sum(coalesce(col("__val"), lit(0).cast(dec))).over(w).as("__ws"))
+      .filter(col("__side") === 1)
+  }
+
+  /** The dual-shape interval-id carry: ids may be long or string, and
+    * the union must stay schema-stable without reflection on the id
+    * type — so BOTH columns always exist and exactly one is null. */
+  private def idCarry(id: Column, idIsString: Boolean): (Column, Column) =
+    ((if (idIsString) lit(null).cast("long") else id.cast("long")).as("__iidL"),
+      (if (idIsString) id.cast("string") else lit(null).cast("string")).as("__iidS"))
+
   /** @param points    point side; `pointTs` timestamp + `valueCol`
     *                   numeric column to sum
     * @param intervals  interval side; `idCol` unique id, bounds in
@@ -176,26 +204,17 @@ object IntervalAgg {
       lit(null).cast("long").as("__iidL"),
       lit(null).cast("string").as("__iidS"),
       lit(null).cast("long").as("__sign"))
-    // interval ids may be long or string — carry both shapes so the
-    // union stays schema-stable without reflection on the id type
     val idIsString =
       intervals.schema(idCol).dataType == org.apache.spark.sql.types.StringType
+    val (iidL, iidS) = idCarry(col("__iid"), idIsString)
     val pPrb = probes.select(
       col("__b"), col("__tm"), lit(1).as("__side"),
       lit(null).cast("long").as("__cnt"),
       lit(null).cast(dec).as("__val"),
-      (if (idIsString) lit(null).cast("long") else col("__iid").cast("long")).as("__iidL"),
-      (if (idIsString) col("__iid").cast("string") else lit(null).cast("string")).as("__iidS"),
+      iidL, iidS,
       col("__sign"))
 
-    val w = Window.partitionBy(col("__b"))
-      .orderBy(col("__tm"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val cum = pPts.unionByName(pPrb)
-      .select(col("*"),
-        sum(coalesce(col("__cnt"), lit(0L))).over(w).as("__wc"),
-        sum(coalesce(col("__val"), lit(0).cast(dec))).over(w).as("__ws"))
-      .filter(col("__side") === 1)
+    val cum = cumProbes(pPts, pPrb, "__b")
 
     // 4: off(b) + within  →  fold the ± probe pair per interval
     val folded = cum.join(broadcast(offsets), Seq("__b"))
@@ -266,6 +285,7 @@ object IntervalAgg {
       lit(null).cast("long").as("__iidL"),
       lit(null).cast("string").as("__iidS"),
       lit(null).cast("long").as("__sign"))
+    val (iidL, iidS) = idCarry(col("__iid"), idIsString)
     val pPrb = intervals.select(col(keyCol).as("__k"),
         col(idCol).as("__iid"),
         array(struct(hi.as("__t"), lit(1L).as("__sign")),
@@ -275,18 +295,10 @@ object IntervalAgg {
         lit(1).as("__side"),
         lit(null).cast("long").as("__cnt"),
         lit(null).cast(dec).as("__val"),
-        (if (idIsString) lit(null).cast("long") else col("__iid").cast("long")).as("__iidL"),
-        (if (idIsString) col("__iid").cast("string") else lit(null).cast("string")).as("__iidS"),
+        iidL, iidS,
         col("__p.__sign").as("__sign"))
 
-    val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__tm"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    pPts.unionByName(pPrb)
-      .select(col("*"),
-        sum(coalesce(col("__cnt"), lit(0L))).over(w).as("__wc"),
-        sum(coalesce(col("__val"), lit(0).cast(dec))).over(w).as("__ws"))
-      .filter(col("__side") === 1)
+    cumProbes(pPts, pPrb, "__k")
       .groupBy(col("__k"), col("__iidL"), col("__iidS"))
       .agg(sum(col("__sign") * col("__wc")).as("n_points"),
         sum(when(col("__sign") === 1L, col("__ws"))
