@@ -56,7 +56,7 @@ for name in names:
     if errors:
         merged["errors"] = errors
     ok = [(sf, s) for sf, s in zip(sfs, merged.get("sec", []))
-          if s is not None]
+          if s is not None and sf is not None]
     if len(ok) >= 2 and ok[0][1]:
         merged["ratio"] = round(ok[-1][1] / ok[0][1], 3)
         merged["ratio_sf_span"] = round(ok[-1][0] / ok[0][0], 3)
@@ -82,7 +82,11 @@ merged = {
                  for sf, r in zip(sfs, rungs) if r is None or r.get("note"))),
     "sfs": sfs,
     "gen_version": first.get("gen_version"),
-    "corpus_ratio": round(max(sfs) / min(sfs), 3),
+    # sfs may contain None for a missing rung whose filename didn't
+    # carry the sf — ratio over the recoverable ones only (never crash)
+    "corpus_ratio": (round(max(known_sfs) / min(known_sfs), 3)
+                     if len(known_sfs := [s for s in sfs if s is not None]) >= 2
+                     else None),
     "reps": first.get("reps"),
     "cpus": first.get("cpus"),
     "initial_partitions": first.get("initial_partitions"),

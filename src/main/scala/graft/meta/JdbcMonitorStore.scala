@@ -135,6 +135,13 @@ class JdbcMonitorStore(spark: SparkSession, url: String)
   }
 
   override def targetTableExists(table: String): Boolean = withConn { conn =>
+    // Fidelity posture: like the reference (postgres.py:131-155), this
+    // consults ONLY the warehouse catalog — it does not verify the
+    // parquet data directory under --root/tables. In JDBC mode the
+    // catalog is the Derby stub created by migrate(), so this check is
+    // deliberately weaker than FileMonitorStore's directory probe; a
+    // dropped data directory surfaces at write time, exactly as a
+    // dropped Postgres table would for the reference.
     // DatabaseMetaData is the portable information_schema.tables,
     // probed as a POINT LOOKUP scoped to the connection's CURRENT
     // schema — an O(catalog) all-schema scan would false-pass on a

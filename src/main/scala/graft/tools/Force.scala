@@ -31,7 +31,10 @@ object Force {
     * BIGINT immediately). */
   def rows(df: DataFrame): Long = {
     // Column-API aggregate (no string-interpolated expr): survives
-    // backticks/duplicates in output column names (round-7 ADVICE).
+    // backticks/special characters in output column names (round-7
+    // ADVICE). Duplicate names still throw (ambiguous reference) —
+    // no registry query emits duplicates, and a duplicate would be a
+    // bug worth failing on.
     val hash = xxhash64(df.columns.toIndexedSeq.map(c => df.col(s"`$c`")): _*)
     df.agg(count(lit(1)).as("n"), bit_xor(hash).as("h"))
       .head().getLong(0)
