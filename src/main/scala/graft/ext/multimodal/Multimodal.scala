@@ -28,11 +28,14 @@ case class MediaFeatures(
   *
   * The Spark-side plumbing is real and tested: schemas, encoders,
   * partition-preserving `mapPartitions` stages (the Scala analogue of
-  * `mapInPandas` batch UDFs), and batch shapes. The actual media
-  * decoding is STUBBED — this container has no image/audio codecs —
-  * behind [[DecoderStub]], with a deterministic byte-level fake so
-  * tests are reproducible. Swapping in a real codec changes only that
-  * object.
+  * `mapInPandas` batch UDFs), and batch shapes. Decoding is REAL for
+  * images (BMP/PNG via `javax.imageio` — [[MediaCodecs.decodeImage]])
+  * and audio (RIFF/WAVE PCM via `javax.sound.sampled` —
+  * [[MediaCodecs.decodeWav]]); only VIDEO stays behind
+  * [[DecoderStub]], because the JVM ships no video codec. The stub is
+  * a deterministic pure function of the bytes so the video pipeline
+  * stays testable end-to-end; swapping in a real codec changes only
+  * that object.
   *
   * Scale posture: decode is a per-partition map with no shuffle;
   * binary payloads stay columnar in parquet; feature extraction emits
@@ -40,9 +43,12 @@ case class MediaFeatures(
   */
 object Multimodal {
 
-  /** ======== STUB BOUNDARY ========
-    * Deterministic fakes standing in for real codecs. Each is a pure
-    * function of the bytes, so pipelines are testable end-to-end. */
+  /** ======== STUB BOUNDARY (video only) ========
+    * Deterministic fakes standing in for a video codec (none ships in
+    * the JVM). Each is a pure function of the bytes, so pipelines are
+    * testable end-to-end. The byte-histogram feature extractor is also
+    * kept as the media-type-agnostic fallback featurizer (used by the
+    * mixed-type corpus queries, where 2/3 of rows are audio/video). */
   object DecoderStub {
     /** "Decode + feature-extract": 16-bin byte histogram, L1-normalized. */
     def extractFeatures(media: Array[Byte]): Array[Float] = {
@@ -72,6 +78,67 @@ object Multimodal {
           width = bytes.length min 1024, height = 256,
           durationMs = bytes.length.toLong * 10))
     }
+  }
+
+  /** Synthesize a corpus of REAL image blobs (BMP for even doc ids,
+    * PNG for odd — two genuinely different container formats through
+    * one decode path). Pixels follow [[MediaCodecs]]' pure integer
+    * formula of (doc_id, pixel index) so a SQL oracle can replay the
+    * decoded stats without any image library. */
+  def imageCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val bytes = MediaCodecs.encodeImage(id)
+      MediaRecord(id, bytes,
+        MediaMeta("image", MediaCodecs.imgFormat(id),
+          MediaCodecs.imgWidth(id), MediaCodecs.imgHeight(id), 0L))
+    }
+  }
+
+  /** One decoded image per record. */
+  case class ImageDecodeRow(
+      id: Long, format: String, width: Int, height: Int,
+      n_px: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL image decode as a partition-preserving batch map: every
+    * output value is computed from pixels `javax.imageio` parsed out
+    * of the binary column (dimensions included — metadata is not
+    * consulted). */
+  def decodeImages(records: Dataset[MediaRecord]): Dataset[ImageDecodeRow] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.map { r =>
+      val st = MediaCodecs.decodeImage(r.media)
+      ImageDecodeRow(r.id, r.meta.format, st.width, st.height,
+        st.width.toLong * st.height, st.sumR, st.sumG, st.sumB)
+    })
+  }
+
+  /** Synthesize a corpus of REAL RIFF/WAVE blobs (16-bit mono PCM),
+    * samples from [[MediaCodecs]]' pure formula of (doc_id, frame). */
+  def audioCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val bytes = MediaCodecs.encodeWav(id)
+      MediaRecord(id, bytes,
+        MediaMeta("audio", "wav", 0, 0,
+          MediaCodecs.audioFrames(id).toLong * 1000 / MediaCodecs.SampleRate.toLong))
+    }
+  }
+
+  /** One decoded audio clip per record. */
+  case class AudioDecodeRow(
+      id: Long, n_frames: Long, sample_rate_hz: Int,
+      sum_samples: Long, min_sample: Int, max_sample: Int)
+
+  /** REAL audio decode: `javax.sound.sampled` walks the RIFF header,
+    * negotiates the PCM format, and streams the frames. */
+  def decodeAudio(records: Dataset[MediaRecord]): Dataset[AudioDecodeRow] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.map { r =>
+      val st = MediaCodecs.decodeWav(r.media)
+      AudioDecodeRow(r.id, st.nFrames, st.sampleRateHz,
+        st.sumSamples, st.minSample, st.maxSample)
+    })
   }
 
   /** Feature extraction as a partition-preserving batch map — the
