@@ -1675,6 +1675,108 @@ object LlmQueries {
        |ORDER BY vec_id, j""".stripMargin
   }
 
+  // --------------------------------------------- text -> embedding
+
+  /** Text→embedding generation (round-8 verdict gap #2), exact form:
+    * hashing-trick idf-weighted term vectors —
+    * [[graft.ext.similarity.TextEmbed.hashedTfIdf]]. Long-form sparse
+    * output (doc_id, bucket, wt) in exact BIGINT arithmetic: tf and
+    * df counts, the term-rank integer idf surrogate `N·10⁶ div df`,
+    * PolyHash bucket routing — every step cross-engine exact. */
+  private def qDocsEmbed(s: SparkSession, dir: String): DataFrame =
+    graft.ext.similarity.TextEmbed
+      .hashedTfIdf(docs(s, dir), "doc_id", "text", dim = 64)
+      .orderBy(col("doc_id"), col("bucket"))
+
+  private val qDocsEmbedSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+       |  FROM documents WHERE len(trim(text)) > 0),
+       |tf AS (
+       |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+       |w AS (
+       |  SELECT tok, (SELECT COUNT(*) FROM documents) * 1000000 // COUNT(*) AS w
+       |  FROM tf GROUP BY tok)
+       |SELECT tf.doc_id,
+       |  CAST(${ph("tok", 31)} % 64 AS BIGINT) AS bucket,
+       |  CAST(SUM(tf.tf * w.w) AS BIGINT) AS wt
+       |FROM tf JOIN w USING (tok)
+       |GROUP BY tf.doc_id, bucket
+       |ORDER BY doc_id, bucket""".stripMargin
+
+  /** End-to-end composition: raw text → hashed tf-idf → unit-normalize
+    * → JL projection ([[graft.ext.similarity.TextEmbed.embed]]) →
+    * exact cosine KNN — the similarity stack fed from GENERATED
+    * embeddings instead of the pre-made `embeddings` table. The oracle
+    * replays the entire chain (tf/df/bucket in exact integers, the
+    * inlined plane family, 9-dp component rounding, then the
+    * multimodal_knn pair/rank convention). */
+  private def qDocsEmbedKnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dense = graft.ext.similarity.TextEmbed
+      .embed(docs(s, dir), "doc_id", "text", dim = 64, targetDim = 16)
+      .groupBy($"doc_id")
+      .agg(collect_list(struct($"j", $"comp")).as("sc"))
+      .select($"doc_id".as("vec_id"),
+        expr("transform(array_sort(sc), s -> CAST(s.comp AS FLOAT))")
+          .as("embedding"))
+    CosineKNN.bruteForceTopK(dense, dense.filter($"vec_id" < 5),
+      "vec_id", "embedding", k = 3)
+      .orderBy($"query_id", $"rank")
+  }
+
+  private lazy val qDocsEmbedKnnSql = {
+    val planes = CosineKNN.hyperplanes(16, 64)
+    val values = planes.zipWithIndex.map { case (p, j) =>
+      s"($j, [${p.mkString(", ")}])" }.mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+       |  FROM documents WHERE len(trim(text)) > 0),
+       |tf AS (
+       |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+       |w AS (
+       |  SELECT tok, (SELECT COUNT(*) FROM documents) * 1000000 // COUNT(*) AS w
+       |  FROM tf GROUP BY tok),
+       |sp AS (
+       |  SELECT tf.doc_id, CAST(${ph("tok", 31)} % 64 AS BIGINT) AS bucket,
+       |    CAST(SUM(tf.tf * w.w) AS BIGINT) AS wt
+       |  FROM tf JOIN w USING (tok) GROUP BY tf.doc_id, bucket),
+       |nrm AS (
+       |  SELECT doc_id, sqrt(SUM(CAST(wt AS DOUBLE) * CAST(wt AS DOUBLE))) AS nrm
+       |  FROM sp GROUP BY doc_id),
+       |ux AS (
+       |  SELECT sp.doc_id, sp.bucket, CAST(sp.wt AS DOUBLE) / nrm.nrm AS x
+       |  FROM sp JOIN nrm USING (doc_id)),
+       |planes AS (SELECT j, p FROM (VALUES $values) AS t(j, p)),
+       |comps AS (
+       |  SELECT doc_id, j, round(SUM(x * p[CAST(bucket AS INT) + 1]), 9) AS comp
+       |  FROM ux, planes GROUP BY doc_id, j),
+       |vec AS (
+       |  SELECT doc_id AS vec_id, list(CAST(comp AS FLOAT) ORDER BY j) AS embedding
+       |  FROM comps GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    unnest(q.embedding) AS x, unnest(e.embedding) AS y
+       |  FROM (SELECT * FROM vec WHERE vec_id < 5) q, vec e
+       |  WHERE e.vec_id != q.vec_id),
+       |dots AS (
+       |  SELECT query_id, neighbor_id,
+       |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+       |    SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+       |    SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+       |  FROM pairs GROUP BY query_id, neighbor_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    round(dot / (sqrt(na) * sqrt(nb)), 9) AS cosine
+       |  FROM dots)
+       |SELECT query_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank,
+       |  neighbor_id, cosine
+       |FROM scored
+       |QUALIFY rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // ------------------------------------------------------------ BPE training
 
   /** Merge count for the registry's BPE queries: small enough that the
@@ -1829,6 +1931,8 @@ object LlmQueries {
     "multimodal_stages"   -> (qMultimodalStages _),
     "multimodal_decode"   -> (qMultimodalDecode _),
     "multimodal_audio_decode" -> (qMultimodalAudioDecode _),
+    "docs_embed"          -> (qDocsEmbed _),
+    "docs_embed_knn"      -> (qDocsEmbedKnn _),
     "docs_bpe_merges"     -> (qBpeMerges _),
     "docs_bpe_tokenize"   -> (qBpeTokenize _),
     "docs_inverted_index" -> (qInvertedIndex _),
@@ -1874,6 +1978,8 @@ object LlmQueries {
     "multimodal_stages"  -> qMultimodalStagesSql,
     "multimodal_decode"  -> qMultimodalDecodeSql,
     "multimodal_audio_decode" -> qMultimodalAudioDecodeSql,
+    "docs_embed"         -> qDocsEmbedSql,
+    "docs_embed_knn"     -> qDocsEmbedKnnSql,
     "docs_bpe_merges"    -> qBpeMergesSql,
     "docs_bpe_tokenize"  -> qBpeTokenizeSql,
     "docs_inverted_index" -> qInvertedIndexSql,

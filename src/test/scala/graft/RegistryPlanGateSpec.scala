@@ -47,10 +47,13 @@ class RegistryPlanGateSpec extends SparkSpec {
     *  - emb_knn_sq — the exhaustive SQ-ADC scan (SqKNN.adcTopK): the
     *    broadcast side is the bounded query set, the scan side streams
     *    the 4×-compressed codes once — the emb_knn_exact shape over
-    *    codes instead of vectors. */
+    *    codes instead of vectors;
+    *  - docs_embed_knn — the multimodal_knn shape over embeddings
+    *    GENERATED from text (TextEmbed): broadcast side is the bounded
+    *    query set, corpus side streams once. */
   private val exactOracles =
     Set("docs_jaccard_pairs", "emb_knn_exact", "multimodal_knn", "q22_idle_rich",
-      "q15_top_supplier", "emb_ivf_lloyd_table", "emb_knn_sq")
+      "q15_top_supplier", "emb_ivf_lloyd_table", "emb_knn_sq", "docs_embed_knn")
 
   /** Allowlisted EMPTY-partition windows, each over a metadata-sized
     * frame, not the corpus:
@@ -130,6 +133,10 @@ class RegistryPlanGateSpec extends SparkSpec {
     // PROJECTION SCHEME (targetDim·dim), constant in the corpus —
     // the same fixed-metadata class as the LSH hyperplanes above
     "emb_rand_proj" -> 16384L,
+    // docs_embed_knn: the same fixed 16×64-double JL plane family as
+    // emb_rand_proj, inlined element-wise by TextEmbed.embed; scheme
+    // metadata, constant in the corpus
+    "docs_embed_knn" -> 24576L,
     "emb_neardup_pairs" -> 8192L,
     "emb_pq_codes" -> 49152L,
     "emb_knn_pq" -> 61440L,
