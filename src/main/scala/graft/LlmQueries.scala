@@ -1675,6 +1675,104 @@ object LlmQueries {
        |ORDER BY vec_id, j""".stripMargin
   }
 
+  // -------------------------------------- trained quality classifier
+
+  /** Pocket-training iterations for the registry query: enough that
+    * the pocket has real iterates to choose among (the plateau is
+    * reached by t≤2 at every test scale; 4 exercises the decay and
+    * the argmin), small enough that the generated oracle stays
+    * readable (the bpeMergeCount rationale). */
+  private val clfIters = 4
+
+  /** Relationally-trained quality classifier
+    * ([[graft.ext.text.QualityClassifier]]): hashed token features,
+    * integer class-balanced batch training with Gallant's pocket rule
+    * (T corpus passes, weights as driver-held index metadata),
+    * corpus-wide scoring under the pocket winner. The oracle retrains
+    * FROM SCRATCH as generated per-iteration CTEs — margins,
+    * misclassified set, class-split fixed-point update, per-iterate
+    * error counts, argmin pocket selection — the Lloyd/BPE
+    * recompute-everything pattern, so a single flipped update or
+    * miscounted error anywhere in training changes the hash. */
+  private def qQualityClf(s: SparkSession, dir: String): DataFrame =
+    graft.ext.text.QualityClassifier
+      .trainAndScore(docs(s, dir), "doc_id", "text", clfIters)
+      .orderBy(col("doc_id"))
+
+  private lazy val qQualityClfSql = {
+    val dim = graft.ext.text.QualityClassifier.Dim
+    val scale = graft.ext.text.QualityClassifier.Scale
+    val vocab = graft.ext.text.QualityClassifier.labelVocab
+      .map(w => s"'$w'").mkString(", ")
+    val split = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+    val head =
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($split) AS tok
+         |  FROM documents WHERE len(trim(text)) > 0),
+         |f AS (
+         |  SELECT doc_id, CAST(${ph("tok", 31)} % $dim AS BIGINT) AS bucket, COUNT(*) AS cnt
+         |  FROM toks GROUP BY doc_id, bucket
+         |  UNION ALL SELECT doc_id, $dim, 1 FROM documents),
+         |lab AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(trim(text)) > 0 AND
+         |      25 * len(list_filter($split, t -> t IN ($vocab))) >= 2 * len($split)
+         |    THEN 1 ELSE -1 END AS y
+         |  FROM documents),
+         |grid AS (SELECT unnest(range(0, ${dim + 1})) AS bucket),
+         |w0 AS (SELECT bucket, CAST(0 AS BIGINT) AS w FROM grid),""".stripMargin
+    // per iteration t: misclassified under w(t-1) -> class-split
+    // centroid update, fixed-point, floor division on non-negative
+    // operands only (Spark/DuckDB floor-division parity)
+    val iters = (1 to clfIters).map { t =>
+      s"""mis$t AS (
+         |  SELECT m.doc_id, lab.y FROM (
+         |    SELECT f.doc_id, SUM(f.cnt * w${t - 1}.w) AS margin
+         |    FROM f JOIN w${t - 1} USING (bucket) GROUP BY f.doc_id) m
+         |  JOIN lab USING (doc_id) WHERE lab.y * m.margin <= 0),
+         |c$t AS (
+         |  SELECT COALESCE(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END), 0) AS np,
+         |         COALESCE(SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END), 0) AS nn
+         |  FROM mis$t),
+         |u$t AS (
+         |  SELECT f.bucket,
+         |    SUM(CASE WHEN mis$t.y = 1 THEN f.cnt ELSE 0 END) AS up,
+         |    SUM(CASE WHEN mis$t.y = -1 THEN f.cnt ELSE 0 END) AS un
+         |  FROM f JOIN mis$t USING (doc_id) GROUP BY f.bucket),
+         |w$t AS (
+         |  SELECT g.bucket, CAST(w${t - 1}.w
+         |    + COALESCE(u$t.up, 0) * $scale // (GREATEST(1, c$t.np) * $t)
+         |    - COALESCE(u$t.un, 0) * $scale // (GREATEST(1, c$t.nn) * $t)
+         |    AS BIGINT) AS w
+         |  FROM grid g JOIN w${t - 1} ON g.bucket = w${t - 1}.bucket
+         |  LEFT JOIN u$t ON g.bucket = u$t.bucket CROSS JOIN c$t),""".stripMargin
+    }.mkString("\n")
+    // error of the final iterate, then pocket argmin (err, t)
+    val errRows = (1 to clfIters)
+      .map(t => s"SELECT ${t - 1} AS t, (SELECT COUNT(*) FROM mis$t) AS err")
+      .mkString("", " UNION ALL ", s" UNION ALL SELECT $clfIters, (SELECT COUNT(*) FROM misF)")
+    val allW = (0 to clfIters)
+      .map(t => s"SELECT $t AS t, bucket, w FROM w$t")
+      .mkString(" UNION ALL ")
+    val tail =
+      s"""misF AS (
+         |  SELECT m.doc_id, lab.y FROM (
+         |    SELECT f.doc_id, SUM(f.cnt * w$clfIters.w) AS margin
+         |    FROM f JOIN w$clfIters USING (bucket) GROUP BY f.doc_id) m
+         |  JOIN lab USING (doc_id) WHERE lab.y * m.margin <= 0),
+         |errs AS ($errRows),
+         |bt AS (SELECT t FROM errs ORDER BY err, t LIMIT 1),
+         |wb AS (SELECT bucket, w FROM ($allW) aw JOIN bt USING (t)),
+         |mf AS (
+         |  SELECT f.doc_id, CAST(SUM(f.cnt * wb.w) AS BIGINT) AS margin
+         |  FROM f JOIN wb USING (bucket) GROUP BY f.doc_id)
+         |SELECT lab.doc_id, lab.y AS label, mf.margin,
+         |  CASE WHEN mf.margin > 0 THEN 1 ELSE -1 END AS pred
+         |FROM mf JOIN lab USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    s"$head\n$iters\n$tail"
+  }
+
   // --------------------------------------------- text -> embedding
 
   /** Text→embedding generation (round-8 verdict gap #2), exact form:
@@ -1933,6 +2031,7 @@ object LlmQueries {
     "multimodal_audio_decode" -> (qMultimodalAudioDecode _),
     "docs_embed"          -> (qDocsEmbed _),
     "docs_embed_knn"      -> (qDocsEmbedKnn _),
+    "docs_quality_clf"    -> (qQualityClf _),
     "docs_bpe_merges"     -> (qBpeMerges _),
     "docs_bpe_tokenize"   -> (qBpeTokenize _),
     "docs_inverted_index" -> (qInvertedIndex _),
@@ -1980,6 +2079,7 @@ object LlmQueries {
     "multimodal_audio_decode" -> qMultimodalAudioDecodeSql,
     "docs_embed"         -> qDocsEmbedSql,
     "docs_embed_knn"     -> qDocsEmbedKnnSql,
+    "docs_quality_clf"   -> qQualityClfSql,
     "docs_bpe_merges"    -> qBpeMergesSql,
     "docs_bpe_tokenize"  -> qBpeTokenizeSql,
     "docs_inverted_index" -> qInvertedIndexSql,
