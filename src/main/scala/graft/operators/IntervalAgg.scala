@@ -22,29 +22,52 @@ import org.apache.spark.sql.types.DecimalType
   * ts ≤ t. Each interval costs TWO prefix-sum lookups — total work
   * O(points + intervals), independent of window density.
   *
-  * The prefix sum and the lookups run in one distributed pass (the
-  * ShardPacker two-level discipline — no global window anywhere):
+  * The prefix sum and the lookups run distributed with NO global
+  * window and no window partition larger than a fixed arithmetic
+  * bound — a TWO-LEVEL decomposition (bucket → sub-bucket), so that
+  * a corpus whose points concentrate in a tiny slice of a long span
+  * cannot funnel the running sum into one giant window partition
+  * (the round-8 watch item: width adapted to SPAN, not density, so
+  * 99% of points in 0.1% of the span landed ~99% of rows in a few
+  * `__b` partitions and WindowExec buffered each whole partition in
+  * one task):
   *
-  *  1. time is bucketed (`⌊unix_micros/width⌋`); per-bucket point
-  *     totals roll up via hash-agg (map-side combine);
-  *  2. a DENSE bucket frame (every id in [minB, maxB] — `sequence`
-  *     off one aggregate row, bounded by `targetBuckets`) takes the
-  *     running bucket-total offsets through a window over bucket
-  *     METADATA rows, then broadcasts;
+  *  1. time is bucketed twice: coarse `b = ⌊unix_micros/w1⌋` and
+  *     fine `sb = ⌊unix_micros/w2⌋` with `w1 = w2·subBuckets`, so
+  *     `b = ⌊sb/subBuckets⌋` exactly (floor-div composition).
+  *     Per-SUB-bucket point totals roll up via hash-agg (map-side
+  *     combine); per-bucket totals roll up from those.
+  *  2. a DENSE bucket frame (every id in [minB, maxB] — bounded by
+  *     `targetBuckets`) takes the running bucket-total offsets
+  *     through a window over bucket METADATA rows, then broadcasts;
   *  3. each interval emits two probe rows (+1 at the upper bound,
   *     −1 just below the lower bound — closed/open bounds shift the
   *     probe ts by 1 µs, timestamp resolution, instead of changing
-  *     the comparison); probes and points union and one window
-  *     PARTITIONED BY BUCKET accumulates within-bucket running
-  *     totals, so a probe row reads `off(bucket) + within` as its
-  *     exact global prefix value;
-  *  4. a final hash-agg by interval id folds each probe pair:
-  *     `Σ sign·cum` — the count and the (exact DECIMAL) sum.
+  *     the comparison). Probes sort into a window over the
+  *     SUB-BUCKET TOTALS partitioned by bucket — ≤ `subBuckets`
+  *     total rows per partition BY ARITHMETIC, whatever the point
+  *     density — reading the running total of full sub-buckets
+  *     strictly before their own (`__soc`/`__sos`);
+  *  4. probes and raw points union and one window PARTITIONED BY
+  *     SUB-bucket accumulates within-sub-bucket running totals: the
+  *     hottest window partition now holds one w2-slice (1/subBuckets
+  *     of a bucket), not a whole bucket;
+  *  5. a final hash-agg by interval id folds each probe pair:
+  *     `Σ sign·(off(b) + soc(b,sb) + within(sb))` — the count and
+  *     the (exact DECIMAL) sum.
   *
-  * Probe buckets outside the point range clamp to [minB, maxB]: a
-  * later-than-everything probe still sorts after every point in the
-  * top bucket (its raw ts is kept), reading the grand total; an
-  * earlier-than-everything probe reads 0.
+  * Probe buckets outside the point range clamp to [minB, maxB]; the
+  * probe's raw ts (and raw sub-bucket id) are kept, so a
+  * later-than-everything probe sorts after every sub-total in the
+  * top bucket (reading the grand total) and lands in a point-free
+  * fine partition (within = 0); an earlier-than-everything probe
+  * reads 0 everywhere.
+  *
+  * Residual skew surface, documented: probes themselves are not
+  * load-balanced — intervals whose bounds all fall in one bucket
+  * put all those probe rows in that bucket's step-3 partition (the
+  * same surface the round-8 single-level form had). Point skew — the
+  * round-8 watch item — is what the sub-level removes.
   *
   * Sums accumulate in DECIMAL(18,6) end to end — the prefix
   * difference is exact, so results hash-match the naive
@@ -66,6 +89,21 @@ object IntervalAgg {
     * `div` equals floor here because the remainder is already zero.) */
   private[graft] def bucketOf(tm: Column, w: Long): Column =
     call_function("div", tm - pmod(tm, lit(w)), lit(w))
+
+  /** The two exact widths (coarse w1, fine w2) with `w1 = w2·K`, so
+    * the coarse id is a pure floor-division of the fine id
+    * (⌊⌊t/w2⌋/K⌋ = ⌊t/(w2·K)⌋) and the per-bucket sub-total frame is
+    * ≤ `subBuckets` rows BY ARITHMETIC — the bound that makes the
+    * sub-offsets window skew-proof against point concentration.
+    * Exposed for the skew spec, which asserts the fine width spreads
+    * a pathologically concentrated corpus across many partitions. */
+  private[graft] def widths(mn: Long, mx: Long, bucketWidthSec: Long,
+      targetBuckets: Long, subBuckets: Long): (Long, Long) = {
+    val w1raw = math.max(bucketWidthSec * 1000000L,
+      (mx - mn) / targetBuckets + 1)
+    val w2 = math.max(1L, w1raw / subBuckets)
+    (w2 * subBuckets, w2)
+  }
 
   /** The ± probe timestamps for one interval row, with the DEGENERATE
     * cases pinned to the naive join's semantics:
@@ -143,7 +181,8 @@ object IntervalAgg {
       bucketWidthSec: Long,
       closedStart: Boolean = true,
       closedEnd: Boolean = true,
-      targetBuckets: Long = 100000L): DataFrame = {
+      targetBuckets: Long = 100000L,
+      subBuckets: Long = 4096L): DataFrame = {
 
     val micro = 1000000L
     // span drives the effective width: the dense offsets frame is
@@ -163,16 +202,24 @@ object IntervalAgg {
       return intervals.select(idOut,
         lit(0L).as("n_points"), lit(0.0).as("sum_value"))
     }
-    val widthMicros = math.max(bucketWidthSec * micro,
-      ((span.getLong(1) - span.getLong(0)) / targetBuckets + 1))
+    val (widthMicros, w2) = widths(span.getLong(0), span.getLong(1),
+      bucketWidthSec, targetBuckets, subBuckets)
     val minB = Math.floorDiv(span.getLong(0), widthMicros)
     val maxB = Math.floorDiv(span.getLong(1), widthMicros)
 
-    // 1–2: dense per-bucket offsets (running totals of buckets < b)
-    val totals = points
-      .groupBy(bucketOf(unix_micros(col(pointTs)), widthMicros).as("__b"))
+    // 1: per-SUB-bucket totals (the only full-corpus hash-agg; the
+    // per-bucket roll-up beneath the dense frame reads these, not
+    // the points again)
+    val subTotals = points
+      .groupBy(bucketOf(unix_micros(col(pointTs)), w2).as("__sb"))
       .agg(count(lit(1)).as("__tc"),
         sum(col(valueCol).cast(dec)).as("__ts"))
+      .select(bucketOf(col("__sb"), subBuckets).as("__b"),
+        col("__sb"), col("__tc"), col("__ts"))
+
+    // 2: dense per-bucket offsets (running totals of buckets < b)
+    val totals = subTotals.groupBy(col("__b"))
+      .agg(sum(col("__tc")).as("__tc"), sum(col("__ts")).as("__ts"))
     val spark = points.sparkSession
     val offW = Window.orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -182,9 +229,12 @@ object IntervalAgg {
         coalesce(sum(col("__tc")).over(offW), lit(0L)).as("__offc"),
         coalesce(sum(col("__ts")).over(offW), lit(0).cast(dec)).as("__offs"))
 
-    // 3: probes — (+1, upper bound) and (−1, just-below-lower-bound),
+    // probes — (+1, upper bound) and (−1, just-below-lower-bound),
     // with closed/open expressed as a 1 µs probe shift so the union
-    // window's comparison is always plain `point.ts ≤ probe.ts`
+    // window's comparison is always plain `point.ts ≤ probe.ts`.
+    // Bucket id clamps to the dense range; the raw timestamp AND raw
+    // sub-bucket id are kept, so a clamped probe still sorts after
+    // (before) everything inside the clamp bucket
     val (hi, lo) = probeBounds(startCol, endCol, closedStart, closedEnd)
     val probes = intervals.select(col(idCol).as("__iid"),
         array(struct(hi.as("__t"), lit(1L).as("__sign")),
@@ -193,36 +243,72 @@ object IntervalAgg {
       .select(col("__iid"), col("__p.__t").as("__ts"), col("__p.__sign").as("__sign"))
       .select(col("__iid"), col("__sign"), unix_micros(col("__ts")).as("__tm"),
         greatest(lit(minB), least(lit(maxB),
-          bucketOf(unix_micros(col("__ts")), widthMicros))).as("__b"))
+          bucketOf(unix_micros(col("__ts")), widthMicros))).as("__b"),
+        bucketOf(unix_micros(col("__ts")), w2).as("__sb"))
 
+    // 3: within-bucket sub-offsets — a window over SUB-TOTAL rows
+    // (≤ subBuckets per partition) plus the probes, partitioned by
+    // bucket. A probe sorts BEFORE its own sub-bucket's total
+    // (__s2 0 < 1), so `__soc`/`__sos` cover exactly the full
+    // sub-buckets strictly before it; its own sub-bucket's partial
+    // comes from the fine pass (step 4)
+    val stRows = subTotals.select(col("__b"), col("__sb"),
+      lit(1).as("__s2"), col("__tc"), col("__ts"),
+      lit(null).cast("long").as("__iidL"),
+      lit(null).cast("string").as("__iidS"),
+      lit(null).cast("long").as("__sign"),
+      lit(null).cast("long").as("__tm"))
+    val idIsString =
+      intervals.schema(idCol).dataType == org.apache.spark.sql.types.StringType
+    val (iidL, iidS) = idCarry(col("__iid"), idIsString)
+    val prbRows = probes.select(col("__b"), col("__sb"),
+      lit(0).as("__s2"),
+      lit(null).cast("long").as("__tc"),
+      lit(null).cast(dec).as("__ts"),
+      iidL, iidS,
+      col("__sign"), col("__tm"))
+    val wSub = Window.partitionBy(col("__b"))
+      .orderBy(col("__sb"), col("__s2"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val probed = stRows.unionByName(prbRows)
+      .select(col("*"),
+        sum(coalesce(col("__tc"), lit(0L))).over(wSub).as("__soc"),
+        sum(coalesce(col("__ts"), lit(0).cast(dec))).over(wSub).as("__sos"))
+      .filter(col("__s2") === 0)
+
+    // 4: fine pass — the shared cumulative window, partitioned by
+    // SUB-bucket: the hottest partition holds one w2-slice of points
     val pPts = points.select(
-      bucketOf(unix_micros(col(pointTs)), widthMicros).as("__b"),
+      bucketOf(unix_micros(col(pointTs)), w2).as("__sb"),
       unix_micros(col(pointTs)).as("__tm"),
       lit(0).as("__side"),
       lit(1L).as("__cnt"),
       col(valueCol).cast(dec).as("__val"),
       lit(null).cast("long").as("__iidL"),
       lit(null).cast("string").as("__iidS"),
-      lit(null).cast("long").as("__sign"))
-    val idIsString =
-      intervals.schema(idCol).dataType == org.apache.spark.sql.types.StringType
-    val (iidL, iidS) = idCarry(col("__iid"), idIsString)
-    val pPrb = probes.select(
-      col("__b"), col("__tm"), lit(1).as("__side"),
+      lit(null).cast("long").as("__sign"),
+      lit(null).cast("long").as("__b"),
+      lit(null).cast("long").as("__soc"),
+      lit(null).cast(dec).as("__sos"))
+    val pPrb = probed.select(
+      col("__sb"), col("__tm"), lit(1).as("__side"),
       lit(null).cast("long").as("__cnt"),
       lit(null).cast(dec).as("__val"),
-      iidL, iidS,
-      col("__sign"))
+      col("__iidL"), col("__iidS"),
+      col("__sign"), col("__b"), col("__soc"), col("__sos"))
 
-    val cum = cumProbes(pPts, pPrb, "__b")
+    val cum = cumProbes(pPts, pPrb, "__sb")
 
-    // 4: off(b) + within  →  fold the ± probe pair per interval
+    // 5: off(b) + soc(b,sb) + within(sb) → fold the ± probe pair
     val folded = cum.join(broadcast(offsets), Seq("__b"))
       .groupBy(col("__iidL"), col("__iidS"))
       .agg(
-        sum(col("__sign") * (col("__offc") + col("__wc"))).as("n_points"),
-        sum(when(col("__sign") === 1L, col("__offs") + col("__ws"))
-          .otherwise(-(col("__offs") + col("__ws")))).as("__sv"))
+        sum(col("__sign") * (col("__offc") + col("__soc") + col("__wc")))
+          .as("n_points"),
+        sum(when(col("__sign") === 1L,
+            col("__offs") + col("__sos") + col("__ws"))
+          .otherwise(-(col("__offs") + col("__sos") + col("__ws"))))
+          .as("__sv"))
       .select(
         (if (idIsString) col("__iidS") else col("__iidL")).as(idCol),
         col("n_points"),

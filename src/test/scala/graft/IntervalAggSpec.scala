@@ -198,6 +198,68 @@ class IntervalAggSpec extends SparkSpec {
     assert(out == Map(10L -> ((1L, 5.0)), 11L -> ((0L, 0.0))))
   }
 
+  test("skewed timeline: 99% of points in 0.1% of the span stays correct and spreads across fine partitions") {
+    // the round-8 watch item: span-driven bucket width landed a
+    // concentrated corpus almost entirely in a few window partitions.
+    // Correctness must hold AND the fine (sub-bucket) width must
+    // spread the hot slice across many partitions — that spread is
+    // what bounds a single WindowExec task's buffer at any scale.
+    val spanStart = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val spanMicros = 365L * 86400 * 1000000       // one-year span
+    val hotStart = spanMicros / 2                 // hot slice mid-span
+    val hotWidth = spanMicros / 1000              // 0.1% of the span
+    val n = 5000
+    val rows = (0 until n).map { i =>
+      val tm =                                    // 99% hot, 1% uniform
+        if (i % 100 != 0) hotStart + (i.toLong * 7919) % hotWidth
+        else (i.toLong * 6151 * 104729) % spanMicros
+      (spanStart.plusNanos(tm * 1000), (i % 13).toDouble)
+    }.toDF("p_ts", "p_value")
+    val iv = Seq(
+      (1L, 0L, spanMicros),                       // everything
+      (2L, hotStart, hotStart + hotWidth),        // exactly the hot slice
+      (3L, hotStart + hotWidth / 4, hotStart + hotWidth / 2), // inside it
+      (4L, 0L, hotStart - 1),                     // cold left half
+      (5L, hotStart + hotWidth + 1, spanMicros)   // cold right half
+    ).toDF("iid", "a", "b").select($"iid",
+      timestamp_micros($"a" + lit(spanStart.toEpochMilli * 1000)).as("s"),
+      timestamp_micros($"b" + lit(spanStart.toEpochMilli * 1000)).as("e"))
+    val naiveHits = iv.join(rows,
+        $"p_ts" >= $"s" && $"p_ts" <= $"e", "left")
+      .groupBy($"iid")
+      .agg(count($"p_ts").as("n"),
+        coalesce(sum($"p_value".cast("decimal(18,6)")), lit(0).cast("decimal(18,6)"))
+          .cast("double").as("v"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val got = IntervalAgg.countSum(rows, iv, "p_ts", "p_value",
+        "iid", "s", "e", bucketWidthSec = 60L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == naiveHits)
+    assert(got(2)._1 >= n * 98 / 100, "fixture is not actually skewed")
+
+    // the structural claim, measured on the ACTUAL corpus: under the
+    // round-8 coarse-only width the hot mass sat in single-digit
+    // `__b` window partitions (one task buffers ~the whole corpus);
+    // the fine sub-bucket width spreads the same points across
+    // hundreds of partitions. widths() is the exact pair countSum
+    // used above, so this measures the plan that just ran.
+    val spanRow = rows.agg(min(unix_micros($"p_ts")), max(unix_micros($"p_ts"))).head()
+    val (w1, w2) = IntervalAgg.widths(spanRow.getLong(0), spanRow.getLong(1),
+      60L, 100000L, 4096L)
+    assert(w1 == w2 * 4096L)
+    val hotLo = spanStart.toEpochMilli * 1000 + hotStart
+    val hot = rows.filter(unix_micros($"p_ts").between(hotLo, hotLo + hotWidth))
+    val spread = hot.agg(
+      count(lit(1)).as("n"),
+      countDistinct(IntervalAgg.bucketOf(unix_micros($"p_ts"), w1)).as("coarse"),
+      countDistinct(IntervalAgg.bucketOf(unix_micros($"p_ts"), w2)).as("fine")).head()
+    val (hotN, coarse, fine) = (spread.getLong(0), spread.getLong(1), spread.getLong(2))
+    assert(hotN >= n * 98 / 100 && coarse <= 3,
+      s"skew fixture drifted: hot=$hotN coarse=$coarse")
+    assert(fine >= 100 * coarse,
+      s"fine width must spread the hot slice: coarse=$coarse fine=$fine")
+  }
+
   test("work is linear: no pair join — plan has no BNLJ/cartesian and one probe row pair per interval") {
     val df = IntervalAgg.countSum(purch, err, "p_ts", "p_value",
       "err_id", "w_start", "w_end", bucketWidthSec = 300L)
