@@ -83,6 +83,11 @@ object ScaleBench {
     // per rung. Its per-iteration plan is the DupGroups shape the
     // ladder already measures; the registry bench times it at sf0.1.
     "docs_tfidf_pairs",      // df-pruned term-routed sparse cosine pairs
+    // round-9 additions (round-8 verdict task 5): each new component
+    // gets its decade measured in the same artifact as the rest
+    "multimodal_decode",     // real ImageIO decode over synthesized blobs
+    "docs_embed_knn",        // text→hashed-idf vector→JL→exact cosine KNN
+    "docs_quality_clf",      // iterated-agg trained classifier + corpus score
     // second-to-last: the bigram-LM model join is corpus-sized on
     // BOTH sides under the Heaps-law synthetic vocabulary (most
     // bigrams are unique), so it carries the same OOM class as the
