@@ -277,6 +277,49 @@ object CurationQueries {
       |FROM nb LEFT JOIN nk ON nk.doc_id = nb.doc_id
       |ORDER BY nb.doc_id""".stripMargin
 
+  /** Shift-robust exact-substring dedup (round-8 verdict task 6):
+    * overlapping stride-1 token 20-grams, first occurrence wins
+    * corpus-wide, tokens covered by any repeated-gram occurrence
+    * removed ([[graft.ext.dedup.BlockDedup.dedupNgrams]] — the
+    * Lee et al. 2022 repeated-n-gram pass that catches duplicates
+    * [[graft.ext.dedup.BlockDedup.dedupBlocks]]' aligned blocks miss
+    * at any non-multiple-of-20 shift). */
+  private def qNgramDedup(s: SparkSession, dir: String): DataFrame =
+    BlockDedup.dedupNgrams(Tables(s, dir, "documents"), "doc_id", "text",
+      gramTokens = 20)
+      .orderBy(col("doc_id"))
+
+  private val qNgramDedupSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(trim(text)) = 0 THEN []
+      |         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, i AS pos,
+      |    array_to_string(toks[i+1 : i+20], ' ') AS gram
+      |  FROM t, (SELECT unnest(range((
+      |    SELECT CAST(COALESCE(max(len(toks) - 19), 0) AS BIGINT) FROM t))) AS i)
+      |  WHERE i <= len(toks) - 20),
+      |d AS (
+      |  SELECT doc_id, pos, 1 AS dup FROM g
+      |  QUALIFY row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) > 1),
+      |p AS (
+      |  SELECT doc_id, i AS pos, toks[i+1] AS tok
+      |  FROM t, (SELECT unnest(range((
+      |    SELECT CAST(COALESCE(max(len(toks)), 0) AS BIGINT) FROM t))) AS i)
+      |  WHERE i < len(toks)),
+      |c AS (
+      |  SELECT p.doc_id, p.pos, p.tok,
+      |    MAX(COALESCE(d.dup, 0)) OVER (PARTITION BY p.doc_id ORDER BY p.pos
+      |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS cov
+      |  FROM p LEFT JOIN d ON d.doc_id = p.doc_id AND d.pos = p.pos)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  CAST(SUM(CASE WHEN cov = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  COALESCE(string_agg(CASE WHEN cov = 0 THEN tok END, ' ' ORDER BY pos), '')
+      |    AS text_kept
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** The composed end-to-end curation pass — the flagship shape of
     * this layer: quality gate → language gate → exact dedup (lowest
     * id per fingerprint) → deterministic hash downsample, all in ONE
@@ -464,6 +507,7 @@ object CurationQueries {
     "docs_dup_groups"    -> (qDupGroups _),
     "docs_source_mix"    -> (qSourceMix _),
     "docs_block_dedup"   -> (qBlockDedup _),
+    "docs_ngram_dedup"   -> (qNgramDedup _),
     "docs_curation_pipeline" -> (qCurationPipeline _),
     "emb_dup_groups"     -> (qEmbDupGroups _))
 
@@ -474,6 +518,7 @@ object CurationQueries {
     "docs_dup_groups"    -> qDupGroupsSql,
     "docs_source_mix"    -> qSourceMixSql,
     "docs_block_dedup"   -> qBlockDedupSql,
+    "docs_ngram_dedup"   -> qNgramDedupSql,
     "docs_curation_pipeline" -> qCurationPipelineSql,
     "emb_dup_groups"     -> qEmbDupGroupsSql)
 }

@@ -64,4 +64,73 @@ object BlockDedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_kept"), lit("")).as("text_kept"))
   }
+
+  /** SHIFT-ROBUST exact-substring dedup: every overlapping token
+    * W-gram (stride 1 — one gram per token position), first
+    * occurrence corpus-wide wins (lowest doc id, then position,
+    * within-doc repeats included), and every token covered by a
+    * NON-first occurrence of any gram is removed — the
+    * repeated-n-gram removal pass of "Deduplicating Training Data
+    * Makes Language Models Better" (Lee et al. 2022), where
+    * [[dedupBlocks]]' aligned fixed blocks miss a duplicate shifted
+    * by any non-multiple of the block size (a 19-token prefix defeats
+    * block identity entirely — measured in NearDupStatsSpec).
+    *
+    * Plan shape: one gram explode (corpus × ~1 row per token; gram
+    * strings make the shuffle ~W× the corpus bytes — a production
+    * deployment would key this shuffle by a 64-bit gram hash to cut
+    * the width and accept the collision risk; exact strings keep the
+    * result collision-free and the DuckDB oracle byte-exact), one
+    * first-occurrence window sorted only WITHIN identical grams
+    * (group size = duplication factor), one token-position explode,
+    * and a per-doc coverage window with a BOUNDED (W−1)-row frame —
+    * nothing corpus-wide, nothing all-pairs.
+    *
+    * @return (idCol, n_tokens, n_kept, text_kept) per non-empty doc;
+    *         docs shorter than `gramTokens` carry no gram and are
+    *         kept whole. */
+  def dedupNgrams(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramTokens: Int = 20): DataFrame = {
+    val w = gramTokens
+    val toks = TextFunctions.tokens(col(textCol))
+    // grams at every start position p ∈ [0, n−W]; docs with n < W
+    // have none (sequence() would walk backwards — same guard as
+    // dedupBlocks' empty case)
+    val grams = docs.select(
+      col(idCol).as("doc"),
+      posexplode(
+        when(size(toks) < w, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0), size(toks) - w),
+            i => concat_ws(" ", slice(toks, i + 1, lit(w)))))))
+      .select(col("doc"), col("pos"), col("col").as("gram"))
+    val dupStarts = grams.withColumn("rk",
+        row_number().over(
+          Window.partitionBy(col("gram"))
+            .orderBy(col("doc"), col("pos"))))
+      .filter(col("rk") > 1)
+      .select(col("doc"), col("pos"), lit(1).as("dup"))
+    // token t is covered iff a duplicated gram STARTS in
+    // [t−(W−1), t] — a running max over a bounded frame
+    val positions = docs.select(col(idCol).as("doc"), posexplode(toks))
+      .select(col("doc"), col("pos"), col("col").as("tok"))
+    val covered = positions
+      .join(dupStarts, Seq("doc", "pos"), "left")
+      .select(col("doc"), col("pos"), col("tok"),
+        max(coalesce(col("dup"), lit(0))).over(
+          Window.partitionBy(col("doc")).orderBy(col("pos"))
+            .rowsBetween(-(w - 1), 0)).as("cov"))
+    covered.groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cov") === 0, 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", array_sort(
+          collect_list(when(col("cov") === 0,
+            struct(col("pos"), col("tok")))))
+          .getField("tok")).as("text_kept"))
+      .select(col("doc").as(idCol), col("n_tokens"), col("n_kept"),
+        col("text_kept"))
+  }
 }

@@ -139,4 +139,52 @@ class NearDupStatsSpec extends SparkSpec {
     try windowFree(sh, "simhash miner")
     finally shCaches.foreach(_.unpersist())
   }
+
+  test("planted SHIFTED duplicates: aligned blocks miss them, stride-1 n-grams remove them") {
+    // round-8 verdict task 6: a duplicated passage at a non-multiple-
+    // of-blockTokens offset defeats fixed-block identity (every
+    // 20-token block of the copy straddles two source blocks), while
+    // the overlapping stride-1 gram pass catches ANY shift. Doc 1
+    // replays doc 0's 60-token body behind a 7-token prelude.
+    import graft.ext.dedup.BlockDedup
+    val body = (0 until 60).map(i => s"tok${i}x${i * 31 % 17}").mkString(" ")
+    val prelude = (0 until 7).map(i => s"pre$i").mkString(" ")
+    val docs = Seq(
+      (0L, body),
+      (1L, s"$prelude $body"),
+      (2L, "unrelated words entirely " +
+        (0 until 30).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+
+    val blocks = BlockDedup.dedupBlocks(docs, "doc_id", "text", blockTokens = 20)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // the aligned pass keeps EVERY block of the shifted copy: zero
+    // recall on the planted duplicate (this measured gap is the point)
+    assert(blocks(1L)._1 == blocks(1L)._2,
+      s"aligned blocks unexpectedly caught the shifted duplicate: ${blocks(1L)}")
+
+    val grams = BlockDedup.dedupNgrams(docs, "doc_id", "text", gramTokens = 20)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 0 (first occurrence) intact; doc 1 keeps only the prelude:
+    // all 60 copied tokens are covered by repeated grams
+    assert(grams(0L) == ((60L, 60L, body)))
+    assert(grams(1L)._1 == 67L && grams(1L)._2 == 7L &&
+      grams(1L)._3 == prelude, s"shifted copy not removed: ${grams(1L)}")
+    // the unrelated doc is untouched
+    assert(grams(2L)._2 == grams(2L)._1)
+  }
+
+  test("within-doc repeated passage: second occurrence removed, first kept") {
+    import graft.ext.dedup.BlockDedup
+    val passage = (0 until 25).map(i => s"p$i").mkString(" ")
+    val mid = (0 until 5).map(i => s"mid$i").mkString(" ")
+    val docs = Seq((0L, s"$passage $mid $passage")).toDF("doc_id", "text")
+    val out = BlockDedup.dedupNgrams(docs, "doc_id", "text", gramTokens = 20)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // 55 tokens; the second 25-token passage copy is fully covered by
+    // its repeated 20-grams, the first copy and the middle survive
+    assert(out(0L) == ((55L, 30L, s"$passage $mid")))
+  }
 }
