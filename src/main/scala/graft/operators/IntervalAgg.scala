@@ -33,10 +33,11 @@ import org.apache.spark.sql.types.DecimalType
   * one task):
   *
   *  1. time is bucketed twice: coarse `b = ⌊unix_micros/w1⌋` and
-  *     fine `sb = ⌊unix_micros/w2⌋` with `w1 = w2·subBuckets`, so
-  *     `b = ⌊sb/subBuckets⌋` exactly (floor-div composition).
-  *     Per-SUB-bucket point totals roll up via hash-agg (map-side
-  *     combine); per-bucket totals roll up from those.
+  *     fine `sb = ⌊unix_micros/w2⌋` with `w1 = w2·K` (K sized from
+  *     the point count, capped at `subBuckets` — see [[widths]]), so
+  *     `b = ⌊sb/K⌋` exactly (floor-div composition). Per-SUB-bucket
+  *     point totals roll up via hash-agg (map-side combine);
+  *     per-bucket totals roll up from those.
   *  2. a DENSE bucket frame (every id in [minB, maxB] — bounded by
   *     `targetBuckets`) takes the running bucket-total offsets
   *     through a window over bucket METADATA rows, then broadcasts;
@@ -93,16 +94,34 @@ object IntervalAgg {
   /** The two exact widths (coarse w1, fine w2) with `w1 = w2·K`, so
     * the coarse id is a pure floor-division of the fine id
     * (⌊⌊t/w2⌋/K⌋ = ⌊t/(w2·K)⌋) and the per-bucket sub-total frame is
-    * ≤ `subBuckets` rows BY ARITHMETIC — the bound that makes the
-    * sub-offsets window skew-proof against point concentration.
-    * Exposed for the skew spec, which asserts the fine width spreads
-    * a pathologically concentrated corpus across many partitions. */
-  private[graft] def widths(mn: Long, mx: Long, bucketWidthSec: Long,
-      targetBuckets: Long, subBuckets: Long): (Long, Long) = {
+    * ≤ K rows BY ARITHMETIC — the bound that makes the sub-offsets
+    * window skew-proof against point concentration.
+    *
+    * K adapts to the POINT COUNT, not just the span: the sub-total
+    * frame is one extra ~min(n, total-fine-slots)-row shuffle on top
+    * of the single-level plan, so K is sized for ~4 points per fine
+    * slot (total slots ≈ n/4) — the sub-total frame then compresses
+    * ~4× below the raw points, bounding the rewrite's uniform-corpus
+    * overhead, while a corpus concentrated into fraction f of the
+    * span still spreads to ~(n·f)/(slots·f) ≈ 4/f points per fine
+    * partition. A computed K below 16 falls back to K = 1 — the plan
+    * degenerates to the single-level form exactly (no sub-offsets
+    * window, no extra probe shuffle: at sub-second absolute scale
+    * the extra stages cost more than the skew they'd prevent), and
+    * the worst-case hot partition there is ≤ n < 64·buckets rows —
+    * bounded by the same arithmetic that keeps the dense frame
+    * metadata-sized, a spill-not-die size at any realistic
+    * targetBuckets. Exposed for the skew spec. */
+  private[graft] def widths(mn: Long, mx: Long, nPoints: Long,
+      bucketWidthSec: Long, targetBuckets: Long,
+      subBucketsMax: Long): (Long, Long) = {
     val w1raw = math.max(bucketWidthSec * 1000000L,
       (mx - mn) / targetBuckets + 1)
-    val w2 = math.max(1L, w1raw / subBuckets)
-    (w2 * subBuckets, w2)
+    val b = (mx - mn) / w1raw + 1
+    val k0 = math.min(subBucketsMax, math.max(1L, nPoints / (4 * b) + 1))
+    val k = if (k0 < 16) 1L else k0
+    val w2 = math.max(1L, w1raw / k)
+    (w2 * k, w2)
   }
 
   /** The ± probe timestamps for one interval row, with the DEGENERATE
@@ -190,7 +209,8 @@ object IntervalAgg {
     // index metadata — the SqKNN trainedRange precedent)
     val span = points.agg(
       min(unix_micros(col(pointTs))).as("mn"),
-      max(unix_micros(col(pointTs))).as("mx")).head()
+      max(unix_micros(col(pointTs))).as("mx"),
+      count(col(pointTs)).as("n")).head()
     if (span.isNullAt(0)) {
       // no points at all: every interval aggregates to (0, 0.0).
       // Mirror the main path's id typing (string kept, everything
@@ -203,7 +223,8 @@ object IntervalAgg {
         lit(0L).as("n_points"), lit(0.0).as("sum_value"))
     }
     val (widthMicros, w2) = widths(span.getLong(0), span.getLong(1),
-      bucketWidthSec, targetBuckets, subBuckets)
+      span.getLong(2), bucketWidthSec, targetBuckets, subBuckets)
+    val k = widthMicros / w2 // exact: widths() returns w1 = w2·K
     val minB = Math.floorDiv(span.getLong(0), widthMicros)
     val maxB = Math.floorDiv(span.getLong(1), widthMicros)
 
@@ -214,7 +235,7 @@ object IntervalAgg {
       .groupBy(bucketOf(unix_micros(col(pointTs)), w2).as("__sb"))
       .agg(count(lit(1)).as("__tc"),
         sum(col(valueCol).cast(dec)).as("__ts"))
-      .select(bucketOf(col("__sb"), subBuckets).as("__b"),
+      .select(bucketOf(col("__sb"), k).as("__b"),
         col("__sb"), col("__tc"), col("__ts"))
 
     // 2: dense per-bucket offsets (running totals of buckets < b)
@@ -252,29 +273,45 @@ object IntervalAgg {
     // (__s2 0 < 1), so `__soc`/`__sos` cover exactly the full
     // sub-buckets strictly before it; its own sub-bucket's partial
     // comes from the fine pass (step 4)
-    val stRows = subTotals.select(col("__b"), col("__sb"),
-      lit(1).as("__s2"), col("__tc"), col("__ts"),
-      lit(null).cast("long").as("__iidL"),
-      lit(null).cast("string").as("__iidS"),
-      lit(null).cast("long").as("__sign"),
-      lit(null).cast("long").as("__tm"))
     val idIsString =
       intervals.schema(idCol).dataType == org.apache.spark.sql.types.StringType
     val (iidL, iidS) = idCarry(col("__iid"), idIsString)
-    val prbRows = probes.select(col("__b"), col("__sb"),
-      lit(0).as("__s2"),
-      lit(null).cast("long").as("__tc"),
-      lit(null).cast(dec).as("__ts"),
-      iidL, iidS,
-      col("__sign"), col("__tm"))
-    val wSub = Window.partitionBy(col("__b"))
-      .orderBy(col("__sb"), col("__s2"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val probed = stRows.unionByName(prbRows)
-      .select(col("*"),
-        sum(coalesce(col("__tc"), lit(0L))).over(wSub).as("__soc"),
-        sum(coalesce(col("__ts"), lit(0).cast(dec))).over(wSub).as("__sos"))
-      .filter(col("__s2") === 0)
+    val probed =
+      if (k == 1) {
+        // degenerate single-level plan (small corpora): sb ≡ b, so
+        // "full sub-buckets strictly before own, within bucket" is
+        // identically empty — skip the sub-offsets window and its
+        // extra probe shuffle entirely; this IS the round-8 plan.
+        // __sb must be the CLAMPED bucket here (the K>1 path reads a
+        // clamped probe's out-of-range mass from the sub-offsets
+        // window instead; with soc pinned to 0 the fine partition
+        // must hold the clamp bucket's points, raw __tm sorting the
+        // probe after all of them — exactly the round-8 clamp rule)
+        probes.select(col("__b"), col("__b").as("__sb"),
+          iidL, iidS, col("__sign"), col("__tm"),
+          lit(0L).as("__soc"), lit(0).cast(dec).as("__sos"))
+      } else {
+        val stRows = subTotals.select(col("__b"), col("__sb"),
+          lit(1).as("__s2"), col("__tc"), col("__ts"),
+          lit(null).cast("long").as("__iidL"),
+          lit(null).cast("string").as("__iidS"),
+          lit(null).cast("long").as("__sign"),
+          lit(null).cast("long").as("__tm"))
+        val prbRows = probes.select(col("__b"), col("__sb"),
+          lit(0).as("__s2"),
+          lit(null).cast("long").as("__tc"),
+          lit(null).cast(dec).as("__ts"),
+          iidL, iidS,
+          col("__sign"), col("__tm"))
+        val wSub = Window.partitionBy(col("__b"))
+          .orderBy(col("__sb"), col("__s2"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        stRows.unionByName(prbRows)
+          .select(col("*"),
+            sum(coalesce(col("__tc"), lit(0L))).over(wSub).as("__soc"),
+            sum(coalesce(col("__ts"), lit(0).cast(dec))).over(wSub).as("__sos"))
+          .filter(col("__s2") === 0)
+      }
 
     // 4: fine pass — the shared cumulative window, partitioned by
     // SUB-bucket: the hottest partition holds one w2-slice of points

@@ -88,6 +88,7 @@ object ScaleBench {
     "multimodal_decode",     // real ImageIO decode over synthesized blobs
     "docs_embed_knn",        // text→hashed-idf vector→JL→exact cosine KNN
     "docs_quality_clf",      // iterated-agg trained classifier + corpus score
+    "docs_ngram_dedup",      // stride-1 repeated-n-gram removal (shift-robust)
     // second-to-last: the bigram-LM model join is corpus-sized on
     // BOTH sides under the Heaps-law synthetic vocabulary (most
     // bigrams are unique), so it carries the same OOM class as the

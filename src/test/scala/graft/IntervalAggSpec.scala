@@ -236,28 +236,35 @@ class IntervalAggSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(got == naiveHits)
     assert(got(2)._1 >= n * 98 / 100, "fixture is not actually skewed")
+    // force the TWO-LEVEL path on this corpus (the default rule
+    // degenerates to K=1 at 5000 points): a small bucket target
+    // makes n/(4·buckets) large, so the sub-offsets window runs and
+    // must produce the identical fold
+    val twoLevel = IntervalAgg.countSum(rows, iv, "p_ts", "p_value",
+        "iid", "s", "e", bucketWidthSec = 60L, targetBuckets = 50L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(twoLevel == naiveHits)
 
-    // the structural claim, measured on the ACTUAL corpus: under the
-    // round-8 coarse-only width the hot mass sat in single-digit
-    // `__b` window partitions (one task buffers ~the whole corpus);
-    // the fine sub-bucket width spreads the same points across
-    // hundreds of partitions. widths() is the exact pair countSum
-    // used above, so this measures the plan that just ran.
-    val spanRow = rows.agg(min(unix_micros($"p_ts")), max(unix_micros($"p_ts"))).head()
-    val (w1, w2) = IntervalAgg.widths(spanRow.getLong(0), spanRow.getLong(1),
+    // the structural claim, on the width RULE countSum just used:
+    // at bench scale (20M points over a year) the fine width must
+    // spread a 0.1%-of-span hot slice across thousands of partitions
+    // with a bounded per-partition point count — the round-8 hazard
+    // was ~all points in single-digit coarse partitions. At THIS
+    // test's tiny n the rule deliberately degenerates to K=1 (a
+    // ≤ n ≤ 4·targetBuckets hot partition is harmless), so the
+    // scaled numbers are asserted through widths() directly.
+    val (w1s, w2s) = IntervalAgg.widths(0L, spanMicros, 20000000L,
       60L, 100000L, 4096L)
-    assert(w1 == w2 * 4096L)
-    val hotLo = spanStart.toEpochMilli * 1000 + hotStart
-    val hot = rows.filter(unix_micros($"p_ts").between(hotLo, hotLo + hotWidth))
-    val spread = hot.agg(
-      count(lit(1)).as("n"),
-      countDistinct(IntervalAgg.bucketOf(unix_micros($"p_ts"), w1)).as("coarse"),
-      countDistinct(IntervalAgg.bucketOf(unix_micros($"p_ts"), w2)).as("fine")).head()
-    val (hotN, coarse, fine) = (spread.getLong(0), spread.getLong(1), spread.getLong(2))
-    assert(hotN >= n * 98 / 100 && coarse <= 3,
-      s"skew fixture drifted: hot=$hotN coarse=$coarse")
-    assert(fine >= 100 * coarse,
-      s"fine width must spread the hot slice: coarse=$coarse fine=$fine")
+    assert(w1s % w2s == 0 && w1s / w2s > 10,
+      s"expected a real sub-division at 20M points: w1=$w1s w2=$w2s")
+    val hotFineSlots = hotWidth / w2s + 1
+    val hotPerPartition = 20000000L * 99 / 100 / hotFineSlots
+    assert(hotFineSlots >= 1000 && hotPerPartition <= 5000,
+      s"hot slice must spread: slots=$hotFineSlots pts/part=$hotPerPartition")
+    // small-corpus degeneration is exact single-level
+    val (w1t, w2t) = IntervalAgg.widths(0L, spanMicros, n.toLong,
+      60L, 100000L, 4096L)
+    assert(w1t == w2t, s"tiny corpus should degenerate: w1=$w1t w2=$w2t")
   }
 
   test("work is linear: no pair join — plan has no BNLJ/cartesian and one probe row pair per interval") {
