@@ -33,11 +33,14 @@ import org.apache.spark.sql.types.DecimalType
   * one task):
   *
   *  1. time is bucketed twice: coarse `b = ⌊unix_micros/w1⌋` and
-  *     fine `sb = ⌊unix_micros/w2⌋` with `w1 = w2·K` (K sized from
-  *     the point count, capped at `subBuckets` — see [[widths]]), so
-  *     `b = ⌊sb/K⌋` exactly (floor-div composition). Per-SUB-bucket
-  *     point totals roll up via hash-agg (map-side combine);
-  *     per-bucket totals roll up from those.
+  *     fine `sb = ⌊unix_micros/w2⌋` with `w1 = w2·K`, so
+  *     `b = ⌊sb/K⌋` exactly (floor-div composition). The sub-level
+  *     is DENSITY-TRIGGERED: the coarse bucket totals (needed for
+  *     the offsets frame anyway) are materialized first, and only a
+  *     measured max bucket above `maxBucketRows` engages K =
+  *     `subBuckets` — a uniform corpus runs the single-level plan
+  *     with zero extra stages. Per-SUB-bucket point totals roll up
+  *     via hash-agg (map-side combine).
   *  2. a DENSE bucket frame (every id in [minB, maxB] — bounded by
   *     `targetBuckets`) takes the running bucket-total offsets
   *     through a window over bucket METADATA rows, then broadcasts;
@@ -91,35 +94,17 @@ object IntervalAgg {
   private[graft] def bucketOf(tm: Column, w: Long): Column =
     call_function("div", tm - pmod(tm, lit(w)), lit(w))
 
-  /** The two exact widths (coarse w1, fine w2) with `w1 = w2·K`, so
+  /** The two exact widths (coarse w1, fine w2) with `w1 = w2·k`, so
     * the coarse id is a pure floor-division of the fine id
-    * (⌊⌊t/w2⌋/K⌋ = ⌊t/(w2·K)⌋) and the per-bucket sub-total frame is
-    * ≤ K rows BY ARITHMETIC — the bound that makes the sub-offsets
-    * window skew-proof against point concentration.
-    *
-    * K adapts to the POINT COUNT, not just the span: the sub-total
-    * frame is one extra ~min(n, total-fine-slots)-row shuffle on top
-    * of the single-level plan, so K is sized for ~4 points per fine
-    * slot (total slots ≈ n/4) — the sub-total frame then compresses
-    * ~4× below the raw points, bounding the rewrite's uniform-corpus
-    * overhead, while a corpus concentrated into fraction f of the
-    * span still spreads to ~(n·f)/(slots·f) ≈ 4/f points per fine
-    * partition. A computed K below 16 falls back to K = 1 — the plan
-    * degenerates to the single-level form exactly (no sub-offsets
-    * window, no extra probe shuffle: at sub-second absolute scale
-    * the extra stages cost more than the skew they'd prevent), and
-    * the worst-case hot partition there is ≤ n < 64·buckets rows —
-    * bounded by the same arithmetic that keeps the dense frame
-    * metadata-sized, a spill-not-die size at any realistic
-    * targetBuckets. Exposed for the skew spec. */
-  private[graft] def widths(mn: Long, mx: Long, nPoints: Long,
-      bucketWidthSec: Long, targetBuckets: Long,
-      subBucketsMax: Long): (Long, Long) = {
+    * (⌊⌊t/w2⌋/k⌋ = ⌊t/(w2·k)⌋) and the per-bucket sub-total frame is
+    * ≤ k rows BY ARITHMETIC — the bound that makes the sub-offsets
+    * window skew-proof against point concentration. k = 1 is the
+    * exact single-level plan; [[countSum]] picks k from the MEASURED
+    * max bucket density, not from here. */
+  private[graft] def widths(mn: Long, mx: Long, bucketWidthSec: Long,
+      targetBuckets: Long, k: Long): (Long, Long) = {
     val w1raw = math.max(bucketWidthSec * 1000000L,
       (mx - mn) / targetBuckets + 1)
-    val b = (mx - mn) / w1raw + 1
-    val k0 = math.min(subBucketsMax, math.max(1L, nPoints / (4 * b) + 1))
-    val k = if (k0 < 16) 1L else k0
     val w2 = math.max(1L, w1raw / k)
     (w2 * k, w2)
   }
@@ -185,6 +170,12 @@ object IntervalAgg {
     * @param bucketWidthSec minimum time-bucket width; widened
     *                   automatically so the dense bucket frame stays
     *                   under `targetBuckets` rows whatever the span
+    * @param subBuckets sub-division factor applied to a bucket when
+    *                   the two-level plan engages
+    * @param maxBucketRows measured max-bucket row count above which
+    *                   the two-level plan engages (the skew trigger;
+    *                   below it the single-level window partition is
+    *                   a spill-not-die sort)
     * @return one row per interval: `(idCol, n_points BIGINT,
     *         sum_value DOUBLE)` — empty intervals included with
     *         (0, 0.0), so no left join against the interval side is
@@ -201,9 +192,9 @@ object IntervalAgg {
       closedStart: Boolean = true,
       closedEnd: Boolean = true,
       targetBuckets: Long = 100000L,
-      subBuckets: Long = 4096L): DataFrame = {
+      subBuckets: Long = 4096L,
+      maxBucketRows: Long = 1000000L): DataFrame = {
 
-    val micro = 1000000L
     // span drives the effective width: the dense offsets frame is
     // span/width rows and must stay metadata-sized (three scalars of
     // index metadata — the SqKNN trainedRange precedent)
@@ -222,15 +213,32 @@ object IntervalAgg {
       return intervals.select(idOut,
         lit(0L).as("n_points"), lit(0.0).as("sum_value"))
     }
-    val (widthMicros, w2) = widths(span.getLong(0), span.getLong(1),
-      span.getLong(2), bucketWidthSec, targetBuckets, subBuckets)
-    val k = widthMicros / w2 // exact: widths() returns w1 = w2·K
-    val minB = Math.floorDiv(span.getLong(0), widthMicros)
-    val maxB = Math.floorDiv(span.getLong(1), widthMicros)
+    val mn = span.getLong(0); val mx = span.getLong(1)
 
-    // 1: per-SUB-bucket totals (the only full-corpus hash-agg; the
-    // per-bucket roll-up beneath the dense frame reads these, not
-    // the points again)
+    // 1: coarse bucket totals at the single-level width — needed for
+    // the dense offsets frame REGARDLESS of plan, so they are
+    // materialized first (cached: ≤ targetBuckets tiny rows) and
+    // their MAX row count is read as the skew signal. Sub-division
+    // engages only when some bucket measurably exceeds
+    // `maxBucketRows`: a uniform corpus then runs the single-level
+    // plan with zero extra stages (measured: the always-on
+    // sub-division cost ~1.7× on uniform 20M points), while a
+    // pathological spike pays one extra corpus pass to split its hot
+    // window partition by `subBuckets`.
+    val (w1s, _) = widths(mn, mx, bucketWidthSec, targetBuckets, 1L)
+    val totals0 = points
+      .groupBy(bucketOf(unix_micros(col(pointTs)), w1s).as("__b"))
+      .agg(count(lit(1)).as("__tc"),
+        sum(col(valueCol).cast(dec)).as("__ts"))
+      .cache()
+    val maxBucket = totals0.agg(max(col("__tc"))).head().getLong(0)
+    val k = if (maxBucket > maxBucketRows) subBuckets else 1L
+    val (widthMicros, w2) = widths(mn, mx, bucketWidthSec, targetBuckets, k)
+    val minB = Math.floorDiv(mn, widthMicros)
+    val maxB = Math.floorDiv(mx, widthMicros)
+
+    // per-SUB-bucket totals (two-level only: lazily referenced by the
+    // sub-offsets window and the k>1 totals roll-up below)
     val subTotals = points
       .groupBy(bucketOf(unix_micros(col(pointTs)), w2).as("__sb"))
       .agg(count(lit(1)).as("__tc"),
@@ -238,9 +246,14 @@ object IntervalAgg {
       .select(bucketOf(col("__sb"), k).as("__b"),
         col("__sb"), col("__tc"), col("__ts"))
 
-    // 2: dense per-bucket offsets (running totals of buckets < b)
-    val totals = subTotals.groupBy(col("__b"))
-      .agg(sum(col("__tc")).as("__tc"), sum(col("__ts")).as("__ts"))
+    // 2: dense per-bucket offsets (running totals of buckets < b).
+    // Single-level reuses the cached decision frame (same width —
+    // widths(k=1) is exact); two-level recomputes at its own w1,
+    // whose floor-to-a-multiple-of-w2 boundaries differ
+    val totals =
+      if (k == 1) totals0
+      else subTotals.groupBy(col("__b"))
+        .agg(sum(col("__tc")).as("__tc"), sum(col("__ts")).as("__ts"))
     val spark = points.sparkSession
     val offW = Window.orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -278,7 +291,7 @@ object IntervalAgg {
     val (iidL, iidS) = idCarry(col("__iid"), idIsString)
     val probed =
       if (k == 1) {
-        // degenerate single-level plan (small corpora): sb ≡ b, so
+        // single-level plan (no bucket above maxBucketRows): sb ≡ b, so
         // "full sub-buckets strictly before own, within bucket" is
         // identically empty — skip the sub-offsets window and its
         // extra probe shuffle entirely; this IS the round-8 plan.

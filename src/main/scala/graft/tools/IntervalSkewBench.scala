@@ -9,21 +9,28 @@ import org.apache.spark.sql.functions._
   *
   * The hazard class: the prefix-sum's bucket width adapts to time
   * SPAN, so a corpus whose points concentrate in a tiny slice of a
-  * long span used to land ~all points in a few window partitions
-  * (WindowExec buffers a whole partition per task). The two-level
-  * sub-bucket decomposition bounds that; this bench MEASURES it, at
-  * sizes where a hot single-task window would dominate wall time:
-  * the same interval-agg runs over a UNIFORM corpus and a SKEWED one
-  * (99% of points inside 0.1% of a one-year span) at n and 10n
-  * points, and the artifact reports per-scale skew penalty
-  * (skew_sec / uniform_sec) plus the cross-decade ratio of each
-  * corpus shape. A healthy engine shows penalty ≈ 1 and ratios ≈ the
-  * data ratio; the pre-fix engine showed the skewed cell collapsing
-  * to single-task window sorts.
+  * long span can land ~all points in a few window partitions
+  * (WindowExec buffers a whole partition per task). countSum now
+  * measures max bucket density from the (anyway-needed) bucket
+  * totals and engages a `subBuckets`-way sub-division only above
+  * `maxBucketRows`; this bench measures all three regimes at n and
+  * 10n points over a one-year span, same interval side throughout:
   *
-  * Both corpora are generated distributed (`spark.range` + integer
-  * hash formulas — no driver-side data), with identical interval
-  * sides so the only variable is the point-timeline shape.
+  *  - uniform: spread over the year — single-level, the zero-
+  *    overhead baseline;
+  *  - skew: 99% of points inside 0.1% of the span (~100 coarse
+  *    buckets hot at ~n/100 rows each) — stays single-level BY
+  *    DESIGN: hundreds of ≲200k-row partitions are a healthy sort,
+  *    and the artifact proves the skewed cell runs ≈ the uniform
+  *    one without any sub-division;
+  *  - spike: 99% of points inside ONE MILLIONTH of the span (a
+  *    single coarse bucket holds ~0.99·n rows) — trips the >1M-row
+  *    trigger at both scales, and the artifact proves the engaged
+  *    two-level plan keeps the cell in the uniform cell's league
+  *    instead of one task sorting 99% of the corpus.
+  *
+  * Both corpora are generated distributed (`spark.range` + xxhash64
+  * formulas — no driver-side data, no ANSI overflow).
   *
   * Usage: `sbt "runMain graft.tools.IntervalSkewBench [out.json]"`
   * (scales fixed: 2M → 20M points, 200k intervals each).
@@ -48,17 +55,20 @@ object IntervalSkewBench {
   private val yearMicros = 365L * 86400 * 1000000
   private val epoch0 = 1704067200000000L // 2024-01-01T00:00:00Z in µs
 
-  /** Points over [epoch0, epoch0+year). `skewed`: 99% of rows inside
-    * a 0.1%-of-span slice at mid-span (xxhash64 offsets —
-    * deterministic, and hash-not-multiply keeps the arithmetic clear
-    * of ANSI overflow), 1% uniform; uniform: all rows spread over
-    * the year. */
-  private def points(spark: SparkSession, n: Long, skewed: Boolean): DataFrame = {
+  private val shapes = Seq(
+    ("uniform", 1L),          // hot fraction denominator unused
+    ("skew", 1000L),          // hot width = span/1e3
+    ("spike", 1000000L))      // hot width = span/1e6 (one bucket)
+
+  /** Points over [epoch0, epoch0+year): 99% inside span/hotDiv at
+    * mid-span (uniform shape: everything uniform). */
+  private def points(spark: SparkSession, n: Long, shape: String,
+      hotDiv: Long): DataFrame = {
     val hotStart = epoch0 + yearMicros / 2
-    val hotWidth = yearMicros / 1000
+    val hotWidth = math.max(1L, yearMicros / hotDiv)
     val uni = lit(epoch0) + pmod(xxhash64(col("id")), lit(yearMicros))
     val tm =
-      if (!skewed) uni
+      if (shape == "uniform") uni
       else when(pmod(col("id"), lit(100)) === 0, uni)
         .otherwise(lit(hotStart) + pmod(xxhash64(col("id"), lit(1)), lit(hotWidth)))
     spark.range(n).select(
@@ -67,7 +77,7 @@ object IntervalSkewBench {
   }
 
   /** Monitoring-window-shaped intervals: starts uniform over the
-    * year, fixed 1-hour width — identical for both corpus shapes. */
+    * year, fixed 1-hour width — identical for every corpus shape. */
   private def intervals(spark: SparkSession, n: Long): DataFrame = {
     val start = lit(epoch0) + pmod(xxhash64(col("id"), lit(2)), lit(yearMicros))
     spark.range(n).select(col("id").as("iid"),
@@ -95,19 +105,22 @@ object IntervalSkewBench {
     val scales = Seq(2000000L, 20000000L)
     val nIv = 200000L
 
-    // untimed JIT warm-up at a small size
-    for (sk <- Seq(false, true))
+    // untimed JIT warm-up of BOTH plans (the single-level warm corpus
+    // never trips the density trigger, so the two-level stages are
+    // additionally warmed via a forced tiny maxBucketRows)
+    for (mbr <- Seq(1000000L, 10L))
       Force.rows(graft.operators.IntervalAgg.countSum(
-        points(spark, 50000L, sk), intervals(spark, 5000L),
-        "p_ts", "p_value", "iid", "s", "e", bucketWidthSec = 60L))
+        points(spark, 50000L, "skew", 1000L), intervals(spark, 5000L),
+        "p_ts", "p_value", "iid", "s", "e", bucketWidthSec = 60L,
+        maxBucketRows = mbr))
 
     case class Cell(sec: Double, rows: Long, swMb: Double, spillMb: Double)
-    def measure(n: Long, skewed: Boolean): Cell = {
+    def measure(n: Long, shape: String, hotDiv: Long): Cell = {
       val cells = (0 until reps).map { _ =>
         probe.reset()
         val t0 = System.nanoTime()
         val rows = Force.rows(graft.operators.IntervalAgg.countSum(
-          points(spark, n, skewed), intervals(spark, nIv),
+          points(spark, n, shape, hotDiv), intervals(spark, nIv),
           "p_ts", "p_value", "iid", "s", "e", bucketWidthSec = 60L))
         val sec = (System.nanoTime() - t0) / 1e9
         org.apache.spark.graftbridge.ListenerBridge
@@ -117,35 +130,37 @@ object IntervalSkewBench {
           (probe.sm.get + probe.sd.get) / 1048576.0)
       }
       val best = cells.minBy(_.sec)
-      System.err.println(f"[skewbench] n=$n skewed=$skewed " +
+      System.err.println(f"[skewbench] n=$n shape=$shape " +
         f"${best.sec}%.2fs rows=${best.rows} spillMb=${best.spillMb}%.1f")
       best
     }
 
-    val cells = for (n <- scales; sk <- Seq(false, true))
-      yield ((n, sk), measure(n, sk))
+    val cells = for ((shape, hotDiv) <- shapes; n <- scales)
+      yield ((shape, n), measure(n, shape, hotDiv))
     val m = cells.toMap
     def s3(d: Double) = (math.rint(d * 1000) / 1000).toString
-    def arr(sk: Boolean, f: Cell => String) =
-      scales.map(n => f(m((n, sk)))).mkString("[", ",", "]")
-    val penalty = scales.map(n =>
-      s3(m((n, true)).sec / m((n, false)).sec)).mkString("[", ",", "]")
+    def arr(shape: String, f: Cell => String) =
+      scales.map(n => f(m((shape, n)))).mkString("[", ",", "]")
+    val shapeJson = shapes.map { case (shape, hotDiv) =>
+      val ratio = m((shape, scales.last)).sec / m((shape, scales.head)).sec
+      s""""$shape":{"hot_span_fraction":${
+        if (shape == "uniform") "null" else s"1e-${math.log10(hotDiv.toDouble).round}"},""" +
+      s""""sec":${arr(shape, c => s3(c.sec))},""" +
+      s""""rows":${arr(shape, _.rows.toString)},""" +
+      s""""shuffle_mb":${arr(shape, c => s3(c.swMb))},""" +
+      s""""spill_mb":${arr(shape, c => s3(c.spillMb))},""" +
+      s""""ratio":${s3(ratio)}}"""
+    }.mkString(",")
+    val penalties = shapes.filter(_._1 != "uniform").map { case (shape, _) =>
+      s""""penalty_$shape":${scales.map(n =>
+        s3(m((shape, n)).sec / m(("uniform", n)).sec)).mkString("[", ",", "]")}"""
+    }.mkString(",")
     val js =
       s"""{"metric":"interval_skew_curve","points":${scales.mkString("[", ",", "]")},""" +
-      s""""intervals":$nIv,"hot_fraction":0.99,"hot_span_fraction":0.001,""" +
-      s""""reps":$reps,"cpus":$cpus,""" +
-      s""""uniform_sec":${arr(false, c => s3(c.sec))},""" +
-      s""""skew_sec":${arr(true, c => s3(c.sec))},""" +
-      s""""uniform_rows":${arr(false, _.rows.toString)},""" +
-      s""""skew_rows":${arr(true, _.rows.toString)},""" +
-      s""""uniform_shuffle_mb":${arr(false, c => s3(c.swMb))},""" +
-      s""""skew_shuffle_mb":${arr(true, c => s3(c.swMb))},""" +
-      s""""uniform_spill_mb":${arr(false, c => s3(c.spillMb))},""" +
-      s""""skew_spill_mb":${arr(true, c => s3(c.spillMb))},""" +
-      s""""skew_penalty":$penalty,""" +
-      s""""ratio_uniform":${s3(m((scales.last, false)).sec / m((scales.head, false)).sec)},""" +
-      s""""ratio_skew":${s3(m((scales.last, true)).sec / m((scales.head, true)).sec)},""" +
-      s""""corpus_ratio":${s3(scales.last.toDouble / scales.head)}}"""
+      s""""intervals":$nIv,"hot_fraction":0.99,"reps":$reps,"cpus":$cpus,""" +
+      s""""trigger_max_bucket_rows":1000000,"sub_buckets":4096,""" +
+      s""""corpus_ratio":${s3(scales.last.toDouble / scales.head)},""" +
+      s""""shapes":{$shapeJson},$penalties}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       js.getBytes("UTF-8"))
     println(js)

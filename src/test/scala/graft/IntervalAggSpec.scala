@@ -236,35 +236,30 @@ class IntervalAggSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(got == naiveHits)
     assert(got(2)._1 >= n * 98 / 100, "fixture is not actually skewed")
-    // force the TWO-LEVEL path on this corpus (the default rule
-    // degenerates to K=1 at 5000 points): a small bucket target
-    // makes n/(4·buckets) large, so the sub-offsets window runs and
+    // force the TWO-LEVEL path on this corpus (the density trigger
+    // stays single-level at 5000 points — its hottest bucket is a
+    // harmless sort): a tiny maxBucketRows makes the measured hot
+    // bucket trip the trigger, so the sub-offsets window runs and
     // must produce the identical fold
     val twoLevel = IntervalAgg.countSum(rows, iv, "p_ts", "p_value",
-        "iid", "s", "e", bucketWidthSec = 60L, targetBuckets = 50L)
+        "iid", "s", "e", bucketWidthSec = 60L, maxBucketRows = 100L)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(twoLevel == naiveHits)
 
-    // the structural claim, on the width RULE countSum just used:
-    // at bench scale (20M points over a year) the fine width must
-    // spread a 0.1%-of-span hot slice across thousands of partitions
-    // with a bounded per-partition point count — the round-8 hazard
-    // was ~all points in single-digit coarse partitions. At THIS
-    // test's tiny n the rule deliberately degenerates to K=1 (a
-    // ≤ n ≤ 4·targetBuckets hot partition is harmless), so the
-    // scaled numbers are asserted through widths() directly.
-    val (w1s, w2s) = IntervalAgg.widths(0L, spanMicros, 20000000L,
-      60L, 100000L, 4096L)
-    assert(w1s % w2s == 0 && w1s / w2s > 10,
-      s"expected a real sub-division at 20M points: w1=$w1s w2=$w2s")
-    val hotFineSlots = hotWidth / w2s + 1
-    val hotPerPartition = 20000000L * 99 / 100 / hotFineSlots
-    assert(hotFineSlots >= 1000 && hotPerPartition <= 5000,
-      s"hot slice must spread: slots=$hotFineSlots pts/part=$hotPerPartition")
-    // small-corpus degeneration is exact single-level
-    val (w1t, w2t) = IntervalAgg.widths(0L, spanMicros, n.toLong,
-      60L, 100000L, 4096L)
-    assert(w1t == w2t, s"tiny corpus should degenerate: w1=$w1t w2=$w2t")
+    // the structural claim, on the width pair the engaged plan uses:
+    // sub-dividing by 4096 spreads a spiked bucket (the trigger
+    // fires above 1M measured rows) across thousands of fine
+    // partitions — the round-8 hazard was ~all points in
+    // single-digit coarse window partitions
+    val (w1s, w2s) = IntervalAgg.widths(0L, spanMicros, 60L, 100000L, 4096L)
+    assert(w1s % w2s == 0 && w1s / w2s == 4096L,
+      s"engaged widths must sub-divide by 4096: w1=$w1s w2=$w2s")
+    // a >1M-row bucket splits into ≤ ~hundreds of rows per fine slot
+    // under any within-bucket spread wider than w2
+    assert(w1s / w2s >= 1000L)
+    // the un-engaged pair is exactly single-level
+    val (w1t, w2t) = IntervalAgg.widths(0L, spanMicros, 60L, 100000L, 1L)
+    assert(w1t == w2t)
   }
 
   test("work is linear: no pair join — plan has no BNLJ/cartesian and one probe row pair per interval") {
