@@ -134,6 +134,9 @@ object MediaCodecs {
         s"unexpected decoded format: $fmt")
       val bytes = ain.readAllBytes()
       val n = bytes.length / 2
+      // zero-frame stream: pin min/max to 0 instead of leaking the
+      // fold's Int.MaxValue/MinValue sentinels into the stats
+      if (n == 0) return AudioStats(0L, fmt.getSampleRate.toInt, 0L, 0, 0)
       var (sum, min, max) = (0L, Int.MaxValue, Int.MinValue)
       var k = 0
       while (k < n) {

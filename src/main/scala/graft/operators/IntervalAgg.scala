@@ -36,14 +36,18 @@ import org.apache.spark.sql.types.DecimalType
   *     fine `sb = ⌊unix_micros/w2⌋` with `w1 = w2·K`, so
   *     `b = ⌊sb/K⌋` exactly (floor-div composition). The sub-level
   *     is DENSITY-TRIGGERED: the coarse bucket totals (needed for
-  *     the offsets frame anyway) are materialized first, and only a
+  *     the offsets frame anyway) are collected first, and only a
   *     measured max bucket above `maxBucketRows` engages K =
   *     `subBuckets` — a uniform corpus runs the single-level plan
   *     with zero extra stages. Per-SUB-bucket point totals roll up
   *     via hash-agg (map-side combine).
   *  2. a DENSE bucket frame (every id in [minB, maxB] — bounded by
-  *     `targetBuckets`) takes the running bucket-total offsets
-  *     through a window over bucket METADATA rows, then broadcasts;
+  *     `targetBuckets`) carries the running bucket-total offsets,
+  *     computed ON THE DRIVER from the collected bucket totals
+  *     (≤ `targetBuckets` tiny rows — index metadata, the IvfKNN
+  *     codebook class; the same rows already had to come back for
+  *     the density trigger), then broadcast-joins the probes — no
+  *     global window anywhere in the plan;
   *  3. each interval emits two probe rows (+1 at the upper bound,
   *     −1 just below the lower bound — closed/open bounds shift the
   *     probe ts by 1 µs, timestamp resolution, instead of changing
@@ -200,8 +204,7 @@ object IntervalAgg {
     // index metadata — the SqKNN trainedRange precedent)
     val span = points.agg(
       min(unix_micros(col(pointTs))).as("mn"),
-      max(unix_micros(col(pointTs))).as("mx"),
-      count(col(pointTs)).as("n")).head()
+      max(unix_micros(col(pointTs))).as("mx")).head()
     if (span.isNullAt(0)) {
       // no points at all: every interval aggregates to (0, 0.0).
       // Mirror the main path's id typing (string kept, everything
@@ -216,22 +219,25 @@ object IntervalAgg {
     val mn = span.getLong(0); val mx = span.getLong(1)
 
     // 1: coarse bucket totals at the single-level width — needed for
-    // the dense offsets frame REGARDLESS of plan, so they are
-    // materialized first (cached: ≤ targetBuckets tiny rows) and
-    // their MAX row count is read as the skew signal. Sub-division
-    // engages only when some bucket measurably exceeds
-    // `maxBucketRows`: a uniform corpus then runs the single-level
-    // plan with zero extra stages (measured: the always-on
-    // sub-division cost ~1.7× on uniform 20M points), while a
-    // pathological spike pays one extra corpus pass to split its hot
-    // window partition by `subBuckets`.
-    val (w1s, _) = widths(mn, mx, bucketWidthSec, targetBuckets, 1L)
-    val totals0 = points
-      .groupBy(bucketOf(unix_micros(col(pointTs)), w1s).as("__b"))
+    // the dense offsets frame REGARDLESS of plan, so they come back
+    // to the driver first (≤ targetBuckets tiny rows — index
+    // metadata, the IvfKNN codebook class; one aggregation pass, no
+    // cache to leak) and their MAX row count is read as the skew
+    // signal. Sub-division engages only when some bucket measurably
+    // exceeds `maxBucketRows`: a uniform corpus then runs the
+    // single-level plan with zero extra stages (measured: the
+    // always-on sub-division cost ~1.7× on uniform 20M points),
+    // while a pathological spike pays extra corpus passes (the
+    // sub-total build feeds the k>1 roll-up and the sub-offsets
+    // window as separate scans) to split its hot window partition by
+    // `subBuckets`.
+    def bucketTotals(w: Long): DataFrame = points
+      .groupBy(bucketOf(unix_micros(col(pointTs)), w).as("__b"))
       .agg(count(lit(1)).as("__tc"),
         sum(col(valueCol).cast(dec)).as("__ts"))
-      .cache()
-    val maxBucket = totals0.agg(max(col("__tc"))).head().getLong(0)
+    val (w1s, _) = widths(mn, mx, bucketWidthSec, targetBuckets, 1L)
+    val coarse = bucketTotals(w1s).collect()
+    val maxBucket = coarse.iterator.map(_.getLong(1)).max
     val k = if (maxBucket > maxBucketRows) subBuckets else 1L
     val (widthMicros, w2) = widths(mn, mx, bucketWidthSec, targetBuckets, k)
     val minB = Math.floorDiv(mn, widthMicros)
@@ -246,22 +252,44 @@ object IntervalAgg {
       .select(bucketOf(col("__sb"), k).as("__b"),
         col("__sb"), col("__tc"), col("__ts"))
 
-    // 2: dense per-bucket offsets (running totals of buckets < b).
-    // Single-level reuses the cached decision frame (same width —
-    // widths(k=1) is exact); two-level recomputes at its own w1,
-    // whose floor-to-a-multiple-of-w2 boundaries differ
-    val totals =
-      if (k == 1) totals0
+    // 2: dense per-bucket offsets (running totals of buckets < b),
+    // computed ON THE DRIVER over the collected totals — metadata
+    // arithmetic over ≤ targetBuckets rows, so no global window (the
+    // one empty-partition-spec shape the plan gate polices) appears
+    // anywhere in the plan. Single-level reuses the decision rows
+    // (same width — widths(k=1) is exact); two-level re-collects at
+    // its own w1, whose floor-to-a-multiple-of-w2 boundaries differ
+    val totalRows =
+      if (k == 1) coarse
       else subTotals.groupBy(col("__b"))
         .agg(sum(col("__tc")).as("__tc"), sum(col("__ts")).as("__ts"))
+        .collect()
+    val byBucket = totalRows.iterator.map(r => r.getLong(0) ->
+      ((r.getLong(1), Option(r.getDecimal(2))))).toMap
+    val zero = java.math.BigDecimal.ZERO.setScale(6)
+    val offRows = new scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.Row]((maxB - minB + 1).toInt)
+    var runC = 0L
+    var runS = zero
+    var b = minB
+    while (b <= maxB) {
+      offRows += org.apache.spark.sql.Row(b, runC, runS)
+      byBucket.get(b).foreach { case (tc, ts) =>
+        runC += tc
+        ts.foreach(v => runS = runS.add(v)) // null __ts: all-null values
+      }
+      b += 1
+    }
     val spark = points.sparkSession
-    val offW = Window.orderBy(col("__b"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = spark.range(minB, maxB + 1).toDF("__b")
-      .join(totals, Seq("__b"), "left")
-      .select(col("__b"),
-        coalesce(sum(col("__tc")).over(offW), lit(0L)).as("__offc"),
-        coalesce(sum(col("__ts")).over(offW), lit(0).cast(dec)).as("__offs"))
+    val offsets = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(offRows.toSeq).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__b",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__offc",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__offs",
+          DecimalType(28, 6), nullable = false))))
 
     // probes — (+1, upper bound) and (−1, just-below-lower-bound),
     // with closed/open expressed as a 1 µs probe shift so the union

@@ -270,5 +270,15 @@ class IntervalAggSpec extends SparkSpec {
       case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
     }
     assert(bad.isEmpty, s"pair-materializing join in the plan: $bad")
+    // round 9: the bucket-offset prefix moved to driver-side
+    // arithmetic over the collected totals, so the plan must carry NO
+    // empty-partition window at all (the cumulative pass partitions
+    // by sub-bucket; offsets arrive as a broadcast local relation)
+    val globals = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.isEmpty,
+      s"countSum plans a global window: ${globals.map(_.nodeName)}")
   }
 }

@@ -62,15 +62,15 @@ class RegistryPlanGateSpec extends SparkSpec {
     *    the corpus-sized first level is partitioned by bucket —
     *    ShardPacker's whole design);
     *  - docs_term_rank — row_number over an already-LIMIT-50 frame
-    *    (the TakeOrdered output), bounded by construction;
-    *  - q_range_join / q_range_join_strict — IntervalAgg's
-    *    bucket-offset window over the DENSE bucket frame, capped at
-    *    targetBuckets (1e5) rows by the adaptive width whatever the
-    *    corpus size (the corpus-sized cumulative pass is partitioned
-    *    by bucket). */
+    *    (the TakeOrdered output), bounded by construction.
+    *
+    * q_range_join / q_range_join_strict used to be here (IntervalAgg's
+    * bucket-offset window over the dense bucket frame); round 9 moved
+    * that prefix to driver-side arithmetic over the collected bucket
+    * totals, so those plans now carry NO empty-partition window and
+    * the gate polices them like everything else. */
   private val boundedGlobalWindows =
-    Set("docs_pack_shards", "docs_term_rank",
-      "q_range_join", "q_range_join_strict")
+    Set("docs_pack_shards", "docs_term_rank")
 
   /** Queries whose semantics filter a base-table scan; each must keep
     * a non-empty `PushedFilters` on at least one parquet scan. Pinned
