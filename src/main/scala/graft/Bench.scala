@@ -135,7 +135,16 @@ object Bench {
       s""""streaming":${graft.tools.StreamBench.json(streaming)},""" +
       s""""load_before":$loadBefore,"load_after":$loadAvg,"errors":$errs,"sf":"$sfDir"}"""
     try {
-      val w = new java.io.PrintWriter("BENCH_DETAIL.json")
+      // never silently clobber an existing detail file: an
+      // adjudication rerun in the same checkout used to overwrite the
+      // driver's uncommitted detail (round-9 verdict task 6) — the
+      // previous content now survives as BENCH_DETAIL.prev.json
+      val f = new java.io.File("BENCH_DETAIL.json")
+      if (f.exists())
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get("BENCH_DETAIL.prev.json"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val w = new java.io.PrintWriter(f)
       try w.println(detail) finally w.close()
     } catch {
       // the detail file is best-effort (the stdout line is the record

@@ -284,23 +284,42 @@ object CurationQueries {
     * Lee et al. 2022 repeated-n-gram pass that catches duplicates
     * [[graft.ext.dedup.BlockDedup.dedupBlocks]]' aligned blocks miss
     * at any non-multiple-of-20 shift). */
+  /** ONE gram-width constant feeding the Spark operator AND every
+    * interpolated site of the oracle SQL (round-9 ADVICE: the SQL
+    * hardcoded 20/19 in four places, so changing one side silently
+    * broke parity). */
+  private val NgramW = 20
+
   private def qNgramDedup(s: SparkSession, dir: String): DataFrame =
     BlockDedup.dedupNgrams(Tables(s, dir, "documents"), "doc_id", "text",
-      gramTokens = 20)
+      gramTokens = NgramW)
+      .orderBy(col("doc_id"))
+
+  /** Production-width variant: the first-occurrence shuffle keyed by
+    * xxhash64(gram) instead of the gram string
+    * ([[graft.ext.dedup.BlockDedup.dedupNgramsHashed]] — ~20× less
+    * shuffle width at W=20, collision odds documented there). DuckDB
+    * has no xxhash64, so the oracle is the SAME exact-string replay:
+    * the hash match is itself the hash≡string parity proof at oracle
+    * scale (collisions there are numerically negligible — ~10⁵ grams
+    * against a 2⁶⁴ keyspace). */
+  private def qNgramDedupHashed(s: SparkSession, dir: String): DataFrame =
+    BlockDedup.dedupNgramsHashed(Tables(s, dir, "documents"), "doc_id", "text",
+      gramTokens = NgramW)
       .orderBy(col("doc_id"))
 
   private val qNgramDedupSql =
-    """WITH t AS (
+    s"""WITH t AS (
       |  SELECT doc_id,
       |    CASE WHEN len(trim(text)) = 0 THEN []
-      |         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+      |         ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks
       |  FROM documents),
       |g AS (
       |  SELECT doc_id, i AS pos,
-      |    array_to_string(toks[i+1 : i+20], ' ') AS gram
+      |    array_to_string(toks[i+1 : i+$NgramW], ' ') AS gram
       |  FROM t, (SELECT unnest(range((
-      |    SELECT CAST(COALESCE(max(len(toks) - 19), 0) AS BIGINT) FROM t))) AS i)
-      |  WHERE i <= len(toks) - 20),
+      |    SELECT CAST(COALESCE(max(len(toks) - ${NgramW - 1}), 0) AS BIGINT) FROM t))) AS i)
+      |  WHERE i <= len(toks) - $NgramW),
       |d AS (
       |  SELECT doc_id, pos, 1 AS dup FROM g
       |  QUALIFY row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) > 1),
@@ -312,7 +331,7 @@ object CurationQueries {
       |c AS (
       |  SELECT p.doc_id, p.pos, p.tok,
       |    MAX(COALESCE(d.dup, 0)) OVER (PARTITION BY p.doc_id ORDER BY p.pos
-      |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS cov
+      |      ROWS BETWEEN ${NgramW - 1} PRECEDING AND CURRENT ROW) AS cov
       |  FROM p LEFT JOIN d ON d.doc_id = p.doc_id AND d.pos = p.pos)
       |SELECT doc_id, COUNT(*) AS n_tokens,
       |  CAST(SUM(CASE WHEN cov = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
@@ -508,6 +527,7 @@ object CurationQueries {
     "docs_source_mix"    -> (qSourceMix _),
     "docs_block_dedup"   -> (qBlockDedup _),
     "docs_ngram_dedup"   -> (qNgramDedup _),
+    "docs_ngram_dedup_hashed" -> (qNgramDedupHashed _),
     "docs_curation_pipeline" -> (qCurationPipeline _),
     "emb_dup_groups"     -> (qEmbDupGroups _))
 
@@ -519,6 +539,7 @@ object CurationQueries {
     "docs_source_mix"    -> qSourceMixSql,
     "docs_block_dedup"   -> qBlockDedupSql,
     "docs_ngram_dedup"   -> qNgramDedupSql,
+    "docs_ngram_dedup_hashed" -> qNgramDedupSql,
     "docs_curation_pipeline" -> qCurationPipelineSql,
     "emb_dup_groups"     -> qEmbDupGroupsSql)
 }

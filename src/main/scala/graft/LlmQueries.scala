@@ -1681,8 +1681,9 @@ object LlmQueries {
     * the pocket has real iterates to choose among (the plateau is
     * reached by t≤2 at every test scale; 4 exercises the decay and
     * the argmin), small enough that the generated oracle stays
-    * readable (the bpeMergeCount rationale). */
-  private val clfIters = 4
+    * readable (the bpeMergeCount rationale). Shared with the at-rest
+    * build via the QualityClassifier constant. */
+  private val clfIters = graft.ext.text.QualityClassifier.RegistryIters
 
   /** Relationally-trained quality classifier
     * ([[graft.ext.text.QualityClassifier]]): hashed token features,
@@ -1699,12 +1700,41 @@ object LlmQueries {
       .trainAndScore(docs(s, dir), "doc_id", "text", clfIters)
       .orderBy(col("doc_id"))
 
-  private lazy val qQualityClfSql = {
+  /** At-rest trained classifier (round-9 verdict task 3 — the
+    * `lm_ref_model` posture): weights train ONCE on the fixed
+    * `doc_id < 5000` snapshot
+    * ([[graft.ext.text.QualityClassifier.cachedRefTrain]], memoized
+    * 257-long driver metadata) and the WHOLE corpus scores against
+    * them — training cost and model size flat in the scored corpus,
+    * the honest 100 TB shape (you don't retrain per query).
+    * `docs_quality_clf` stays as the from-scratch contrast row. At
+    * sf ≤ 0.1 the snapshot covers the whole corpus (dense ids from
+    * 0), keeping the oracle replay total; the ladder rungs are where
+    * snapshot ≪ corpus. */
+  private def qQualityClfRef(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val w = graft.ext.text.QualityClassifier.cachedRefTrain(
+      d, "doc_id", "text", maxRefId = LmRefSnapshotMaxId,
+      iters = clfIters, source = dir)
+    graft.ext.text.QualityClassifier.score(d, "doc_id", "text", w)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The generated retrain-replay oracle, parameterized by the
+    * training snapshot: `refBound = None` retrains on the full corpus
+    * (docs_quality_clf); `Some(b)` restricts every TRAINING CTE
+    * (features, labels, misclassified sets, updates, pocket error
+    * counts) to `doc_id < b` while the final scoring pass stays
+    * corpus-wide (docs_quality_clf_ref). */
+  private def clfSql(refBound: Option[Long]) = {
     val dim = graft.ext.text.QualityClassifier.Dim
     val scale = graft.ext.text.QualityClassifier.Scale
     val vocab = graft.ext.text.QualityClassifier.labelVocab
       .map(w => s"'$w'").mkString(", ")
     val split = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+    // training-side views: fr/labr are the snapshot (or aliases of
+    // the full frames when unbounded)
+    val bound = refBound.map(b => s" WHERE doc_id < $b").getOrElse("")
     val head =
       s"""WITH toks AS (
          |  SELECT doc_id, unnest($split) AS tok
@@ -1719,6 +1749,8 @@ object LlmQueries {
          |      25 * len(list_filter($split, t -> t IN ($vocab))) >= 2 * len($split)
          |    THEN 1 ELSE -1 END AS y
          |  FROM documents),
+         |fr AS (SELECT * FROM f$bound),
+         |labr AS (SELECT * FROM lab$bound),
          |grid AS (SELECT unnest(range(0, ${dim + 1})) AS bucket),
          |w0 AS (SELECT bucket, CAST(0 AS BIGINT) AS w FROM grid),""".stripMargin
     // per iteration t: misclassified under w(t-1) -> class-split
@@ -1726,19 +1758,19 @@ object LlmQueries {
     // operands only (Spark/DuckDB floor-division parity)
     val iters = (1 to clfIters).map { t =>
       s"""mis$t AS (
-         |  SELECT m.doc_id, lab.y FROM (
-         |    SELECT f.doc_id, SUM(f.cnt * w${t - 1}.w) AS margin
-         |    FROM f JOIN w${t - 1} USING (bucket) GROUP BY f.doc_id) m
-         |  JOIN lab USING (doc_id) WHERE lab.y * m.margin <= 0),
+         |  SELECT m.doc_id, labr.y FROM (
+         |    SELECT fr.doc_id, SUM(fr.cnt * w${t - 1}.w) AS margin
+         |    FROM fr JOIN w${t - 1} USING (bucket) GROUP BY fr.doc_id) m
+         |  JOIN labr USING (doc_id) WHERE labr.y * m.margin <= 0),
          |c$t AS (
          |  SELECT COALESCE(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END), 0) AS np,
          |         COALESCE(SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END), 0) AS nn
          |  FROM mis$t),
          |u$t AS (
-         |  SELECT f.bucket,
-         |    SUM(CASE WHEN mis$t.y = 1 THEN f.cnt ELSE 0 END) AS up,
-         |    SUM(CASE WHEN mis$t.y = -1 THEN f.cnt ELSE 0 END) AS un
-         |  FROM f JOIN mis$t USING (doc_id) GROUP BY f.bucket),
+         |  SELECT fr.bucket,
+         |    SUM(CASE WHEN mis$t.y = 1 THEN fr.cnt ELSE 0 END) AS up,
+         |    SUM(CASE WHEN mis$t.y = -1 THEN fr.cnt ELSE 0 END) AS un
+         |  FROM fr JOIN mis$t USING (doc_id) GROUP BY fr.bucket),
          |w$t AS (
          |  SELECT g.bucket, CAST(w${t - 1}.w
          |    + COALESCE(u$t.up, 0) * $scale // (GREATEST(1, c$t.np) * $t)
@@ -1756,10 +1788,10 @@ object LlmQueries {
       .mkString(" UNION ALL ")
     val tail =
       s"""misF AS (
-         |  SELECT m.doc_id, lab.y FROM (
-         |    SELECT f.doc_id, SUM(f.cnt * w$clfIters.w) AS margin
-         |    FROM f JOIN w$clfIters USING (bucket) GROUP BY f.doc_id) m
-         |  JOIN lab USING (doc_id) WHERE lab.y * m.margin <= 0),
+         |  SELECT m.doc_id, labr.y FROM (
+         |    SELECT fr.doc_id, SUM(fr.cnt * w$clfIters.w) AS margin
+         |    FROM fr JOIN w$clfIters USING (bucket) GROUP BY fr.doc_id) m
+         |  JOIN labr USING (doc_id) WHERE labr.y * m.margin <= 0),
          |errs AS ($errRows),
          |bt AS (SELECT t FROM errs ORDER BY err, t LIMIT 1),
          |wb AS (SELECT bucket, w FROM ($allW) aw JOIN bt USING (t)),
@@ -1772,6 +1804,9 @@ object LlmQueries {
          |ORDER BY doc_id""".stripMargin
     s"$head\n$iters\n$tail"
   }
+
+  private lazy val qQualityClfSql = clfSql(None)
+  private lazy val qQualityClfRefSql = clfSql(Some(LmRefSnapshotMaxId))
 
   // --------------------------------------------- text -> embedding
 
@@ -2032,6 +2067,7 @@ object LlmQueries {
     "docs_embed"          -> (qDocsEmbed _),
     "docs_embed_knn"      -> (qDocsEmbedKnn _),
     "docs_quality_clf"    -> (qQualityClf _),
+    "docs_quality_clf_ref" -> (qQualityClfRef _),
     "docs_bpe_merges"     -> (qBpeMerges _),
     "docs_bpe_tokenize"   -> (qBpeTokenize _),
     "docs_inverted_index" -> (qInvertedIndex _),
@@ -2080,6 +2116,7 @@ object LlmQueries {
     "docs_embed"         -> qDocsEmbedSql,
     "docs_embed_knn"     -> qDocsEmbedKnnSql,
     "docs_quality_clf"   -> qQualityClfSql,
+    "docs_quality_clf_ref" -> qQualityClfRefSql,
     "docs_bpe_merges"    -> qBpeMergesSql,
     "docs_bpe_tokenize"  -> qBpeTokenizeSql,
     "docs_inverted_index" -> qInvertedIndexSql,

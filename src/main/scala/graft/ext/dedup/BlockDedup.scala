@@ -77,14 +77,14 @@ object BlockDedup {
     * block identity entirely — measured in NearDupStatsSpec).
     *
     * Plan shape: one gram explode (corpus × ~1 row per token; gram
-    * strings make the shuffle ~W× the corpus bytes — a production
-    * deployment would key this shuffle by a 64-bit gram hash to cut
-    * the width and accept the collision risk; exact strings keep the
-    * result collision-free and the DuckDB oracle byte-exact), one
-    * first-occurrence window sorted only WITHIN identical grams
-    * (group size = duplication factor), one token-position explode,
-    * and a per-doc coverage window with a BOUNDED (W−1)-row frame —
-    * nothing corpus-wide, nothing all-pairs.
+    * strings make the shuffle ~W× the corpus bytes — exact strings
+    * keep the result collision-free and the DuckDB oracle
+    * byte-exact; [[dedupNgramsHashed]] is the production-width
+    * variant), one first-occurrence window sorted only WITHIN
+    * identical grams (group size = duplication factor), one
+    * token-position explode, and a per-doc coverage window with a
+    * BOUNDED (W−1)-row frame — nothing corpus-wide, nothing
+    * all-pairs.
     *
     * @return (idCol, n_tokens, n_kept, text_kept) per non-empty doc;
     *         docs shorter than `gramTokens` carry no gram and are
@@ -93,12 +93,46 @@ object BlockDedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      gramTokens: Int = 20): DataFrame = {
+      gramTokens: Int = 20): DataFrame =
+    dedupNgramsKeyed(docs, idCol, textCol, gramTokens, hashKey = false)
+
+  /** [[dedupNgrams]] with the first-occurrence shuffle keyed by
+    * `xxhash64(gram)` instead of the gram string — the production
+    * posture at 100 TB: the dominant shuffle carries (doc, pos,
+    * 8-byte key) instead of (doc, pos, ~W·avg-token-bytes string),
+    * ~20× narrower at W=20 (measured per rung in
+    * NGRAM_HASHED_ISOLATED.json). The trade is hash collisions: two
+    * DIFFERENT grams sharing a 64-bit hash would dedup as one. At the
+    * test corpora the output is pinned identical to the exact-string
+    * form (NgramHashParitySpec); at 100 TB scale (~10¹² grams) the
+    * birthday bound puts the expected number of colliding PAIRS
+    * around 10¹²·(10¹²−1)/2/2⁶⁴ ≈ 3·10⁴ — a ~10⁻⁸ fraction of
+    * tokens wrongly removed, the standard accepted trade of
+    * suffix-array/hash-based dedup pipelines (Lee et al. 2022 use
+    * exact suffix matching but production replications hash). */
+  def dedupNgramsHashed(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramTokens: Int = 20): DataFrame =
+    dedupNgramsKeyed(docs, idCol, textCol, gramTokens, hashKey = true)
+
+  private def dedupNgramsKeyed(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramTokens: Int,
+      hashKey: Boolean): DataFrame = {
     val w = gramTokens
     val toks = TextFunctions.tokens(col(textCol))
     // grams at every start position p ∈ [0, n−W]; docs with n < W
     // have none (sequence() would walk backwards — same guard as
     // dedupBlocks' empty case)
+    // the gram key is projected BEFORE the shuffle: the hashed form
+    // never carries the gram string into the exchange
+    val gramKey =
+      if (hashKey) (g: org.apache.spark.sql.Column) => xxhash64(g)
+      else (g: org.apache.spark.sql.Column) => g
     val grams = docs.select(
       col(idCol).as("doc"),
       posexplode(
@@ -106,7 +140,7 @@ object BlockDedup {
           .otherwise(transform(
             sequence(lit(0), size(toks) - w),
             i => concat_ws(" ", slice(toks, i + 1, lit(w)))))))
-      .select(col("doc"), col("pos"), col("col").as("gram"))
+      .select(col("doc"), col("pos"), gramKey(col("col")).as("gram"))
     val dupStarts = grams.withColumn("rk",
         row_number().over(
           Window.partitionBy(col("gram"))

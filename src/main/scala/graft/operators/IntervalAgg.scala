@@ -85,6 +85,18 @@ object IntervalAgg {
 
   private val dec = DecimalType(18, 6)
 
+  /** Default cap on the dense bucket frame (driver-held offsets
+    * metadata). Shared with the measurement tooling so artifacts
+    * report the configuration actually measured. */
+  val DefaultTargetBuckets = 100000L
+
+  /** Default sub-division factor when the two-level plan engages. */
+  val DefaultSubBuckets = 4096L
+
+  /** Default measured max-bucket row count above which the two-level
+    * plan engages. */
+  val DefaultMaxBucketRows = 1000000L
+
   /** Exact integer bucket id — the shared floor-division idiom (also
     * [[graft.ext.text.ShardPacker]]). `floor(tm / w)` would route
     * through DOUBLE division, whose ulp can exceed the 1/w
@@ -166,7 +178,16 @@ object IntervalAgg {
     ((if (idIsString) lit(null).cast("long") else id.cast("long")).as("__iidL"),
       (if (idIsString) id.cast("string") else lit(null).cast("string")).as("__iidS"))
 
-  /** @param points    point side; `pointTs` timestamp + `valueCol`
+  /** NOTE — eager construction: building the result executes two
+    * Spark jobs up front (the span aggregate and the coarse
+    * bucket-totals collect that feeds the density trigger and the
+    * driver-side offsets frame), so callers that only BUILD plans
+    * (plan gates, explain tooling) still trigger those jobs. Both
+    * jobs are one aggregation pass each over `points`; for an
+    * expensive input, persist `points` across construction and
+    * execution if the extra scan matters.
+    *
+    * @param points    point side; `pointTs` timestamp + `valueCol`
     *                   numeric column to sum
     * @param intervals  interval side; `idCol` unique id, bounds in
     *                   `[startCol, endCol]` (closed by default, open
@@ -195,9 +216,9 @@ object IntervalAgg {
       bucketWidthSec: Long,
       closedStart: Boolean = true,
       closedEnd: Boolean = true,
-      targetBuckets: Long = 100000L,
-      subBuckets: Long = 4096L,
-      maxBucketRows: Long = 1000000L): DataFrame = {
+      targetBuckets: Long = DefaultTargetBuckets,
+      subBuckets: Long = DefaultSubBuckets,
+      maxBucketRows: Long = DefaultMaxBucketRows): DataFrame = {
 
     // span drives the effective width: the dense offsets frame is
     // span/width rows and must stay metadata-sized (three scalars of
@@ -231,7 +252,15 @@ object IntervalAgg {
     // sub-total build feeds the k>1 roll-up and the sub-offsets
     // window as separate scans) to split its hot window partition by
     // `subBuckets`.
-    def bucketTotals(w: Long): DataFrame = points
+    // Null-timestamp points match nothing (the fine pass excludes
+    // them structurally: a null sub-bucket partition holds no probes
+    // and the null coarse id never joins the dense offsets frame),
+    // but an unfiltered groupBy would emit a null-__b totals row —
+    // the driver-side getLong(0) below would NPE on it and its count
+    // would pollute the density trigger — so the totals aggregations
+    // see only timestamped points.
+    val tsPoints = points.filter(col(pointTs).isNotNull)
+    def bucketTotals(w: Long): DataFrame = tsPoints
       .groupBy(bucketOf(unix_micros(col(pointTs)), w).as("__b"))
       .agg(count(lit(1)).as("__tc"),
         sum(col(valueCol).cast(dec)).as("__ts"))
@@ -245,7 +274,7 @@ object IntervalAgg {
 
     // per-SUB-bucket totals (two-level only: lazily referenced by the
     // sub-offsets window and the k>1 totals roll-up below)
-    val subTotals = points
+    val subTotals = tsPoints
       .groupBy(bucketOf(unix_micros(col(pointTs)), w2).as("__sb"))
       .agg(count(lit(1)).as("__tc"),
         sum(col(valueCol).cast(dec)).as("__ts"))

@@ -69,6 +69,17 @@ object AtRestBuilds {
         source = dir)
       ()
     },
+    // fixed-snapshot trained quality classifier (doc_id < 5000, the
+    // lm_ref_model twin) — 257 longs of driver-held metadata behind
+    // docs_quality_clf_ref; training cost flat in the scored corpus
+    "quality_clf_model" -> { (s, dir) =>
+      graft.ext.text.QualityClassifier.cachedRefTrain(
+        graft.Tables(s, dir, "documents"), "doc_id", "text",
+        maxRefId = graft.ext.text.NgramLm.RegistryRefSnapshotMaxId,
+        iters = graft.ext.text.QualityClassifier.RegistryIters,
+        source = dir)
+      ()
+    },
     // at-rest z-order clustering of events on (user bucket, hour
     // bucket) — the write ZOrderSpec audits for both-dims skipping
     "zorder_layout" -> { (s, dir) =>

@@ -158,7 +158,8 @@ object IntervalSkewBench {
     val js =
       s"""{"metric":"interval_skew_curve","points":${scales.mkString("[", ",", "]")},""" +
       s""""intervals":$nIv,"hot_fraction":0.99,"reps":$reps,"cpus":$cpus,""" +
-      s""""trigger_max_bucket_rows":1000000,"sub_buckets":4096,""" +
+      s""""trigger_max_bucket_rows":${graft.operators.IntervalAgg.DefaultMaxBucketRows},""" +
+      s""""sub_buckets":${graft.operators.IntervalAgg.DefaultSubBuckets},""" +
       s""""corpus_ratio":${s3(scales.last.toDouble / scales.head)},""" +
       s""""shapes":{$shapeJson},$penalties}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),

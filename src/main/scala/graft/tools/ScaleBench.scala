@@ -88,7 +88,9 @@ object ScaleBench {
     "multimodal_decode",     // real ImageIO decode over synthesized blobs
     "docs_embed_knn",        // text→hashed-idf vector→JL→exact cosine KNN
     "docs_quality_clf",      // iterated-agg trained classifier + corpus score
+    "docs_quality_clf_ref",  // scoring vs the fixed at-rest model (flat training)
     "docs_ngram_dedup",      // stride-1 repeated-n-gram removal (shift-robust)
+    "docs_ngram_dedup_hashed", // same pass, 8-byte gram-hash shuffle key
     // second-to-last: the bigram-LM model join is corpus-sized on
     // BOTH sides under the Heaps-law synthetic vocabulary (most
     // bigrams are unique), so it carries the same OOM class as the
@@ -273,6 +275,7 @@ object ScaleBench {
           graft.ScaleQueries.clearLayoutMemo()
           graft.ext.text.BpeTrainer.clearTrainMemo()
           graft.ext.text.NgramLm.clearRefModelMemo()
+          graft.ext.text.QualityClassifier.clearRefModelMemo()
         }
         AtRestBuilds.measure(spark, dir)
       }

@@ -108,6 +108,27 @@ class IntervalAggSpec extends SparkSpec {
     assert(out == Map(10L -> ((1L, 5.0))))
   }
 
+  test("bucketed variant ignores null-timestamp points (no NPE in the density trigger)") {
+    // round-9 ADVICE: the density-trigger collect grouped null-ts
+    // points into a null __b row and the driver-side offsets build
+    // NPE'd on getLong(0); the naive join semantics are that a NULL
+    // timestamp matches nothing
+    val pts = Seq((Some("2024-01-01 12:00:00"), 5.0), (None, 99.0))
+      .toDF("s", "p_value")
+      .select(to_timestamp($"s").as("p_ts"), $"p_value")
+    val iv = Seq((10L, "2024-01-01 11:00:00", "2024-01-01 13:00:00"))
+      .toDF("iid", "a", "b")
+      .select($"iid", to_timestamp($"a").as("s"), to_timestamp($"b").as("e"))
+    // single-level (default trigger) AND forced two-level: the null
+    // row must not NPE the k>1 roll-up collect either
+    for (mbr <- Seq(IntervalAgg.DefaultMaxBucketRows, 1L)) {
+      val out = IntervalAgg.countSum(pts, iv, "p_ts", "p_value",
+          "iid", "s", "e", bucketWidthSec = 300L, maxBucketRows = mbr)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(out == Map(10L -> ((1L, 5.0))), s"maxBucketRows=$mbr")
+    }
+  }
+
   test("keyed variant treats NULL keys as matching nothing (naive equi-join)") {
     // NULL = NULL is never true in the naive join, but window
     // partitionBy groups null keys TOGETHER — a null-key point must

@@ -1,0 +1,51 @@
+package graft
+
+import graft.ext.dedup.BlockDedup
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.types.{LongType, StringType}
+
+/** Hash-keyed n-gram dedup (the production-width variant) against the
+  * exact-string form: identical output on real corpora (64-bit
+  * collisions are numerically impossible at test scale — ~10⁵ grams
+  * vs a 2⁶⁴ keyspace), and the plan must actually carry the 8-byte
+  * hash key through the first-occurrence shuffle instead of the ~W×
+  * corpus-bytes gram string — the entire point of the variant. */
+class NgramHashParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getString(3))).sortBy(_._1).toSeq
+
+  test("hashed gram key yields output identical to the exact-string form") {
+    assert(rows(BlockDedup.dedupNgramsHashed(docs, "doc_id", "text", 20)) ==
+      rows(BlockDedup.dedupNgrams(docs, "doc_id", "text", 20)))
+  }
+
+  test("parity holds on a planted shifted duplicate (the case blocks miss)") {
+    // doc 2 repeats doc 1's 30 tokens at a 7-token offset — the
+    // shift-robust case NearDupStatsSpec pins for the string form
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val shifted = (1 to 7).map(i => s"x$i").mkString(" ") + " " + base
+    val planted = Seq((1L, base), (2L, shifted), (3L, "short text only"))
+      .toDF("doc_id", "text")
+    assert(rows(BlockDedup.dedupNgramsHashed(planted, "doc_id", "text", 20)) ==
+      rows(BlockDedup.dedupNgrams(planted, "doc_id", "text", 20)))
+  }
+
+  test("the first-occurrence window keys by the 8-byte hash, not the gram string") {
+    def winKeyTypes(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.sparkPlan.collect {
+        case w: WindowExec => w.partitionSpec.map(_.dataType)
+      }.flatten
+    val hashed = winKeyTypes(
+      BlockDedup.dedupNgramsHashed(docs, "doc_id", "text", 20))
+    val exact = winKeyTypes(
+      BlockDedup.dedupNgrams(docs, "doc_id", "text", 20))
+    assert(hashed.contains(LongType) && !hashed.contains(StringType),
+      s"hashed variant window keys: $hashed")
+    assert(exact.contains(StringType), s"string variant window keys: $exact")
+  }
+}

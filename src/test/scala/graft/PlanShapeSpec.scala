@@ -25,22 +25,27 @@ class PlanShapeSpec extends SparkSpec {
     // for a dim that outgrew it at 100 TB) the SAME query must fall
     // back to a shuffle join, while the fixed-cardinality
     // nation/region hints keep broadcasting.
-    val key = "spark.sql.autoBroadcastJoinThreshold"
-    val saved = spark.conf.get(key)
-    try {
-      spark.conf.set(key, "-1")
-      Seq("q5_region_volume", "q9_nation_profit", "q_brand_revenue").foreach { q =>
-        val p = plan(q)
-        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
-          s"$q did not fall back to a shuffle join: ${p.take(3000)}")
-      }
-      // the pinned fixed-cardinality dims still broadcast under -1
-      Seq("q5_region_volume", "q9_nation_profit").foreach { q =>
-        val p = plan(q)
-        assert(p.contains("BroadcastHashJoin"),
-          s"$q lost the nation/region broadcast hint: ${p.take(3000)}")
-      }
-    } finally spark.conf.set(key, saved)
+    //
+    // ISOLATED session: sbt runs suites in parallel in one JVM, and a
+    // shared-session conf mutation races every other suite's planning
+    // (the round-9 RegistryPlanGateSpec flake). newSession() shares
+    // the SparkContext but owns its SQLConf, so the -1 threshold is
+    // private to this test.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def planIso(q: String): String =
+      SparkEntry.queries(q)(s, sf).queryExecution.executedPlan.toString
+    Seq("q5_region_volume", "q9_nation_profit", "q_brand_revenue").foreach { q =>
+      val p = planIso(q)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"$q did not fall back to a shuffle join: ${p.take(3000)}")
+    }
+    // the pinned fixed-cardinality dims still broadcast under -1
+    Seq("q5_region_volume", "q9_nation_profit").foreach { q =>
+      val p = planIso(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q lost the nation/region broadcast hint: ${p.take(3000)}")
+    }
   }
 
   test("q3 top-k plans as TakeOrderedAndProject (no global sort)") {
@@ -133,22 +138,19 @@ class PlanShapeSpec extends SparkSpec {
     // scans are tiny, so open the size gates and pin that the
     // engine's plain declarative join composes with the injection —
     // nothing in our operators blocks the rewrite.
-    val saved = Seq(
-      "spark.sql.autoBroadcastJoinThreshold",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
-      .map(k => k -> spark.conf.get(k))
-    try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      spark.conf.set(
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
-      import spark.implicits._
-      val li = Tables(spark, sf, "lineitem")
-      val ord = Tables(spark, sf, "orders").filter($"o_orderpriority" === "1-URGENT")
-      val p = li.join(ord, $"l_orderkey" === $"o_orderkey")
-        .groupBy($"o_orderpriority").count()
-        .queryExecution.optimizedPlan.toString
-      assert(p.contains("might_contain"), p.take(3000))
-    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+    // isolated session — shared-conf mutation races parallel suites
+    // (the round-9 RegistryPlanGateSpec flake)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    import s.implicits._
+    val li = Tables(s, sf, "lineitem")
+    val ord = Tables(s, sf, "orders").filter($"o_orderpriority" === "1-URGENT")
+    val p = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority").count()
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("might_contain"), p.take(3000))
   }
 
   test("decontamination joins the broadcast eval grams; the train side never sort-merge-joins") {

@@ -57,4 +57,30 @@ class QualityClassifierSpec extends SparkSpec {
     assert(out.count() == 3)
     assert(out.filter($"doc_id" === 2L).count() == 1)
   }
+
+  test("at-rest ref model: trains on the snapshot only, scores the whole corpus") {
+    // snapshot = ids < 20 (pure classes); ids >= 20 are unseen at
+    // training time but still scored — the docs_quality_clf_ref shape
+    val docs = (0L until 40L).map { i =>
+      if (i % 2 == 0) (i, "the and of to in is it a the and")
+      else (i, s"zzz$i qqq$i www$i xxx$i yyy$i")
+    }.toDF("doc_id", "text")
+    val wRef = QualityClassifier.train(
+      docs.filter($"doc_id" < 20), "doc_id", "text", iters = 4)
+    val out = QualityClassifier.score(docs, "doc_id", "text", wRef)
+    assert(out.count() == 40, "scoring must cover docs outside the snapshot")
+    // the snapshot boundary must matter: weights from the snapshot
+    // differ from full-corpus weights on this corpus (the unseen junk
+    // vocab ids>=20 hash to buckets the snapshot never updated)
+    val wFull = QualityClassifier.train(docs, "doc_id", "text", iters = 4)
+    assert(!wRef.sameElements(wFull),
+      "snapshot-trained weights should differ from full-corpus weights here")
+    // memo: same snapshot + iters returns the identical cached array
+    val m1 = QualityClassifier.cachedRefTrain(docs, "doc_id", "text",
+      maxRefId = 20L, iters = 4, source = "clfspec")
+    val m2 = QualityClassifier.cachedRefTrain(docs, "doc_id", "text",
+      maxRefId = 20L, iters = 4, source = "clfspec")
+    assert(m1 eq m2, "memo must return the cached weights")
+    assert(m1.sameElements(wRef))
+  }
 }

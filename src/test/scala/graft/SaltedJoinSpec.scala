@@ -30,33 +30,29 @@ class SaltedJoinSpec extends SparkSpec {
     // handling is the zero-code path — pin that our plain declarative
     // join composes with it. Thresholds lowered so the local fixture
     // counts as skewed; a 100 TB deployment keeps the defaults.
-    val saved = Seq(
-      "spark.sql.autoBroadcastJoinThreshold",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
-      .map(k => k -> spark.conf.getOption(k)).toMap
-    try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
-      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
-      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
-      val fact = (1 to 200000).map(i =>
-        (if (i % 100 == 0) s"k${i % 17}" else "hot",
-          s"payload_$i${"x" * 32}")).toDF("k", "v")
-      val dim = ((0 to 16).map(i => (s"k$i", s"t$i")) :+ ("hot", "H")).toDF("k", "tag")
-        // big-enough rows that the dim side shuffles rather than broadcasts
-      // NOTE: an agg grouped on the JOIN KEY would suppress the skew
-      // split (it requires the join's hash partitioning, which the
-      // split breaks) — a global agg has no distribution requirement
-      val joined = fact.join(dim.repartition(4), "k").agg(sum(length($"v")))
-      joined.collect()
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(plan.contains("skewed=true") || plan.contains("isSkew=true") ||
-        plan.contains("skew="), s"no skew handling in plan:\n${plan.take(3000)}")
-    } finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
+    // ISOLATED session (round-9 RegistryPlanGateSpec flake): suites
+    // run in parallel in one JVM, so lowered AQE thresholds on the
+    // SHARED session race every other suite's planning/execution.
+    // newSession() shares the SparkContext but owns its SQLConf.
+    val s = spark.newSession()
+    import s.implicits.{localSeqToDatasetHolder => toDs}
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    val fact = toDs((1 to 200000).map(i =>
+      (if (i % 100 == 0) s"k${i % 17}" else "hot",
+        s"payload_$i${"x" * 32}"))).toDF("k", "v")
+    val dim = toDs((0 to 16).map(i => (s"k$i", s"t$i")) :+ (("hot", "H")))
+      .toDF("k", "tag")
+      // big-enough rows that the dim side shuffles rather than broadcasts
+    // NOTE: an agg grouped on the JOIN KEY would suppress the skew
+    // split (it requires the join's hash partitioning, which the
+    // split breaks) — a global agg has no distribution requirement
+    val joined = fact.join(dim.repartition(4), "k").agg(sum(length($"v")))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skewed=true") || plan.contains("isSkew=true") ||
+      plan.contains("skew="), s"no skew handling in plan:\n${plan.take(3000)}")
   }
 }
