@@ -169,13 +169,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning(domain"), p.take(3000))
   }
 
-  test("shard packing's corpus window is bucket-partitioned; only bucket totals sort globally") {
-    val p = plan("docs_pack_shards")
+  test("shard packing's corpus window is bucket-partitioned; offsets are driver metadata, no global window") {
+    val qe = SparkEntry.queries("docs_pack_shards")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
     // the per-row cumulative sum must carry the bucket partition key
     assert(p.contains("Window ") && p.contains("windowspecdefinition"), p.take(4000))
     val corpusWindows = p.linesIterator.filter(l =>
       l.contains("Window ") && l.contains("__cum")).toSeq
     assert(corpusWindows.forall(_.contains("__b")),
       s"corpus cumsum window lost its bucket partition key:\n${corpusWindows.mkString("\n")}")
+    // round 10: the bucket-totals prefix moved to driver arithmetic
+    // (the IntervalAgg offsets idiom) — NO empty-partition window may
+    // remain anywhere in the plan
+    val globals = qe.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.isEmpty, s"pack_shards regained a global window: $globals")
   }
 }

@@ -57,20 +57,19 @@ class RegistryPlanGateSpec extends SparkSpec {
 
   /** Allowlisted EMPTY-partition windows, each over a metadata-sized
     * frame, not the corpus:
-    *  - docs_pack_shards — the two-level prefix sum's second level:
-    *    a running sum over PER-BUCKET TOTALS (one row per id bucket;
-    *    the corpus-sized first level is partitioned by bucket —
-    *    ShardPacker's whole design);
     *  - docs_term_rank — row_number over an already-LIMIT-50 frame
     *    (the TakeOrdered output), bounded by construction.
     *
     * q_range_join / q_range_join_strict used to be here (IntervalAgg's
     * bucket-offset window over the dense bucket frame); round 9 moved
     * that prefix to driver-side arithmetic over the collected bucket
-    * totals, so those plans now carry NO empty-partition window and
-    * the gate polices them like everything else. */
+    * totals. docs_pack_shards followed in round 10 (ShardPacker's
+    * bucket-totals window was the source of every "No Partition
+    * Defined" warning in the ladder logs — AQE re-logs the
+    * planning-time warning at each re-optimization, ~8× per
+    * execution), so the gate now polices both like everything else. */
   private val boundedGlobalWindows =
-    Set("docs_pack_shards", "docs_term_rank")
+    Set("docs_term_rank")
 
   /** Queries whose semantics filter a base-table scan; each must keep
     * a non-empty `PushedFilters` on at least one parquet scan. Pinned
