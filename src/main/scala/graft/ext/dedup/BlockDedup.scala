@@ -98,10 +98,14 @@ object BlockDedup {
 
   /** [[dedupNgrams]] with the first-occurrence shuffle keyed by
     * `xxhash64(gram)` instead of the gram string — the production
-    * posture at 100 TB: the dominant shuffle carries (doc, pos,
-    * 8-byte key) instead of (doc, pos, ~W·avg-token-bytes string),
-    * ~20× narrower at W=20 (measured per rung in
-    * NGRAM_HASHED_ISOLATED.json). The trade is hash collisions: two
+    * posture at 100 TB: the gram-keyed exchange carries (doc, pos,
+    * 8-byte key) instead of (doc, pos, ~W·avg-token-bytes string).
+    * Measured in the ladder (SCALE_BENCH_SF100_REFORCED.json): the
+    * QUERY's total shuffle roughly halves (the coverage-join and
+    * reassembly shuffles are identical in both variants and make up
+    * the rest); the gram exchange itself — the entire delta — drops
+    * ~17× (~130-byte grams → 8-byte keys). The trade is hash
+    * collisions: two
     * DIFFERENT grams sharing a 64-bit hash would dedup as one. At the
     * test corpora the output is pinned identical to the exact-string
     * form (NgramHashParitySpec); at 100 TB scale (~10¹² grams) the
