@@ -35,6 +35,27 @@ class NgramHashParitySpec extends SparkSpec {
       rows(BlockDedup.dedupNgrams(planted, "doc_id", "text", 20)))
   }
 
+  test("property: parity on random heavy-duplication corpora (fixed seeds)") {
+    // tiny vocabulary + short W force dense gram collisions ACROSS
+    // docs (the regime where a keying bug would diverge); fixed-seed
+    // sampled generation per the PropertySpec idiom (the scalatest-
+    // scalacheck bridge artifact is not on the offline classpath)
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val vocab = Seq("aa", "bb", "cc", "dd", "ee")
+    val docGen = Gen.listOfN(12,
+      Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab))))
+    (0 until 4).foreach { i =>
+      val docs = docGen(Gen.Parameters.default, Seed(7L + i))
+        .getOrElse(fail("generator exhausted"))
+        .zipWithIndex.map { case (ts, id) => (id.toLong, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      assert(rows(BlockDedup.dedupNgramsHashed(docs, "doc_id", "text", 4)) ==
+        rows(BlockDedup.dedupNgrams(docs, "doc_id", "text", 4)),
+        s"seed ${7L + i}")
+    }
+  }
+
   test("the first-occurrence window keys by the 8-byte hash, not the gram string") {
     def winKeyTypes(df: org.apache.spark.sql.DataFrame) =
       df.queryExecution.sparkPlan.collect {
