@@ -40,7 +40,8 @@ for r in rungs:
 
 ARRAY_KEYS = ["sec", "rows", "shuffle_write_mb", "shuffle_read_mb",
               "mem_spill_mb", "disk_spill_mb", "input_read_mb", "lsh_stats",
-              "planted_recall", "upsert_io"]
+              "planted_recall", "upsert_io", "gram_hash_stats",
+              "scratch_free_gb"]
 queries = {}
 for name in names:
     cells = [(r or {}).get("queries", {}).get(name) for r in rungs]
@@ -89,7 +90,16 @@ merged = {
                      else None),
     "reps": first.get("reps"),
     "cpus": first.get("cpus"),
-    "initial_partitions": first.get("initial_partitions"),
+    # round 11: per-rung shuffle sizing — each single-rung artifact
+    # carries one-element arrays (older rungs: a scalar; normalized)
+    "initial_partitions": [
+        (lambda v: v[0] if isinstance(v, list) and v else v)(
+            (r or {}).get("initial_partitions")) for r in rungs],
+    "advisory_mb": [
+        (lambda v: v[0] if isinstance(v, list) and v else v)(
+            (r or {}).get("advisory_mb")) for r in rungs],
+    "scratch": {k: v for r in rungs if r
+                for k, v in (r.get("scratch") or {}).items()},
     "heap": first.get("heap"),
     "forcing": "count(*) + bit_xor(xxhash64(all output columns))",
     "gen_sec": [(r or {}).get("gen_sec", [None])[0] for r in rungs],

@@ -288,7 +288,7 @@ object CurationQueries {
     * interpolated site of the oracle SQL (round-9 ADVICE: the SQL
     * hardcoded 20/19 in four places, so changing one side silently
     * broke parity). */
-  private val NgramW = 20
+  private[graft] val NgramW = 20
 
   private def qNgramDedup(s: SparkSession, dir: String): DataFrame =
     BlockDedup.dedupNgrams(Tables(s, dir, "documents"), "doc_id", "text",

@@ -25,6 +25,7 @@ object Tables {
     graft.functions.FloatVectorDot.register(spark)
     graft.functions.SimHash64.register(spark)
     graft.functions.TopKFreq.register(spark)
+    graft.plans.GraftTableFunctions.register(spark)
   }
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {

@@ -121,6 +121,58 @@ object BlockDedup {
       gramTokens: Int = 20): DataFrame =
     dedupNgramsKeyed(docs, idCol, textCol, gramTokens, hashKey = true)
 
+  /** Empirical collision measurement for the hashed key width
+    * (round-10 verdict task 6): exact distinct gram strings vs
+    * distinct 64-bit keys over the SAME gram frame the dedup
+    * shuffles, so the in-code birthday bound (~3·10⁴ colliding pairs
+    * per 10¹² grams) becomes a measured number per ladder rung.
+    * `collided_grams = distinct_grams − distinct_hashes` counts grams
+    * that share a key with a different gram minus one per collision
+    * group — zero iff the hashed form's output is provably identical
+    * to the string form's on this corpus. One untimed stats pass; the
+    * two exact count-distincts ride one Expand aggregation and the
+    * gram-string exchange it implies is why this is a stats pass, not
+    * part of the measured query. */
+  case class GramHashStats(
+      grams: Long, distinctGrams: Long, distinctHashes: Long) {
+    def collidedGrams: Long = distinctGrams - distinctHashes
+    def json: String =
+      s"""{"grams":$grams,"distinct_grams":$distinctGrams,""" +
+        s""""distinct_hashes":$distinctHashes,"collided_grams":$collidedGrams}"""
+  }
+
+  def gramHashStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramTokens: Int = 20): GramHashStats = {
+    val r = stringGrams(docs, idCol, textCol, gramTokens)
+      .agg(count(lit(1)).as("g"),
+        count_distinct(col("gram")).as("dg"),
+        count_distinct(xxhash64(col("gram"))).as("dh"))
+      .head()
+    GramHashStats(r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  /** (doc, pos, gram-string) at every start position p ∈ [0, n−W];
+    * docs with n < W have none (sequence() would walk backwards —
+    * same guard as dedupBlocks' empty case). */
+  private def stringGrams(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    docs.select(
+      col(idCol).as("doc"),
+      posexplode(
+        when(size(toks) < w, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0), size(toks) - w),
+            i => concat_ws(" ", slice(toks, i + 1, lit(w)))))))
+      .select(col("doc"), col("pos"), col("col").as("gram"))
+  }
+
   private def dedupNgramsKeyed(
       docs: DataFrame,
       idCol: String,
@@ -129,22 +181,14 @@ object BlockDedup {
       hashKey: Boolean): DataFrame = {
     val w = gramTokens
     val toks = TextFunctions.tokens(col(textCol))
-    // grams at every start position p ∈ [0, n−W]; docs with n < W
-    // have none (sequence() would walk backwards — same guard as
-    // dedupBlocks' empty case)
-    // the gram key is projected BEFORE the shuffle: the hashed form
-    // never carries the gram string into the exchange
-    val gramKey =
-      if (hashKey) (g: org.apache.spark.sql.Column) => xxhash64(g)
-      else (g: org.apache.spark.sql.Column) => g
-    val grams = docs.select(
-      col(idCol).as("doc"),
-      posexplode(
-        when(size(toks) < w, array().cast("array<string>"))
-          .otherwise(transform(
-            sequence(lit(0), size(toks) - w),
-            i => concat_ws(" ", slice(toks, i + 1, lit(w)))))))
-      .select(col("doc"), col("pos"), gramKey(col("col")).as("gram"))
+    // the gram key is projected BEFORE the shuffle (projection
+    // collapsing folds the hash into the explode-side select): the
+    // hashed form never carries the gram string into the exchange
+    val grams0 = stringGrams(docs, idCol, textCol, w)
+    val grams =
+      if (hashKey)
+        grams0.select(col("doc"), col("pos"), xxhash64(col("gram")).as("gram"))
+      else grams0
     val dupStarts = grams.withColumn("rk",
         row_number().over(
           Window.partitionBy(col("gram"))

@@ -175,7 +175,7 @@ object QualityClassifier {
       maxRefId: Long, iters: Int, source: String): Array[Long] =
     refModelMemo.getOrElseUpdate(
       source + "@" + graft.ext.similarity.IvfKNN.snapshotToken(docs) +
-        "#" + maxRefId + "#" + iters,
+        "#" + idCol + "#" + textCol + "#" + maxRefId + "#" + iters,
       train(docs.filter(col(idCol) < maxRefId), idCol, textCol, iters))
 
   /** Drop the reference-model memo (ScaleBench min-of-N builds: the

@@ -57,21 +57,27 @@ object ShardPacker {
     * aggregate (two scalars of metadata — parquet stats answer it).
     * The OUTPUT is width-invariant — bucketing only decomposes the
     * global prefix sum, `cum_tokens` is the same partial sums in any
-    * decomposition — so the oracle needs no width mirror. */
+    * decomposition — so the oracle needs no width mirror. An EXPLICIT
+    * `bucketWidth` is therefore a parallelism hint, not a contract:
+    * it is clamped up to the adaptive minimum whenever it would yield
+    * more than `targetBuckets` buckets, because step 3's totals land
+    * on the driver and an unclamped small width against a wide id
+    * range (idRange/width rows) could OOM it — the min/max aggregate
+    * runs in both modes to enforce the bound. */
   def packShards(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       budget: Long,
       bucketWidth: Long = 0): DataFrame = {
-    val width =
-      if (bucketWidth > 0) bucketWidth
-      else {
-        val r = docs.agg(min(col(idCol)).cast("long").as("mn"),
-          max(col(idCol)).cast("long").as("mx")).head()
+    val width = {
+      val r = docs.agg(min(col(idCol)).cast("long").as("mn"),
+        max(col(idCol)).cast("long").as("mx")).head()
+      val adaptiveMin =
         if (r.isNullAt(0)) 100L
         else math.max(100L, (r.getLong(1) - r.getLong(0)) / targetBuckets + 1)
-      }
+      if (bucketWidth > 0) math.max(bucketWidth, adaptiveMin) else adaptiveMin
+    }
     // exact integer bucket id — the shared IntervalAgg.bucketOf
     // floor-division idiom (float division's ulp at huge ids can
     // misroute boundary rows)
@@ -84,9 +90,14 @@ object ShardPacker {
       sum(col("n_tokens")).over(
         Window.partitionBy(col("__b")).orderBy(col(idCol))))
     // bucket totals → driver: bounded at targetBuckets+1 rows by the
-    // adaptive width, so the exclusive running sum is scalar
-    // arithmetic, not a plan node. A null bucket id (null doc id)
-    // never matched the offsets join before and is skipped here too.
+    // (clamped-)adaptive width, so the exclusive running sum is scalar
+    // arithmetic, not a plan node. A null bucket id (null doc id) is
+    // dropped entirely: its rows never matched the offsets join in any
+    // form, and — a deliberate behavior CHANGE from the round-9 window
+    // form, whose NULLS FIRST ordering folded the null bucket's total
+    // into every real bucket's offset — its tokens no longer count
+    // toward cum_tokens either (an id-less document cannot occupy a
+    // position in the id-ordered layout).
     val totals = base
       .groupBy(col("__b")).agg(sum(col("n_tokens")).as("__tot"))
       .collect()

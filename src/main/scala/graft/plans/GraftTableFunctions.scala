@@ -1,0 +1,142 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** SQL-callable table functions for the big graft operators (round-10
+  * verdict task 4): the scale paths were Scala-only entry points, so a
+  * SQL-first user writing the naive form got the naive plan —
+  * [[RangeJoinRewrite]] rescues naive inequality joins automatically,
+  * but there is no naive SQL spelling of "repeated-n-gram dedup" or
+  * "token-budget shard packing" to rescue. These table-valued
+  * functions expose the operators as plain `spark.sql` text:
+  *
+  * {{{
+  *   SELECT * FROM graft_dedup_ngrams_hashed('documents', 'doc_id', 'text', 20)
+  *   SELECT * FROM graft_pack_shards('documents', 'doc_id', 'text', 4096)
+  *   SELECT * FROM graft_count_sum('events', 'ts', 'value',
+  *                                 'windows', 'w_id', 'w_start', 'w_end', 3600)
+  * }}}
+  *
+  * Each builder resolves its table argument against the session
+  * catalog (`SparkSession.active.table`) and returns the SAME logical
+  * plan the Scala entry point builds — asserted plan-identical in
+  * SqlApiSpec — so the SQL path inherits every scale property the
+  * ladder measured (8-byte gram keys, driver-arithmetic offsets,
+  * two-level prefix sums).
+  *
+  * Registered via [[GraftExtensions]]
+  * (`spark.sql.extensions=graft.plans.GraftExtensions`), the same
+  * entry point that injects the optimizer rules.
+  *
+  * Contract notes:
+  *  - arguments must be literals (the TVF position admits no column
+  *    references — there is no row context);
+  *  - the eager-construction operators (pack_shards, count_sum) run
+  *    their bounded metadata jobs (min/max id aggregate, bucket-totals
+  *    collect) at ANALYSIS time, when the builder executes — the same
+  *    eager contract as their Scala entry points, surfaced at
+  *    `spark.sql(...)` instead of first action.
+  */
+object GraftTableFunctions {
+
+  /** All graft TVFs as (identifier, info, builder) rows — the exact
+    * shape [[SparkSessionExtensions.injectTableFunction]] takes. */
+  def all: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan)] = Seq(
+    tvf("graft_dedup_ngrams_hashed",
+      "graft_dedup_ngrams_hashed(table, idCol, textCol, gramTokens) - " +
+        "shift-robust repeated-n-gram dedup, hash-keyed shuffle " +
+        "(BlockDedup.dedupNgramsHashed)") { args =>
+      requireArgs(args, 4, "graft_dedup_ngrams_hashed")
+      graft.ext.dedup.BlockDedup.dedupNgramsHashed(
+        tableArg(args(0), "graft_dedup_ngrams_hashed"),
+        strArg(args(1), "graft_dedup_ngrams_hashed", "idCol"),
+        strArg(args(2), "graft_dedup_ngrams_hashed", "textCol"),
+        longArg(args(3), "graft_dedup_ngrams_hashed", "gramTokens").toInt)
+    },
+    tvf("graft_pack_shards",
+      "graft_pack_shards(table, idCol, textCol, tokenBudget) - " +
+        "token-budget shard assignment via the two-level distributed " +
+        "prefix sum (ShardPacker.packShards)") { args =>
+      requireArgs(args, 4, "graft_pack_shards")
+      graft.ext.text.ShardPacker.packShards(
+        tableArg(args(0), "graft_pack_shards"),
+        strArg(args(1), "graft_pack_shards", "idCol"),
+        strArg(args(2), "graft_pack_shards", "textCol"),
+        longArg(args(3), "graft_pack_shards", "tokenBudget"))
+    },
+    tvf("graft_count_sum",
+      "graft_count_sum(pointsTable, tsCol, valueCol, intervalsTable, " +
+        "idCol, startCol, endCol, bucketWidthSec) - per-interval " +
+        "count+sum of points via the linear two-level prefix sum " +
+        "instead of an O(points x intervals) range join " +
+        "(IntervalAgg.countSum; closed on both ends)") { args =>
+      requireArgs(args, 8, "graft_count_sum")
+      graft.operators.IntervalAgg.countSum(
+        tableArg(args(0), "graft_count_sum"),
+        tableArg(args(3), "graft_count_sum"),
+        pointTs = strArg(args(1), "graft_count_sum", "tsCol"),
+        valueCol = strArg(args(2), "graft_count_sum", "valueCol"),
+        idCol = strArg(args(4), "graft_count_sum", "idCol"),
+        startCol = strArg(args(5), "graft_count_sum", "startCol"),
+        endCol = strArg(args(6), "graft_count_sum", "endCol"),
+        bucketWidthSec = longArg(args(7), "graft_count_sum", "bucketWidthSec"))
+    })
+
+  private def tvf(name: String, usage: String)(
+      build: Seq[Expression] => DataFrame)
+      : (FunctionIdentifier, ExpressionInfo,
+         Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(getClass.getCanonicalName, name, usage),
+      args => build(args).queryExecution.logical)
+
+  private def requireArgs(
+      args: Seq[Expression], n: Int, fn: String): Unit =
+    require(args.length == n,
+      s"$fn expects $n arguments, got ${args.length}")
+
+  /** A table argument is a literal table/view NAME resolved against
+    * the current catalog — the analysis-time analogue of
+    * `spark.table(name)`. (TVF argument positions carry expressions,
+    * not relations, so the name travels as a string literal.) */
+  private def tableArg(e: Expression, fn: String): DataFrame =
+    SparkSession.active.table(strArg(e, fn, "table"))
+
+  private def strArg(e: Expression, fn: String, arg: String): String = {
+    require(e.foldable, s"$fn: argument '$arg' must be a literal, got $e")
+    val v = e.eval()
+    require(v != null, s"$fn: argument '$arg' must not be null")
+    v.toString
+  }
+
+  private def longArg(e: Expression, fn: String, arg: String): Long = {
+    require(e.foldable, s"$fn: argument '$arg' must be a literal, got $e")
+    e.eval() match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case other =>
+        throw new IllegalArgumentException(
+          s"$fn: argument '$arg' must be an integer literal, got $other")
+    }
+  }
+
+  /** Register every graft TVF on an extensions hook. */
+  def register(e: SparkSessionExtensions): Unit =
+    all.foreach(e.injectTableFunction)
+
+  /** Register on a LIVE session (extensions only apply at session
+    * build): the table-function registry is session state like the
+    * scalar-function registry [[graft.functions.FloatVectorDot]]
+    * registers into, so [[graft.Tables.registerViews]] installs these
+    * the same way. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, info, builder) =>
+      spark.sessionState.tableFunctionRegistry
+        .registerFunction(id, info, builder)
+    }
+}

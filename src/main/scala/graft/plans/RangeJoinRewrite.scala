@@ -163,6 +163,11 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   * `spark.sql.extensions=graft.plans.GraftExtensions` injects the
   * graft optimizer rules into every session built with it. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RangeJoinRewrite)
+    // SQL-callable table functions for the big operators (round-10
+    // verdict task 4): graft_dedup_ngrams_hashed / graft_pack_shards /
+    // graft_count_sum
+    GraftTableFunctions.register(e)
+  }
 }

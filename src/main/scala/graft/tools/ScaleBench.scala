@@ -89,8 +89,13 @@ object ScaleBench {
     "docs_embed_knn",        // text→hashed-idf vector→JL→exact cosine KNN
     "docs_quality_clf",      // iterated-agg trained classifier + corpus score
     "docs_quality_clf_ref",  // scoring vs the fixed at-rest model (flat training)
-    "docs_ngram_dedup",      // stride-1 repeated-n-gram removal (shift-robust)
-    "docs_ngram_dedup_hashed", // same pass, 8-byte gram-hash shuffle key
+    // hashed (production-width) form FIRST: the string form is the
+    // oracle-only contrast row and the rung's most disk-hungry shuffle
+    // (27 GB + ~25 GB spill at sf100 — it ENOSPC'd the round-10 rung);
+    // running it after its production twin means a disk-gate skip
+    // costs the contrast cell, never the production measurement
+    "docs_ngram_dedup_hashed", // stride-1 repeated-n-gram removal, 8-byte gram-hash shuffle key
+    "docs_ngram_dedup",      // same pass at exact-string width (oracle path)
     // second-to-last: the bigram-LM model join is corpus-sized on
     // BOTH sides under the Heaps-law synthetic vocabulary (most
     // bigrams are unique), so it carries the same OOM class as the
@@ -152,7 +157,9 @@ object ScaleBench {
   private case class QueryPoint(
       name: String, err: Option[String], best: Option[Rep],
       mineStats: Option[graft.ext.dedup.NearDup.MineStats],
-      recall: Option[RecallSampler.Recall])
+      recall: Option[RecallSampler.Recall],
+      gramStats: Option[graft.ext.dedup.BlockDedup.GramHashStats] = None,
+      scratchFreeGb: Option[Double] = None)
 
   /** The registered LSH miners' exact parameters, replayed through
     * the WithStats entry points for the untimed candidate-stats pass;
@@ -224,14 +231,36 @@ object ScaleBench {
     // coalesces small partitions back up, so per-task state is
     // bounded at every rung while small rungs keep big-partition
     // efficiency — exactly what a production cluster config does.
-    val initialParts = 512
+    //
+    // Round 11 (verdict task 1 — the sf100 spill-onset class): BOTH
+    // knobs now scale with the rung, set per-rung at runtime (they
+    // are SQL confs):
+    //  - initialPartitionNum grows linearly past sf10 (512 at sf10 —
+    //    unchanged, cross-round comparable — ~1618 at sf31.6, 5120 at
+    //    sf100), so a corpus-sized shuffle CAN be split finer;
+    //  - the AQE advisory target shrinks past sf10 (64 MB at sf10 →
+    //    16 MB at sf100): AQE coalesces by serialized target size, so
+    //    a bigger initial count alone re-merges to the same ~64 MB
+    //    tasks — and 64 MB serialized is ~5-10× that deserialized in
+    //    window/agg state, which under 24 g ÷ 32 concurrent tasks is
+    //    exactly the spill-onset regime the round-10 ladder measured
+    //    (docs_embed_knn 101 GB memory spill at sf100). Shrinking the
+    //    advisory target is the local-mode analogue of a cluster
+    //    scaling executors with the data: per-task state stays at its
+    //    sf10 level at every rung.
+    def initialPartsFor(sf: Double): Int =
+      math.max(512L, math.round(512.0 * sf / 10.0)).toInt
+    def advisoryMbFor(sf: Double): Int =
+      math.max(16L, math.round(64.0 / math.max(1.0, sf / 10.0))).toInt
     val spark = SparkSession.builder()
       .appName("graft-scalebench")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        initialParts)
+        initialPartsFor(sfs.max))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        s"${advisoryMbFor(sfs.max)}m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -260,6 +289,27 @@ object ScaleBench {
 
     val selected = heavy.filter(q => only.forall(_.contains(q)) && !skip(q))
     val upsertQueries = Set("etl_upsert", "etl_upsert_partitioned")
+
+    // Within-rung scratch-disk management (round-10 verdict task 2:
+    // two consecutive rounds an sf100 cell died on host ENOSPC from
+    // shuffle scratch accumulated by EARLIER rows in the same rung
+    // JVM). Three parts:
+    //  - a pre-row free-disk gate: a row scheduled when free scratch
+    //    is below the floor is SKIPPED with an explicit recorded
+    //    decision instead of dying mid-shuffle and voiding the cell;
+    //  - a System.gc() between rows: shuffle files are deleted by the
+    //    ContextCleaner only after their ShuffleDependency is GC'd, so
+    //    an explicit collection between rows releases the previous
+    //    rows' scratch instead of letting it stack until the JVM
+    //    happens to collect;
+    //  - per-rung high-water accounting in the artifact (free at rung
+    //    start, minimum observed, the delta = scratch high-water).
+    val scratchDir = sys.env.get("SPARK_LOCAL_DIRS")
+      .map(_.split(",").head).filter(_.nonEmpty)
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    def freeGb: Double =
+      math.rint(new java.io.File(scratchDir).getUsableSpace / 1e8) / 10
+    val minFreeGb = sys.env.getOrElse("SPARK_GRAFT_MIN_FREE_GB", "20").toDouble
 
     // at-rest builds at min-of-N too: they are single-shot by design
     // (they land in the memos the query loop consumes), which made
@@ -291,11 +341,22 @@ object ScaleBench {
     // heavy loop at min-of-N — identical shape to graft.Bench
     def measure(dir: String, sf: Double)
         : (Seq[(String, Either[String, Double])], Seq[QueryPoint]) = {
+      // per-rung shuffle sizing (both are runtime SQL confs): see the
+      // session-builder comment
+      spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initialPartsFor(sf).toString)
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        s"${advisoryMbFor(sf)}m")
       val builds = if (only.isEmpty) measureBuilds(dir) else Seq.empty
       val qs = selected.map { name =>
         val fn = graft.SparkEntry.queries(name)
+        val freeBefore = freeGb
         val repsSeen = Seq.newBuilder[Rep]
         var err: Option[String] = None
+        if (freeBefore < minFreeGb)
+          err = Some(s"SKIPPED by disk gate: scratch free ${freeBefore}GB < " +
+            s"${minFreeGb}GB floor (explicit decision, not a crash)")
         var r = 0
         while (r < reps && err.isEmpty) {
           if (upsertQueries(name)) graft.sinks.ParquetUpsertSink.resetIoStats()
@@ -326,13 +387,32 @@ object ScaleBench {
             try mineStatsFor(spark, dir, sf, name)
             catch { case _: Throwable => (None, None) }
           else (None, None)
+        // hash-collision accounting for the hashed gram key (round-10
+        // verdict task 6): one untimed stats pass per rung turns the
+        // in-code birthday bound into a measured number. Gated on the
+        // disk floor like the queries — its gram-string exchange is
+        // the widest shuffle in the rung.
+        val gstats =
+          if (name == "docs_ngram_dedup_hashed" && err.isEmpty &&
+              freeGb >= minFreeGb)
+            try Some(graft.ext.dedup.BlockDedup.gramHashStats(
+              graft.Tables(spark, dir, "documents"), "doc_id", "text",
+              graft.CurationQueries.NgramW))
+            catch { case _: Throwable => None }
+          else None
+        // release the row's shuffle scratch before the next row: the
+        // ContextCleaner deletes shuffle files only after their
+        // dependencies are GC'd
+        System.gc()
         // progress to stderr: a 30-minute detached run must be
         // observable before its final JSON line
         System.err.println(s"[scalebench] $dir $name " +
           best.map(r => f"${r.sec}%.2fs").getOrElse("-") +
           recall.map(rc => s" recall=${rc.rate}").getOrElse("") +
+          gstats.map(g => s" collided_grams=${g.collidedGrams}").getOrElse("") +
+          s" free=${freeGb}GB" +
           err.map(e => s" ERROR $e").getOrElse(""))
-        QueryPoint(name, err, best, stats, recall)
+        QueryPoint(name, err, best, stats, recall, gstats, Some(freeBefore))
       }
       (builds, qs)
     }
@@ -428,6 +508,12 @@ object ScaleBench {
         if (points.exists(_.mineStats.isDefined))
           s""","lsh_stats":[${points.map(_.mineStats.map(_.json).getOrElse("null")).mkString(",")}]"""
         else ""
+      val gram =
+        if (points.exists(_.gramStats.isDefined))
+          s""","gram_hash_stats":[${points.map(_.gramStats.map(_.json).getOrElse("null")).mkString(",")}]"""
+        else ""
+      val scratch =
+        s""","scratch_free_gb":[${points.map(_.scratchFreeGb.map(_.toString).getOrElse("null")).mkString(",")}]"""
       val rec =
         if (points.exists(_.recall.isDefined))
           s""","planted_recall":[${points.map(_.recall.map(_.json).getOrElse("null")).mkString(",")}]"""
@@ -436,7 +522,7 @@ object ScaleBench {
         if (points.exists(_.best.exists(_.upsertIo.isDefined)))
           s""","upsert_io":[${points.map(_.best.flatMap(_.upsertIo).map(_.json).getOrElse("null")).mkString(",")}]"""
         else ""
-      "\"" + name + "\":{" + base + errs + mine + rec + io + "}"
+      "\"" + name + "\":{" + base + errs + mine + gram + scratch + rec + io + "}"
     }.mkString("{", ",", "}")
 
     def buildJson(bs: Seq[(String, Either[String, Double])]) =
@@ -459,11 +545,26 @@ object ScaleBench {
         s""""note":"full run (builds + streaming) with queries skipped by """ +
           s"""design: ${skip.toSeq.sorted.mkString(",")}","""
       else ""
+    // per-rung scratch summary: free at rung start (first measured
+    // row's pre-check), minimum pre-row free seen in the rung, and
+    // their delta — the rung's scratch high-water (verdict task 2:
+    // "record scratch high-water per rung in the artifact")
+    val scratchJson = measured.map { case (sf, _, _, qs) =>
+      val frees = qs.flatMap(_.scratchFreeGb)
+      val start = frees.headOption.getOrElse(freeGb)
+      val mn = if (frees.nonEmpty) frees.min else start
+      s""""sf$sf":{"dir":"$scratchDir","free_gb_start":$start,""" +
+        s""""free_gb_min":$mn,"high_water_gb":${ms(start - mn)},""" +
+        s""""gate_floor_gb":$minFreeGb}"""
+    }.mkString("{", ",", "}")
     val detail =
       s"""{"metric":"scale_curve",$note"sfs":[${sfs.mkString(",")}],""" +
         s""""gen_version":"${SynthGen.version}",""" +
         s""""corpus_ratio":${ms(sfs.max / sfs.min)},"reps":$reps,""" +
-        s""""cpus":$cpus,"initial_partitions":$initialParts,""" +
+        s""""cpus":$cpus,""" +
+        s""""initial_partitions":[${sfs.map(initialPartsFor).mkString(",")}],""" +
+        s""""advisory_mb":[${sfs.map(advisoryMbFor).mkString(",")}],""" +
+        s""""scratch":$scratchJson,""" +
         s""""heap":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",""" +
         s""""gen_sec":[${measured.map(m => ms(m._2)).mkString(",")}],""" +
         s""""codebook_residency":$codebookJson,$streamingJson""" +

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** SQL-first API surface: everything the DataFrame registry does is
@@ -40,5 +41,101 @@ class SqlApiSpec extends SparkSpec {
     val exact = Tables(spark, sf, "events").groupBy($"event_type").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(hh == exact)
+  }
+
+  // ------------------------------------------------- table functions
+  // Round-10 verdict task 4: the big operators as SQL table-valued
+  // functions. "Done" = callable from spark.sql with the SQL path
+  // producing the ORACLE-IDENTICAL PLAN — asserted below as
+  // canonicalized-optimized-plan equality against the Scala entry
+  // point, which is strictly stronger than result equality.
+
+  private def assertSamePlanAndRows(
+      viaSql: org.apache.spark.sql.DataFrame,
+      viaScala: org.apache.spark.sql.DataFrame,
+      sortCols: Seq[String]): Unit = {
+    assert(
+      viaSql.queryExecution.optimizedPlan.canonicalized ==
+        viaScala.queryExecution.optimizedPlan.canonicalized,
+      s"SQL plan:\n${viaSql.queryExecution.optimizedPlan}\n" +
+        s"Scala plan:\n${viaScala.queryExecution.optimizedPlan}")
+    val a = viaSql.orderBy(sortCols.map(col): _*).collect()
+    val b = viaScala.orderBy(sortCols.map(col): _*).collect()
+    assert(a.sameElements(b), s"rows differ: sql=${a.length} scala=${b.length}")
+  }
+
+  test("TVF graft_dedup_ngrams_hashed: plan-identical to BlockDedup") {
+    Tables.registerViews(spark, sf)
+    assertSamePlanAndRows(
+      spark.sql("SELECT * FROM graft_dedup_ngrams_hashed(" +
+        "'documents', 'doc_id', 'text', 20)"),
+      graft.ext.dedup.BlockDedup.dedupNgramsHashed(
+        spark.table("documents"), "doc_id", "text", 20),
+      Seq("doc_id"))
+  }
+
+  test("TVF graft_pack_shards: plan-identical to ShardPacker") {
+    Tables.registerViews(spark, sf)
+    assertSamePlanAndRows(
+      spark.sql("SELECT * FROM graft_pack_shards(" +
+        "'documents', 'doc_id', 'text', 512)"),
+      graft.ext.text.ShardPacker.packShards(
+        spark.table("documents"), "doc_id", "text", budget = 512),
+      Seq("doc_id"))
+  }
+
+  test("TVF graft_count_sum: plan-identical to IntervalAgg.countSum") {
+    Tables.registerViews(spark, sf)
+    val ev = spark.table("events")
+    ev.filter($"event_type" === "error").select(
+        $"event_id".as("err_id"), $"ts".as("w_start"),
+        ($"ts" + expr("INTERVAL 5 MINUTES")).as("w_end"))
+      .createOrReplaceTempView("tvf_err")
+    ev.filter($"event_type" === "purchase")
+      .select($"ts".as("p_ts"), $"value".as("p_value"))
+      .createOrReplaceTempView("tvf_purch")
+    assertSamePlanAndRows(
+      spark.sql("SELECT * FROM graft_count_sum(" +
+        "'tvf_purch', 'p_ts', 'p_value', " +
+        "'tvf_err', 'err_id', 'w_start', 'w_end', 300)"),
+      graft.operators.IntervalAgg.countSum(
+        spark.table("tvf_purch"), spark.table("tvf_err"),
+        "p_ts", "p_value", "err_id", "w_start", "w_end",
+        bucketWidthSec = 300L),
+      Seq("err_id"))
+  }
+
+  test("TVF arguments must be literals (no row context in TVF position)") {
+    Tables.registerViews(spark, sf)
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM graft_pack_shards(concat('docu', rand()), 'a', 'b', 1)")
+    }
+    assert(e.getMessage.contains("must be a literal"), e.getMessage)
+  }
+
+  test("GraftExtensions installs the TVFs at session build") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      // the RangeJoinRuleSpec idiom: withExtensions is the
+      // programmatic twin of spark.sql.extensions=GraftExtensions
+      // (the string conf is static — read at context build)
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.plans.GraftExtensions)
+        .getOrCreate()
+      Seq("graft_dedup_ngrams_hashed", "graft_pack_shards",
+          "graft_count_sum").foreach { f =>
+        assert(s2.sessionState.tableFunctionRegistry
+          .functionExists(FunctionIdentifier(f)), s"missing TVF $f")
+      }
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
   }
 }
