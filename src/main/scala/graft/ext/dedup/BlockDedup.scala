@@ -179,24 +179,83 @@ object BlockDedup {
       textCol: String,
       gramTokens: Int,
       hashKey: Boolean): DataFrame = {
-    val w = gramTokens
-    val toks = TextFunctions.tokens(col(textCol))
-    // the gram key is projected BEFORE the shuffle (projection
-    // collapsing folds the hash into the explode-side select): the
-    // hashed form never carries the gram string into the exchange
-    val grams0 = stringGrams(docs, idCol, textCol, w)
-    val grams =
-      if (hashKey)
-        grams0.select(col("doc"), col("pos"), xxhash64(col("gram")).as("gram"))
-      else grams0
+    val grams = keyedGrams(docs, idCol, textCol, gramTokens, hashKey)
     val dupStarts = grams.withColumn("rk",
         row_number().over(
           Window.partitionBy(col("gram"))
             .orderBy(col("doc"), col("pos"))))
       .filter(col("rk") > 1)
       .select(col("doc"), col("pos"), lit(1).as("dup"))
-    // token t is covered iff a duplicated gram STARTS in
-    // [t−(W−1), t] — a running max over a bounded frame
+    assembleKept(docs, idCol, textCol, gramTokens, dupStarts)
+  }
+
+  /** Cross-batch incremental form of [[dedupNgramsHashed]] (the
+    * streaming twin's per-batch kernel): a gram is duplicated if an
+    * earlier occurrence exists WITHIN this batch (the batch window)
+    * OR its hash is in `seenHashes` — the at-rest state of every
+    * first occurrence from earlier batches. Returns
+    * `(result, newHashes)`:
+    *   - `result` — the batch operator's (id, n_tokens, n_kept,
+    *     text_kept) under the extended duplicate rule;
+    *   - `newHashes` — single `gram` LongType column: this batch's
+    *     first-occurrence hashes NOT already seen, i.e. exactly the
+    *     delta to append to the state table.
+    * Feeding batches in id order makes the union of per-batch
+    * results identical to one [[dedupNgramsHashed]] pass over the
+    * concatenated corpus (first occurrence = lowest (batch, doc,
+    * pos), and batch order refines doc order) — pinned in
+    * StreamingSpec. State is 8 bytes per distinct gram, joined per
+    * batch on the hash (broadcast when small, shuffle when not —
+    * size-gated by AQE like every other join here). */
+  def dedupNgramsHashedIncremental(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramTokens: Int,
+      seenHashes: DataFrame): (DataFrame, DataFrame) = {
+    val grams = keyedGrams(docs, idCol, textCol, gramTokens, hashKey = true)
+    val ranked = grams.withColumn("rk",
+      row_number().over(
+        Window.partitionBy(col("gram"))
+          .orderBy(col("doc"), col("pos"))))
+    val firsts = ranked.filter(col("rk") === 1)
+    val dupStarts = ranked.filter(col("rk") > 1)
+      .select(col("doc"), col("pos"))
+      .union(firsts.join(seenHashes, Seq("gram"), "left_semi")
+        .select(col("doc"), col("pos")))
+      .select(col("doc"), col("pos"), lit(1).as("dup"))
+    val newHashes = firsts.join(seenHashes, Seq("gram"), "left_anti")
+      .select(col("gram"))
+    (assembleKept(docs, idCol, textCol, gramTokens, dupStarts), newHashes)
+  }
+
+  /** (doc, pos, gram-key) — the gram key is projected BEFORE the
+    * shuffle (projection collapsing folds the hash into the
+    * explode-side select): the hashed form never carries the gram
+    * string into the exchange. */
+  private def keyedGrams(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int,
+      hashKey: Boolean): DataFrame = {
+    val grams0 = stringGrams(docs, idCol, textCol, w)
+    if (hashKey)
+      grams0.select(col("doc"), col("pos"), xxhash64(col("gram")).as("gram"))
+    else grams0
+  }
+
+  /** Coverage + reassembly tail shared by the batch and incremental
+    * forms: token t is covered iff a duplicated gram STARTS in
+    * [t−(W−1), t] — a running max over a bounded frame — and kept
+    * tokens rejoin in position order. */
+  private def assembleKept(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int,
+      dupStarts: DataFrame): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
     val positions = docs.select(col(idCol).as("doc"), posexplode(toks))
       .select(col("doc"), col("pos"), col("col").as("tok"))
     val covered = positions

@@ -296,6 +296,92 @@ object StreamingEtl {
       }
       .start()
 
+  /** Streaming quality scoring against the AT-REST classifier model
+    * (round-10 verdict task 5): the frozen
+    * [[graft.ext.text.QualityClassifier.cachedRefTrain]] weights —
+    * 257 longs of plan literals — score every incoming document as a
+    * PURE MAP ([[graft.ext.text.QualityClassifier.scoreMap]]): no
+    * shuffle, no watermark, no state store, so the same model scores
+    * batch corpora and the ingest firehose identically. The model is
+    * trained ONCE at rest and reused across every micro-batch — the
+    * fastText/CCNet posture: model flat in the stream, scoring linear
+    * in it. Output per doc: (idCol, label, margin, pred). */
+  def scoreStream(
+      docStream: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Array[Long]): DataFrame =
+    graft.ext.text.QualityClassifier.scoreMap(docStream, idCol, textCol, w)
+
+  /** Cross-batch hashed-gram dedup (round-10 verdict task 5): the
+    * streaming twin of
+    * [[graft.ext.dedup.BlockDedup.dedupNgramsHashed]]. Structured
+    * Streaming's built-in stateful operators can't express this pass
+    * (dedup state lives on GRAM keys while the output reassembles on
+    * DOC keys — `dropDuplicates` drops the non-first rows the
+    * coverage stage needs), so the state is an explicit AT-REST
+    * hash table under `seenDir` — 8 bytes per distinct gram, the
+    * standard at-rest-index posture of production streaming dedup —
+    * and each micro-batch runs the incremental kernel
+    * ([[graft.ext.dedup.BlockDedup.dedupNgramsHashedIncremental]]):
+    * a gram is duplicated if seen earlier in the batch OR present in
+    * the state table; the batch's genuinely-new first-occurrence
+    * hashes are appended as the state delta.
+    *
+    * Exactly-once: foreachBatch is at-least-once, so BOTH writes land
+    * under a `__batch_id` partition with dynamic partition OVERWRITE
+    * (the [[curationStream]] idiom) and the state read is pinned to
+    * `__batch_id < batchId` — a replayed batch re-reads exactly the
+    * state it saw the first time (its own partially-written delta is
+    * excluded) and rewrites its own partitions idempotently. */
+  def ngramDedupStream(
+      docStream: DataFrame,
+      idCol: String,
+      textCol: String,
+      outDir: String,
+      seenDir: String,
+      checkpointDir: String,
+      gramTokens: Int = 20): org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        // the batch feeds the gram ranking AND the coverage/reassembly
+        // branches — materialize once (the curationStream lesson:
+        // foreachBatch re-executes the upstream per branch)
+        val b = batch.localCheckpoint()
+        val seenP = new org.apache.hadoop.fs.Path(seenDir)
+        val hfs = seenP.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val seen =
+          if (hfs.exists(seenP))
+            s.read.parquet(seenDir)
+              .filter(col("__batch_id") < batchId).select(col("gram"))
+          else
+            s.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("gram",
+                  org.apache.spark.sql.types.LongType, nullable = false))))
+        val (res, newHashes) = graft.ext.dedup.BlockDedup
+          .dedupNgramsHashedIncremental(b, idCol, textCol, gramTokens, seen)
+        // state delta FIRST: if the batch dies between the two writes,
+        // the replay re-reads state < batchId (its own half-written
+        // delta invisible) and overwrites both partitions
+        newHashes.withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id")
+          .parquet(seenDir)
+        res.withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id")
+          .parquet(outDir)
+        ()
+      }
+      .start()
+
   /** Watermarked stream-stream join: each purchase matched to clicks
     * from the same user within the preceding hour. Both sides carry
     * watermarks so join state is bounded and late rows are dropped —

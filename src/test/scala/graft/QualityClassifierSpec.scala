@@ -83,4 +83,27 @@ class QualityClassifierSpec extends SparkSpec {
     assert(m1 eq m2, "memo must return the cached weights")
     assert(m1.sameElements(wRef))
   }
+
+  test("scoreMap (pure-map streaming form) is row-identical to score") {
+    // mixed corpus incl. a blank doc (bias-only margin) and token
+    // multiplicity (cnt > 1 buckets — the fold must count every token)
+    val docs = Seq(
+      (0L, ""),
+      (1L, "the the the and of to in it a is"),
+      (2L, "zzz qqq www xxx yyy zzz zzz"),
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "un deux trois le la les et en du")).toDF("doc_id", "text")
+    val w = QualityClassifier.train(docs, "doc_id", "text", iters = 3)
+    val agg = QualityClassifier.score(docs, "doc_id", "text", w)
+      .orderBy($"doc_id").collect()
+    val map = QualityClassifier.scoreMap(docs, "doc_id", "text", w)
+      .orderBy($"doc_id").collect()
+    assert(agg.sameElements(map),
+      s"agg=${agg.mkString(";")} map=${map.mkString(";")}")
+    // and the map form's plan carries no shuffle — the streaming-safe
+    // property (Exchange never appears in a pure projection)
+    val plan = QualityClassifier.scoreMap(docs, "doc_id", "text", w)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }

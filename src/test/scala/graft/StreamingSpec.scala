@@ -364,4 +364,91 @@ class StreamingSpec extends SparkSpec {
     assert(v1.count() === 2)
     q2.stop()
   }
+
+  test("streaming quality scoring: at-rest model reused across batches, row-identical to batch scoring") {
+    implicit val sqlCtx = spark.sqlContext
+    // the at-rest model: trained ONCE on the fixed snapshot of the
+    // real corpus (the docs_quality_clf_ref posture), then reused by
+    // every micro-batch as plan literals
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val w = graft.ext.text.QualityClassifier.cachedRefTrain(
+      corpus, "doc_id", "text", maxRefId = 5000L, iters = 2,
+      source = "streamscorespec")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingEtl.scoreStream(
+        input.toDS().toDF("doc_id", "text"), "doc_id", "text", w)
+      .writeStream.format("memory").queryName("qscorestream")
+      .outputMode(OutputMode.Append).start()
+    val b1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "zzz qqq www xxx yyy"),
+      (3L, ""))
+    val b2 = Seq(
+      (4L, "the and of to in is it a an"),
+      (5L, "kjhg asdf qwer zxcv poiu"))
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)     // SAME w — the model is not retrained
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("qscorestream")
+      .orderBy($"doc_id").collect()
+    // parity against the BATCH aggregate-form scorer over the union
+    val batch = graft.ext.text.QualityClassifier.score(
+        (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text", w)
+      .orderBy($"doc_id").collect()
+    assert(streamed.sameElements(batch),
+      s"stream=${streamed.mkString(";")} batch=${batch.mkString(";")}")
+  }
+
+  test("cross-batch hashed-gram dedup: stream output equals the batch operator over the concatenated corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("ngramstream")
+    val W = 5
+    val passage = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val b1 = Seq(
+      (1L, s"$passage india juliet"),
+      // shares the 8-token passage with doc 1 at a shifted position:
+      // IN-BATCH dedup must remove exactly the covered tokens
+      (2L, s"kilo lima $passage"))
+    val b2 = Seq(
+      // duplicates doc 1's passage ACROSS batches: only the at-rest
+      // gram state can catch it
+      (3L, s"mike november $passage oscar"),
+      (4L, "papa quebec romeo sierra tango uniform victor whiskey"))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingEtl.ngramDedupStream(
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text",
+      s"$root/out", s"$root/seen", s"$root/ckpt", gramTokens = W)
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$root/out")
+      .select($"doc_id", $"n_tokens", $"n_kept", $"text_kept")
+      .orderBy($"doc_id").collect()
+    // batches arrived in doc-id order, so the per-batch incremental
+    // results must union to EXACTLY the batch operator's output over
+    // the whole corpus (first occurrence = lowest (batch, doc, pos)
+    // = lowest (doc, pos))
+    val batch = graft.ext.dedup.BlockDedup.dedupNgramsHashed(
+        (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text", gramTokens = W)
+      .orderBy($"doc_id").collect()
+    assert(streamed.sameElements(batch),
+      s"stream=${streamed.mkString(";")} batch=${batch.mkString(";")}")
+    // the cross-batch duplicate was actually caught: doc 3 lost the
+    // whole passage, keeping only its fresh framing tokens
+    val d3 = streamed.find(_.getLong(0) == 3L).get
+    assert(d3.getLong(2) < d3.getLong(1), d3.toString)
+    assert(!d3.getString(3).contains("charlie"), d3.getString(3))
+    // and the state table holds only first-occurrence deltas: batch 2
+    // added doc 4's fresh grams, none of doc 3's duplicated passage
+    val seenB2 = spark.read.parquet(s"$root/seen")
+      .filter($"__batch_id" === 1L).count()
+    val seenB1 = spark.read.parquet(s"$root/seen")
+      .filter($"__batch_id" === 0L).count()
+    assert(seenB1 > 0 && seenB2 > 0 && seenB2 < seenB1,
+      s"b1=$seenB1 b2=$seenB2")
+  }
 }
