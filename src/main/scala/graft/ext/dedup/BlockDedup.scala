@@ -163,7 +163,10 @@ object BlockDedup {
       textCol: String,
       w: Int): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
-    docs.select(
+    // data-scaled barrier before the W-gram explode — the heaviest
+    // explode in the repo (~W× the token bytes; the sf100 spill-onset
+    // class — see TextFunctions.spreadForExplode)
+    TextFunctions.spreadForExplode(docs).select(
       col(idCol).as("doc"),
       posexplode(
         when(size(toks) < w, array().cast("array<string>"))
@@ -256,7 +259,8 @@ object BlockDedup {
       w: Int,
       dupStarts: DataFrame): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
-    val positions = docs.select(col(idCol).as("doc"), posexplode(toks))
+    val positions = TextFunctions.spreadForExplode(docs)
+      .select(col(idCol).as("doc"), posexplode(toks))
       .select(col("doc"), col("pos"), col("col").as("tok"))
     val covered = positions
       .join(dupStarts, Seq("doc", "pos"), "left")

@@ -46,7 +46,11 @@ object TextEmbed {
     * oracle-checked truth the dense form derives from. */
   def hashedTfIdf(docs: DataFrame, idCol: String, textCol: String,
                   dim: Int): DataFrame = {
-    val toks = docs.select(col(idCol),
+    // data-scaled barrier before the token explode: a single-row-group
+    // scan task otherwise carries the whole group's explode
+    // amplification in its partial-agg sort (the sf100 spill-onset
+    // class — see TextFunctions.spreadForExplode)
+    val toks = TextFunctions.spreadForExplode(docs).select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("tok"))
     val tf = toks.groupBy(col(idCol), col("tok"))
       .agg(count(lit(1)).as("tf"))

@@ -76,7 +76,9 @@ object QualityClassifier {
     * plus a bias row (bucket = Dim, cnt = 1) for EVERY document —
     * blank documents carry only the bias, so every doc gets a margin. */
   def features(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol),
+    // data-scaled barrier before the token explode (the sf100
+    // spill-onset class — see TextFunctions.spreadForExplode)
+    val toks = TextFunctions.spreadForExplode(docs).select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("tok"))
     val counts = toks
       .groupBy(col(idCol),

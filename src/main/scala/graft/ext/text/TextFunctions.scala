@@ -23,6 +23,45 @@ object TextFunctions {
     when(length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(lower(trim(text)), "\\s+"))
 
+  /** Data-scaled exchange barrier before explode-heavy text stages
+    * (round-10 verdict task 1 — the sf100 spill-onset class): a scan
+    * task's minimum width is one parquet ROW GROUP, so the map side
+    * of a token/gram explode carries rowGroupBytes × the explode
+    * amplification in its partial-agg / shuffle-write sort no matter
+    * what `files.maxPartitionBytes` asks for (measured: the two
+    * FileScanRDD stages of docs_embed_knn's sf100 cell spilled
+    * 22.5 + 18.9 GB against 38 MB single-row-group splits, and
+    * shrinking maxPartitionBytes to 32 MB changed NOTHING — byte-
+    * identical spill). The fixed `repartition(defaultParallelism)`
+    * barrier (the shingleSets idiom) has the same ceiling: corpus/32
+    * per task grows with the corpus.
+    *
+    * This barrier scales the partition count with the INPUT's
+    * planning-time size estimate (file-stats metadata — no job):
+    * partitions = max(defaultParallelism, estBytes/16 MB), the
+    * production rule "partitions ≈ bytes / target-chunk". Per-task
+    * explode state is then bounded at any corpus, while small corpora
+    * keep the full-parallelism floor (never fewer tasks than cores —
+    * the reason this is not an AQE REBALANCE hint, which would
+    * coalesce a byte-small but CPU-heavy corpus to one task). The
+    * explicit count is also exempt from AQE coalescing. Cost: one
+    * round-robin exchange of the RAW rows — at the sf100 rung 1.2 GB
+    * of text against the ~40 GB of sort spill it removes. */
+  def spreadForExplode(
+      df: org.apache.spark.sql.DataFrame,
+      targetBytesPerTask: Long = 16L << 20): org.apache.spark.sql.DataFrame = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val par = df.sparkSession.sparkContext.defaultParallelism.toLong
+    // RDD-backed plans (localCheckpoint barriers, memory streams)
+    // report the unknown-size sentinel (defaultSizeInBytes, i.e.
+    // Long.MaxValue) — fall back to the parallelism floor rather than
+    // trusting a fabricated estimate
+    val unknown = est >= BigInt(
+      df.sparkSession.sessionState.conf.defaultSizeInBytes)
+    val n = if (unknown) par else (est / targetBytesPerTask).min(65536).toLong
+    df.repartition(math.max(par, n).toInt)
+  }
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 

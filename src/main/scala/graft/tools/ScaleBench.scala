@@ -127,6 +127,19 @@ object ScaleBench {
     private val sm = new java.util.concurrent.atomic.AtomicLong
     private val sd = new java.util.concurrent.atomic.AtomicLong
     private val ib = new java.util.concurrent.atomic.AtomicLong
+    // per-stage spill attribution (SPARK_GRAFT_STAGE_SPILL=on): which
+    // named stage carries the memory spill — the evidence that
+    // adjudicates map-side-sort vs reduce-agg vs window pressure
+    private val perStage =
+      new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
+    private val stageNames =
+      new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    override def onStageSubmitted(
+        ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+      // the stage NAME under AQE is a thread-capture callsite; the RDD
+      // scope names carry the physical operators the stage executes
+      stageNames.put(ss.stageInfo.stageId,
+        ss.stageInfo.rddInfos.map(_.name).distinct.mkString(",").take(200))
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
       if (m != null) {
@@ -135,15 +148,31 @@ object ScaleBench {
         sm.addAndGet(m.memoryBytesSpilled)
         sd.addAndGet(m.diskBytesSpilled)
         ib.addAndGet(m.inputMetrics.bytesRead)
+        if (m.memoryBytesSpilled > 0 || m.diskBytesSpilled > 0)
+          perStage.merge(te.stageId,
+            (m.memoryBytesSpilled, m.diskBytesSpilled),
+            (a, b) => (a._1 + b._1, a._2 + b._2))
       }
     }
-    def reset(): Unit = { sw.set(0); sr.set(0); sm.set(0); sd.set(0); ib.set(0) }
+    def reset(): Unit = {
+      sw.set(0); sr.set(0); sm.set(0); sd.set(0); ib.set(0)
+      perStage.clear()
+    }
     /** (shuffleWrite, shuffleRead, memSpill, diskSpill, inputRead)
       * bytes — inputRead is the source-scan volume (round-7 verdict
       * task 7: the sf100 token_stats cell needs bytes-read evidence
       * to adjudicate IO-bound vs compute-super-linear). */
     def snap(): (Long, Long, Long, Long, Long) =
       (sw.get, sr.get, sm.get, sd.get, ib.get)
+    /** Top spilling stages of the window, worst first. */
+    def topSpillStages(n: Int): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      perStage.asScala.toSeq.sortBy(-_._2._1).take(n).map {
+        case (sid, (mem, disk)) =>
+          f"stage$sid mem=${mem / 1048576}%dMB disk=${disk / 1048576}%dMB " +
+            s"[${stageNames.getOrDefault(sid, "?")}]"
+      }
+    }
   }
 
   /** One measured rep: wall seconds + that rep's task-metric window
@@ -348,6 +377,14 @@ object ScaleBench {
         initialPartsFor(sf).toString)
       spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         s"${advisoryMbFor(sf)}m")
+      // experiment passthrough (isolated tuning runs only — a full
+      // ladder records its knobs in the artifact and must not carry
+      // silent overrides): SPARK_GRAFT_SQLCONF=k=v,k=v
+      sys.env.get("SPARK_GRAFT_SQLCONF").foreach(
+        _.split(",").filter(_.contains("=")).foreach { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          spark.conf.set(k, v)
+        })
       val builds = if (only.isEmpty) measureBuilds(dir) else Seq.empty
       val qs = selected.map { name =>
         val fn = graft.SparkEntry.queries(name)
@@ -379,6 +416,9 @@ object ScaleBench {
           }
           catch { case e: Throwable =>
             err = Some(e.toString.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)) }
+          if (sys.env.get("SPARK_GRAFT_STAGE_SPILL").contains("on"))
+            probe.topSpillStages(6).foreach(l =>
+              System.err.println(s"[scalebench]   spill $name rep$r: $l"))
           r += 1
         }
         val best = repsSeen.result().sortBy(_.sec).headOption
