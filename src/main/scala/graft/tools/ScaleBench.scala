@@ -339,6 +339,16 @@ object ScaleBench {
     def freeGb: Double =
       math.rint(new java.io.File(scratchDir).getUsableSpace / 1e8) / 10
     val minFreeGb = sys.env.getOrElse("SPARK_GRAFT_MIN_FREE_GB", "20").toDouble
+    // footprint-aware floors: rows whose own transient scratch exceeds
+    // the generic floor would pass the gate and then ENOSPC mid-row —
+    // the exact-string n-gram form shuffles ~27 GB of gram strings at
+    // sf100 (the round-9/10 casualty; its production twin measures the
+    // same plan at hash width, so skipping THIS row costs only the
+    // oracle-contrast cell — the verdict-sanctioned demotion, applied
+    // as an explicit gate instead of delisting)
+    val perQueryFloorGb = Map("docs_ngram_dedup" -> 35.0)
+    def floorFor(name: String): Double =
+      math.max(minFreeGb, perQueryFloorGb.getOrElse(name, 0.0))
 
     // at-rest builds at min-of-N too: they are single-shot by design
     // (they land in the memos the query loop consumes), which made
@@ -391,9 +401,9 @@ object ScaleBench {
         val freeBefore = freeGb
         val repsSeen = Seq.newBuilder[Rep]
         var err: Option[String] = None
-        if (freeBefore < minFreeGb)
+        if (freeBefore < floorFor(name))
           err = Some(s"SKIPPED by disk gate: scratch free ${freeBefore}GB < " +
-            s"${minFreeGb}GB floor (explicit decision, not a crash)")
+            s"${floorFor(name)}GB floor (explicit decision, not a crash)")
         var r = 0
         while (r < reps && err.isEmpty) {
           if (upsertQueries(name)) graft.sinks.ParquetUpsertSink.resetIoStats()
@@ -432,17 +442,24 @@ object ScaleBench {
         // in-code birthday bound into a measured number. Gated on the
         // disk floor like the queries — its gram-string exchange is
         // the widest shuffle in the rung.
+        // the stats pass shuffles distinct gram STRINGS (~25 GB at
+        // sf100) — gated at the string-form floor, it is optional
+        // telemetry and must never starve the rows behind it
         val gstats =
           if (name == "docs_ngram_dedup_hashed" && err.isEmpty &&
-              freeGb >= minFreeGb)
+              freeGb >= perQueryFloorGb("docs_ngram_dedup"))
             try Some(graft.ext.dedup.BlockDedup.gramHashStats(
               graft.Tables(spark, dir, "documents"), "doc_id", "text",
               graft.CurationQueries.NgramW))
             catch { case _: Throwable => None }
           else None
-        // release the row's shuffle scratch before the next row: the
-        // ContextCleaner deletes shuffle files only after their
-        // dependencies are GC'd
+        // release the row's scratch before the next row: reusable
+        // tables (the events-sized upsert targets) are wiped
+        // explicitly — wipe-at-call alone leaves the LAST copy on disk
+        // until the tag's next invocation, which starved 14 sf100 rows
+        // behind the upserts — and a GC lets the ContextCleaner delete
+        // shuffle files whose dependencies are no longer referenced
+        graft.tools.Scratch.wipeReusable()
         System.gc()
         // progress to stderr: a 30-minute detached run must be
         // observable before its final JSON line

@@ -74,4 +74,21 @@ object Scratch {
     try s.forEach(deleteRecursively) finally s.close()
     p.toString
   }
+
+  /** Proactively wipe the CONTENTS of every reusable dir (round-11
+    * scratch management): wipe-at-call bounds disk to one live copy
+    * per tag, but that copy still sits on disk until the tag's NEXT
+    * call — at the sf100 rung the two events-sized upsert tables
+    * (~13 GB) outlived their rows and starved every row scheduled
+    * after them (14 disk-gate skips). The ladder calls this between
+    * rows; safe under the reusableDir contract (any DataFrame reading
+    * a previous call's output is fully consumed before the next row
+    * starts). */
+  def wipeReusable(): Unit =
+    reusable.forEach { (_, p) =>
+      try {
+        val s = Files.list(p)
+        try s.forEach(deleteRecursively) finally s.close()
+      } catch { case _: Throwable => () }
+    }
 }
