@@ -264,13 +264,14 @@ object NearDup {
   private[graft] def shingleSets(
       docs: DataFrame, idCol: String, textCol: String, shingleSize: Int)
       : (DataFrame, DataFrame) = {
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val cached = docs
-      // spread the raw rows first: a single-file scan is one partition
-      // and the tokenize work would otherwise run on one task. The
-      // explicit count stops AQE coalescing this byte-small but
-      // CPU-heavy shuffle back down to one partition.
-      .repartition(par, col(idCol))
+    // spread the raw rows first, at DATA-SCALED width (the
+    // spreadForExplode rule): the fixed defaultParallelism barrier
+    // this used through round 10 bounded per-task shingle state at
+    // corpus/32 — which grows with the corpus and was the map-side
+    // share of docs_minhash_pairs' 40 GB sf100 memory spill. The
+    // explicit count stops AQE coalescing this byte-small but
+    // CPU-heavy shuffle back down to one partition.
+    val cached = graft.ext.text.TextFunctions.spreadForExplode(docs)
       .select(col(idCol).as("doc"),
         TextFunctions.shinglesFromTokens(
           TextFunctions.tokens(col(textCol)), shingleSize).as("sh"))

@@ -61,7 +61,8 @@ object BpeTrainer {
   /** (word, freq): corpus word frequencies — the one corpus-sized
     * aggregation; its output is vocabulary-sized. */
   def wordFreqs(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+    TextFunctions.spreadForExplode(docs)
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
   /** (word, freq, syms): initial symbol arrays = single characters. */
@@ -208,7 +209,7 @@ object BpeTrainer {
       textCol: String): DataFrame = {
     val vocab = finalWords.select(col("word"),
       size(col("syms")).cast("long").as("n_sym"))
-    val perDoc = docs
+    val perDoc = TextFunctions.spreadForExplode(docs)
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("word"))
       .join(vocab, Seq("word"))
       .groupBy(col(idCol))

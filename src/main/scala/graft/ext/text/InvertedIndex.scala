@@ -37,7 +37,10 @@ object InvertedIndex {
     * Two term-keyed shuffles (stats + lists), joined on the same key. */
   def postings(docs: DataFrame, idCol: String, textCol: String,
       maxPostings: Int): DataFrame = {
-    val tf = docs
+    // data-scaled spread: the token explode feeds a (term, doc)
+    // partial agg whose per-task key count tracks the exploded row
+    // count (see spreadForExplode)
+    val tf = TextFunctions.spreadForExplode(docs)
       .select(col(idCol).as("doc_id"),
         explode(TextFunctions.tokens(col(textCol))).as("term"))
       .groupBy(col("term"), col("doc_id"))
@@ -81,9 +84,13 @@ object InvertedIndex {
   def tfidfPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, maxDf: Long, threshold: Double): DataFrame = {
     val nDocs = docs.count() // corpus size: one scalar of index metadata
-    // spread rows before the CPU-heavy shingle stage (Decontaminate's
-    // rationale: explode fuses with whatever partitioning came in)
-    val grams = graft.operators.Spread.wide(docs, col(idCol))
+    // data-scaled spread before the shingle explode: Spread.wide only
+    // rescued NARROW scans (≤32 tasks), so a many-file sf100 scan kept
+    // row-group-wide map tasks whose exploded gram stream sorted
+    // rowGroupBytes × W per task into the term shuffle — the map-side
+    // share of this query's 43 GB sf100 memory spill (the
+    // spreadForExplode class)
+    val grams = TextFunctions.spreadForExplode(docs)
       .select(col(idCol).as("doc"),
         explode(TextFunctions.shingles(col(textCol), shingleN)).as("term"))
     val dfs = grams.groupBy(col("term"))

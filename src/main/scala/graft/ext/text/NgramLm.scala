@@ -62,7 +62,12 @@ object NgramLm {
 
   /** One row per (doc, bigram occurrence): (idCol, w1, w2). */
   def docBigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), explode(bigrams(TextFunctions.tokens(col(textCol))))
+    // data-scaled spread: the bigram stream (corpus × tokens rows)
+    // sorts into the model join's shuffle from row-group-wide scan
+    // tasks otherwise — the map-side share of docs_lm_score's 53 GB
+    // sf100 memory spill (the spreadForExplode class)
+    TextFunctions.spreadForExplode(docs)
+      .select(col(idCol), explode(bigrams(TextFunctions.tokens(col(textCol))))
         .as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
 
@@ -70,7 +75,8 @@ object NgramLm {
     * score_scaled = ⌊Scale·c(w1,w2)/c(w1)⌋. Both inputs to the final
     * join are vocab-sized aggregates. */
   def train(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+    val toks = TextFunctions.spreadForExplode(docs)
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
     val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
     val bi = docBigrams(docs, idCol, textCol)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
