@@ -122,8 +122,23 @@ object QualityClassifier {
     * oracle replays the identical iteration chain. */
   def train(docs: DataFrame, idCol: String, textCol: String,
             iters: Int): Array[Long] = {
-    val feats = features(docs, idCol, textCol).cache()
-    val lab = labels(docs, idCol, textCol).cache()
+    // Hash-partition the cached features ONCE by the iteration key, at
+    // the same data-scaled width the explode barrier uses: every pass
+    // of the loop below aggregates or joins on idCol (margins'
+    // groupBy, the misclassified join, the final per-bucket agg's
+    // feats⋈mis side), so a cache partitioned by (idCol) makes each
+    // of the ~2·iters+3 corpus-frame passes EXCHANGE-FREE — without
+    // this, every pass re-shuffled the corpus-sized frame at the
+    // session's initial partition count, which the round-11 scaled
+    // ladder turned from 512 into 5120 at sf100 and the cell went
+    // 133 → 901 s (flat at sf10 where the knobs match round 10:
+    // the regression was per-iteration shuffles × knob scaling, not
+    // the explode barrier).
+    val width = TextFunctions.spreadWidth(docs)
+    val feats = features(docs, idCol, textCol)
+      .repartition(width, col(idCol)).cache()
+    val lab = labels(docs, idCol, textCol)
+      .repartition(width, col(idCol)).cache()
     try {
       var w = Array.fill(Dim + 1)(0L)
       val pocket = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]

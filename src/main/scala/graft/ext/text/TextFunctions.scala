@@ -49,7 +49,17 @@ object TextFunctions {
     * of text against the ~40 GB of sort spill it removes. */
   def spreadForExplode(
       df: org.apache.spark.sql.DataFrame,
-      targetBytesPerTask: Long = 16L << 20): org.apache.spark.sql.DataFrame = {
+      targetBytesPerTask: Long = 16L << 20): org.apache.spark.sql.DataFrame =
+    df.repartition(spreadWidth(df, targetBytesPerTask))
+
+  /** The partition count [[spreadForExplode]] would pick for `df` —
+    * max(defaultParallelism, estBytes/16 MB). Exposed so iterated
+    * consumers can hash-partition ONCE by their iteration key at the
+    * same data-scaled width (the QualityClassifier.train idiom) and
+    * reuse that partitioning across every pass. */
+  def spreadWidth(
+      df: org.apache.spark.sql.DataFrame,
+      targetBytesPerTask: Long = 16L << 20): Int = {
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val par = df.sparkSession.sparkContext.defaultParallelism.toLong
     // RDD-backed plans (localCheckpoint barriers, memory streams)
@@ -59,7 +69,7 @@ object TextFunctions {
     val unknown = est >= BigInt(
       df.sparkSession.sessionState.conf.defaultSizeInBytes)
     val n = if (unknown) par else (est / targetBytesPerTask).min(65536).toLong
-    df.repartition(math.max(par, n).toInt)
+    math.max(par, n).toInt
   }
 
   /** Whitespace token count. */
