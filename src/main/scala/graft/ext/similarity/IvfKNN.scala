@@ -462,9 +462,21 @@ object IvfKNN {
       corpus: DataFrame, idCol: String, vecCol: String,
       coarse: Seq[Centroid], fine: DataFrame, probes: Int,
       broadcastFine: Boolean = true): DataFrame = {
-    val probed = corpus.select(col(idCol), col(vecCol),
-      CosineKNN.norm(col(vecCol)).as("__vn"),
-      explode(probeLists(col(vecCol), coarse, probes)).as("gid"))
+    // data-scaled exchange barrier before the probe explode (the same
+    // map-side row-group amplification as the text explodes): fused
+    // with the scan, the per-row candidate fan-out (probes × K/√K fine
+    // centroids, each row still carrying the full vector into the
+    // argmax agg) overflows the scan-width tasks' aggregation memory —
+    // emb_semantic_dedup's sf100 cell spilled 101 GB in exactly one
+    // scan-fused stage (stage-spill probe attribution). One round-robin
+    // exchange of the projected corpus (~1.2 GB at that rung) bounds
+    // per-task agg state at any corpus; the shuffle-free "corpus never
+    // moves" claim below now reads "moves once, before the fan-out".
+    val probed = graft.ext.text.TextFunctions.spreadForExplode(
+        corpus.select(col(idCol), col(vecCol)))
+      .select(col(idCol), col(vecCol),
+        CosineKNN.norm(col(vecCol)).as("__vn"),
+        explode(probeLists(col(vecCol), coarse, probes)).as("gid"))
     val f = if (broadcastFine) broadcast(fine) else fine
     probed.join(f, "gid")
       .withColumn("__cos",
