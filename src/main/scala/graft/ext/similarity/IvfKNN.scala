@@ -462,31 +462,28 @@ object IvfKNN {
       corpus: DataFrame, idCol: String, vecCol: String,
       coarse: Seq[Centroid], fine: DataFrame, probes: Int,
       broadcastFine: Boolean = true): DataFrame = {
-    // data-scaled exchange barrier before the probe explode (the same
-    // map-side row-group amplification as the text explodes): fused
-    // with the scan, the per-row candidate fan-out (probes × K/√K fine
-    // centroids, each row still carrying the full vector into the
-    // argmax agg) overflows the scan-width tasks' aggregation memory —
-    // emb_semantic_dedup's sf100 cell spilled 101 GB in exactly one
-    // scan-fused stage (stage-spill probe attribution). One round-robin
-    // exchange of the projected corpus (~1.2 GB at that rung) bounds
-    // per-task agg state at any corpus; the shuffle-free "corpus never
-    // moves" claim below now reads "moves once, before the fan-out".
-    val probed = graft.ext.text.TextFunctions.spreadForExplode(
-        corpus.select(col(idCol), col(vecCol)))
-      .select(col(idCol), col(vecCol),
-        CosineKNN.norm(col(vecCol)).as("__vn"),
-        explode(probeLists(col(vecCol), coarse, probes)).as("gid"))
+    val probed = corpus.select(col(idCol), col(vecCol),
+      CosineKNN.norm(col(vecCol)).as("__vn"),
+      explode(probeLists(col(vecCol), coarse, probes)).as("gid"))
     val f = if (broadcastFine) broadcast(fine) else fine
-    probed.join(f, "gid")
+    // The argmax aggregate must stay FIXED-WIDTH: carrying the vector
+    // through it (the former `first(vecCol)`) gives the aggregation
+    // buffer a var-length field, which disqualifies the fast hash map
+    // and sort-aggregates the ENTIRE candidate stream (rows ×
+    // probes·K/√K, each still hauling the vector) — stage-level spill
+    // attribution pinned emb_semantic_dedup's whole 98–101 GB sf100
+    // memory spill on exactly that sort, invariant to scan width or
+    // any upstream exchange. With only (cos, -cid) in the buffer the
+    // partial argmax is a true map-side hash agg (per-task state =
+    // groups × 24 B at any corpus), and the vector re-attaches by one
+    // id equi-join against the corpus afterwards.
+    val best = probed.join(f, "gid")
       .withColumn("__cos",
         round(CosineKNN.dot(col(vecCol), col("cv")) / (col("__vn") * col("cnorm")), 9))
       .groupBy(col(idCol))
-      .agg(
-        first(col(vecCol)).as(vecCol),
-        max(struct(col("__cos").as("cos"), (-col("cid")).as("negid"))).as("__best"))
-      .select(col(idCol), col(vecCol),
-        (-col("__best.negid")).as("list_id"))
+      .agg(max(struct(col("__cos").as("cos"), (-col("cid")).as("negid"))).as("__best"))
+      .select(col(idCol), (-col("__best.negid")).as("list_id"))
+    corpus.select(col(idCol), col(vecCol)).join(best, Seq(idCol))
   }
 
   // ------------------------------------------------ codebook-as-data Lloyd
