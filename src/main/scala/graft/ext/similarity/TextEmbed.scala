@@ -60,7 +60,13 @@ object TextEmbed {
       .agg(count(lit(1)).as("df"))
       .select(col("tok"),
         expr(s"CAST(${n} AS BIGINT) * $IdfScale div df").as("w"))
-    tf.join(weights, Seq("tok")) // vocab-sized right side: shuffle join
+    // vocab-sized right side: a shuffle join, but HASH, not sort-merge —
+    // the stream side is the corpus-scaled tf frame and an SMJ would
+    // sort corpus/partitions rows per task just to meet the join's
+    // ordering (the last 6.4 GB of docs_embed_knn's sf100 memory
+    // spill); the build side is vocab/partitions (Heaps-sublinear),
+    // so the per-task hash map is bounded at any corpus
+    tf.join(weights.hint("shuffle_hash"), Seq("tok"))
       .select(col(idCol),
         pmod(PolyHash.polyhash(col("tok"), 31), lit(dim.toLong))
           .as("bucket"),
@@ -83,7 +89,10 @@ object TextEmbed {
     val norms = sparse.groupBy(col(idCol))
       .agg(sqrt(sum(col("wt").cast("double") * col("wt").cast("double")))
         .as("nrm"))
-    val unit = sparse.join(norms, Seq(idCol))
+    // norms is one NARROW row per doc (id, double) vs sparse's
+    // ~dim rows per doc: hash-build the narrow side instead of
+    // sorting both (same rationale as the weights join above)
+    val unit = sparse.join(norms.hint("shuffle_hash"), Seq(idCol))
       .select(col(idCol), col("bucket"),
         (col("wt").cast("double") / col("nrm")).as("x"))
     val planes = CosineKNN.hyperplanes(targetDim, dim, seed)

@@ -58,7 +58,9 @@ object InvertedIndex {
       .select(col("term"),
         transform(col("ps"), p => p.getField("doc_id")).as("doc_ids"),
         transform(col("ps"), p => p.getField("tf")).as("tfs"))
-    stats.join(lists, Seq("term"))
+    // both sides are vocab-keyed aggregates; hash-build the narrow
+    // stats side so the list side (arrays) never sorts
+    lists.join(stats.hint("shuffle_hash"), Seq("term"))
       .select(col("term"), col("df"), col("cf"),
         col("doc_ids"), col("tfs"),
         (col("df") > maxPostings).as("truncated"))
@@ -99,7 +101,11 @@ object InvertedIndex {
     // the weighted term table feeds the norm aggregate AND both sides
     // of the pair join: persist it once or the shingle+df pipeline is
     // re-derived three times (the NearDup cache-at-fanout rule)
-    val w = grams.join(dfs, Seq("term"))
+    // hash-build the pruned vocab side: the gram stream is corpus ×
+    // shingles and an SMJ would sort it per task just to meet the
+    // join ordering (the docs_embed_knn residual-spill class); the
+    // build side is df-filtered vocab/partitions — bounded
+    val w = grams.join(dfs.hint("shuffle_hash"), Seq("term"))
       .select(col("doc"), col("term"),
         expr(s"CAST(${nDocs * 1000000L} AS BIGINT) div df").cast(wDec).as("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -111,9 +117,14 @@ object InvertedIndex {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(sum(col("wa") * col("wb")).as("dot"))
+    // norms are one narrow row per doc vs the candidate-mass dots
+    // stream: hash-build them rather than sorting the pair stream
+    // twice on its way out
     val out = dots
-      .join(nrm.select(col("doc").as("doc_a"), col("nn").as("na")), Seq("doc_a"))
-      .join(nrm.select(col("doc").as("doc_b"), col("nn").as("nb")), Seq("doc_b"))
+      .join(nrm.select(col("doc").as("doc_a"), col("nn").as("na"))
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .join(nrm.select(col("doc").as("doc_b"), col("nn").as("nb"))
+        .hint("shuffle_hash"), Seq("doc_b"))
       .withColumn("cosine", round(
         col("dot").cast("double") /
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 9))

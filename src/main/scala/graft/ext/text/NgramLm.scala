@@ -52,12 +52,17 @@ object NgramLm {
     * `transform(sequence…, element_at)` form re-evaluated the
     * referenced array per element — the dominant cost of the
     * lm-score query once benchmark forcing computed it for real. The
-    * zip_with null-padded tail pair is sliced off; the cast names
-    * the struct fields positionally. */
+    * zip_with null-padded tail pair is sliced off. The struct fields
+    * are named EXPLICITLY (not left to the lambda's fresh-variable
+    * names, which a global counter makes different on every call —
+    * two separately built score plans would never canonicalize equal,
+    * breaking the SqlApiSpec plan-identity contract); the cast keeps
+    * the declared array element type. */
   def bigrams(toks: Column): Column =
     when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
       .otherwise(slice(
-        zip_with(toks, slice(toks, lit(2), size(toks)), (a, b) => struct(a, b)),
+        zip_with(toks, slice(toks, lit(2), size(toks)),
+          (a, b) => struct(a.as("w1"), b.as("w2"))),
         lit(1), size(toks) - 1).cast("array<struct<w1:string,w2:string>>"))
 
   /** One row per (doc, bigram occurrence): (idCol, w1, w2). */
@@ -80,7 +85,9 @@ object NgramLm {
     val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
     val bi = docBigrams(docs, idCol, textCol)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-    bi.join(uni, bi("w1") === uni("w"))
+    // both vocab-sized, but the unigram side is the narrower one:
+    // hash-build it so neither aggregate output sorts
+    bi.join(uni.hint("shuffle_hash"), bi("w1") === uni("w"))
       .select(col("w1"), col("w2"),
         expr(s"($Scale * cb) div cu").as("score_scaled"))
   }
@@ -119,13 +126,19 @@ object NgramLm {
     * from the model contribute 0 (OOV floor) via the left join. */
   def score(docs: DataFrame, model: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
+    // model is the vocab²-bounded (Heaps-sublinear) side, the bigram
+    // stream is corpus × tokens: hash-build the model per partition
+    // instead of sort-merging — an SMJ sorts stream/partitions rows
+    // per task for nothing (the docs_embed_knn residual-spill class)
     val perDoc = docBigrams(docs, idCol, textCol)
-      .join(model, Seq("w1", "w2"), "left")
+      .join(model.hint("shuffle_hash"), Seq("w1", "w2"), "left")
       .groupBy(col(idCol))
       .agg(sum(coalesce(col("score_scaled"), lit(0L))).as("sum_scaled"),
         count(lit(1)).as("nb"))
+    // perDoc is three longs per doc — hash-build it; the docs side
+    // streams (its text column is already pruned by the select)
     docs.select(col(idCol))
-      .join(perDoc, Seq(idCol), "left")
+      .join(perDoc.hint("shuffle_hash"), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("sum_scaled"), lit(0L)).as("lm_sum_scaled"),
         coalesce(col("nb"), lit(0L)).as("n_bigrams"),

@@ -19,6 +19,11 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *   SELECT * FROM graft_pack_shards('documents', 'doc_id', 'text', 4096)
   *   SELECT * FROM graft_count_sum('events', 'ts', 'value',
   *                                 'windows', 'w_id', 'w_start', 'w_end', 3600)
+  *   SELECT * FROM graft_decontaminate('documents', 'doc_id', 'text',
+  *                                     'doc_id % 97 = 0', 3)
+  *   SELECT * FROM graft_knn_exact('embeddings', 'vec_id', 'embedding',
+  *                                 'vec_id < 5', 3)
+  *   SELECT * FROM graft_lm_score('documents', 'lm_model', 'doc_id', 'text')
   * }}}
   *
   * Each builder resolves its table argument against the session
@@ -85,6 +90,49 @@ object GraftTableFunctions {
         startCol = strArg(args(5), "graft_count_sum", "startCol"),
         endCol = strArg(args(6), "graft_count_sum", "endCol"),
         bucketWidthSec = longArg(args(7), "graft_count_sum", "bucketWidthSec"))
+    },
+    tvf("graft_decontaminate",
+      "graft_decontaminate(table, idCol, textCol, evalPredicate, n) - " +
+        "benchmark-contamination n-gram overlap counts; evalPredicate " +
+        "is a SQL boolean expression selecting the benchmark split " +
+        "(Decontaminate.overlaps: broadcast eval grams, the train " +
+        "side never sort-merge-joins)") { args =>
+      requireArgs(args, 5, "graft_decontaminate")
+      graft.ext.text.Decontaminate.overlaps(
+        tableArg(args(0), "graft_decontaminate"),
+        strArg(args(1), "graft_decontaminate", "idCol"),
+        strArg(args(2), "graft_decontaminate", "textCol"),
+        isEval = org.apache.spark.sql.functions.expr(
+          strArg(args(3), "graft_decontaminate", "evalPredicate")),
+        n = longArg(args(4), "graft_decontaminate", "n").toInt)
+    },
+    tvf("graft_knn_exact",
+      "graft_knn_exact(table, idCol, vecCol, queryPredicate, k) - " +
+        "exact cosine top-k of every corpus row against the query " +
+        "split selected by the SQL predicate (CosineKNN" +
+        ".bruteForceTopK: broadcast queries, single-pass heap top-k, " +
+        "no all-pairs shuffle)") { args =>
+      requireArgs(args, 5, "graft_knn_exact")
+      val corpus = tableArg(args(0), "graft_knn_exact")
+      graft.ext.similarity.CosineKNN.bruteForceTopK(
+        corpus,
+        corpus.filter(org.apache.spark.sql.functions.expr(
+          strArg(args(3), "graft_knn_exact", "queryPredicate"))),
+        strArg(args(1), "graft_knn_exact", "idCol"),
+        strArg(args(2), "graft_knn_exact", "vecCol"),
+        k = longArg(args(4), "graft_knn_exact", "k").toInt)
+    },
+    tvf("graft_lm_score",
+      "graft_lm_score(corpusTable, modelTable, idCol, textCol) - " +
+        "per-document bigram LM quality score against an at-rest " +
+        "trained model table (NgramLm.score: the model hash-builds " +
+        "per partition, the bigram stream never sorts)") { args =>
+      requireArgs(args, 4, "graft_lm_score")
+      graft.ext.text.NgramLm.score(
+        tableArg(args(0), "graft_lm_score"),
+        tableArg(args(1), "graft_lm_score"),
+        strArg(args(2), "graft_lm_score", "idCol"),
+        strArg(args(3), "graft_lm_score", "textCol"))
     })
 
   private def tvf(name: String, usage: String)(

@@ -187,4 +187,48 @@ class PlanShapeSpec extends SparkSpec {
     }
     assert(globals.isEmpty, s"pack_shards regained a global window: $globals")
   }
+
+  // Round 11: the residual-spill class — corpus-scaled streams joining
+  // sublinear (vocab/model/per-doc) sides must HASH-build the small
+  // side, never sort the stream to satisfy a sort-merge join. The last
+  // 6.4 GB of docs_embed_knn's sf100 memory spill was exactly the
+  // tf⋈weights SMJ's stream-side sort.
+
+  test("text-embedding joins hash-build the vocab and norm sides; the tf stream never sorts") {
+    val p = plan("docs_embed")
+    assert(p.contains("ShuffledHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    val pk = plan("docs_embed_knn")
+    assert(!pk.contains("SortMergeJoin"), pk.take(3000))
+  }
+
+  test("LM train+score joins hash-build; the bigram stream never sorts") {
+    Seq("docs_lm_score", "docs_lm_score_ref").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), s"$q: ${p.take(3000)}")
+    }
+  }
+
+  test("inverted-index stats join hash-builds; no sort-merge join in postings") {
+    val p = plan("docs_inverted_index")
+    assert(p.contains("ShuffledHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("tfidf weighted-term join hash-builds the pruned vocab; only the pair self-join sort-merges") {
+    // tfidfPairs materializes eagerly, so pin the component shape the
+    // operator builds (the SpreadBarrierSpec idiom)
+    import org.apache.spark.sql.functions.{col, count, explode, lit}
+    val docs = Tables(spark, sf, "documents")
+    val grams = graft.ext.text.TextFunctions.spreadForExplode(docs)
+      .select(col("doc_id").as("doc"),
+        explode(graft.ext.text.TextFunctions.shingles(col("text"), 3))
+          .as("term"))
+    val dfs = grams.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 40)
+    val joined = grams.join(dfs.hint("shuffle_hash"), Seq("term"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
 }

@@ -105,6 +105,44 @@ class SqlApiSpec extends SparkSpec {
       Seq("err_id"))
   }
 
+  test("TVF graft_decontaminate: plan-identical to Decontaminate.overlaps") {
+    Tables.registerViews(spark, sf)
+    assertSamePlanAndRows(
+      spark.sql("SELECT * FROM graft_decontaminate(" +
+        "'documents', 'doc_id', 'text', 'doc_id % 97 = 0', 3)"),
+      graft.ext.text.Decontaminate.overlaps(
+        spark.table("documents"), "doc_id", "text",
+        isEval = expr("doc_id % 97 = 0"), n = 3),
+      Seq("doc_id"))
+  }
+
+  test("TVF graft_knn_exact: plan-identical to CosineKNN.bruteForceTopK") {
+    Tables.registerViews(spark, sf)
+    val emb = spark.table("embeddings")
+    assertSamePlanAndRows(
+      spark.sql("SELECT * FROM graft_knn_exact(" +
+        "'embeddings', 'vec_id', 'embedding', 'vec_id < 5', 3)"),
+      graft.ext.similarity.CosineKNN.bruteForceTopK(
+        emb, emb.filter(expr("vec_id < 5")), "vec_id", "embedding", k = 3),
+      Seq("query_id", "rank"))
+  }
+
+  test("TVF graft_lm_score: plan-identical to NgramLm.score on an at-rest model") {
+    Tables.registerViews(spark, sf)
+    // at-rest model: train on the snapshot and register it as a view —
+    // the TVF consumes ANY model table, it never trains
+    val model = graft.ext.text.NgramLm.train(
+      spark.table("documents").filter($"doc_id" < 100), "doc_id", "text")
+    model.createOrReplaceTempView("tvf_lm_model")
+    assertSamePlanAndRows(
+      spark.sql("SELECT * FROM graft_lm_score(" +
+        "'documents', 'tvf_lm_model', 'doc_id', 'text')"),
+      graft.ext.text.NgramLm.score(
+        spark.table("documents"), spark.table("tvf_lm_model"),
+        "doc_id", "text"),
+      Seq("doc_id"))
+  }
+
   test("TVF arguments must be literals (no row context in TVF position)") {
     Tables.registerViews(spark, sf)
     val e = intercept[Exception] {
@@ -129,7 +167,8 @@ class SqlApiSpec extends SparkSpec {
         .withExtensions(new graft.plans.GraftExtensions)
         .getOrCreate()
       Seq("graft_dedup_ngrams_hashed", "graft_pack_shards",
-          "graft_count_sum").foreach { f =>
+          "graft_count_sum", "graft_decontaminate", "graft_knn_exact",
+          "graft_lm_score").foreach { f =>
         assert(s2.sessionState.tableFunctionRegistry
           .functionExists(FunctionIdentifier(f)), s"missing TVF $f")
       }
