@@ -14,6 +14,9 @@ import org.apache.spark.sql.functions._
   *    embedding column ([[graft.ext.dedup.SemanticDedup]]);
   *  - docs_decontaminate: n-gram benchmark-overlap detection
   *    ([[graft.ext.text.Decontaminate]]);
+  *  - docs_decontaminate_cross: the corpus-vs-corpus twin through the
+  *    non-broadcast 8-byte gram-hash shuffle join (same output, same
+  *    oracle — [[graft.ext.text.Decontaminate.crossOverlaps]]);
   *  - docs_pack_shards: token-budget shard assignment via the
   *    two-level distributed prefix sum
   *    ([[graft.ext.text.ShardPacker]]) — the oracle replays it with
@@ -155,6 +158,20 @@ object CurationQueries {
       |FROM sh s JOIN ev USING (g)
       |WHERE s.doc_id % 97 != 0
       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
+  /** Corpus-vs-corpus decontamination: the same two %97 splits as
+    * docs_decontaminate, but through the NON-broadcast path
+    * ([[Decontaminate.crossOverlaps]]: 8-byte gram-hash shuffle join)
+    * — the output is definitionally identical, so the shared oracle
+    * is simultaneously the hash≡string collision-freedom proof and
+    * the two-implementations-one-truth cross-check. */
+  private def qDecontaminateCross(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    Decontaminate.crossOverlaps(
+      d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
+      "doc_id", "text", n = 3)
+      .orderBy(col("doc_id"))
+  }
 
   /** Token-budget shard assignment; the oracle's single global
     * running sum must equal the engine's two-level distributed form
@@ -522,6 +539,7 @@ object CurationQueries {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_semantic_dedup" -> (qSemanticDedup _),
     "docs_decontaminate" -> (qDecontaminate _),
+    "docs_decontaminate_cross" -> (qDecontaminateCross _),
     "docs_pack_shards"   -> (qPackShards _),
     "docs_dup_groups"    -> (qDupGroups _),
     "docs_source_mix"    -> (qSourceMix _),
@@ -534,6 +552,9 @@ object CurationQueries {
   val oracles: Map[String, String] = Map(
     "emb_semantic_dedup" -> qSemanticDedupSql,
     "docs_decontaminate" -> qDecontaminateSql,
+    // the cross (non-broadcast, hashed) path is output-identical by
+    // construction — the shared oracle text is the cross-check
+    "docs_decontaminate_cross" -> qDecontaminateSql,
     "docs_pack_shards"   -> qPackShardsSql,
     "docs_dup_groups"    -> qDupGroupsSql,
     "docs_source_mix"    -> qSourceMixSql,

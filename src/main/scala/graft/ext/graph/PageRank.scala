@@ -68,15 +68,20 @@ object PageRank {
     var ranks = nodes.select(col("node"), lit(scale).as("rank"))
     var prev: Option[DataFrame] = None
     (1 to iters).foreach { _ =>
+      // hash-build the (node, rank) side: two longs per vertex, while
+      // the edge list is corpus-scaled — a sort-merge join re-sorts
+      // the edges EVERY iteration just to meet the join ordering
       val contrib = ew
-        .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
+        .join(ranks.select(col("node").as("src"), col("rank"))
+          .hint("shuffle_hash"), Seq("src"))
         .select(col("dst").as("node"),
           expr("(rank * 85 * w) div (100 * wout)").as("c"))
         .groupBy(col("node"))
         .agg(sum(col("c")).as("inflow"))
-      // left join keeps rank-receiving-nothing vertices at teleport
+      // left join keeps rank-receiving-nothing vertices at teleport;
+      // both sides are per-node narrow — hash-build the inflow side
       val next = nodes
-        .join(contrib, Seq("node"), "left")
+        .join(contrib.hint("shuffle_hash"), Seq("node"), "left")
         .select(col("node"),
           (lit(teleport) + coalesce(col("inflow"), lit(0L))).as("rank"))
         .localCheckpoint(true)

@@ -53,4 +53,53 @@ object Decontaminate {
       .agg(count_distinct(col("g")).as("n_overlap"))
       .select(col("doc").as(idCol), col("n_overlap"))
   }
+
+  /** [[overlaps]] for a contamination reference that is ITSELF
+    * corpus-sized — corpus-vs-corpus decontamination (e.g. two
+    * training corpora, or train-vs-heldout at 100 TB each), where
+    * broadcasting the reference's distinct gram set is impossible.
+    *
+    * Output contract is identical to [[overlaps]]: one
+    * `(idCol, n_overlap)` row per contaminated `train` document,
+    * n_overlap = distinct shared shingles.
+    *
+    * Scale shape — every exchange at the narrowest possible width
+    * (the dedupNgramsHashed rule, `BlockDedup.scala`):
+    *  - both gram streams hash each shingle to an 8-byte `xxhash64`
+    *    key BEFORE any shuffle, so no gram string is ever exchanged
+    *    (~16× narrower at realistic shingle widths);
+    *  - each side reduces to DISTINCT keys first ((doc,h) / (h) —
+    *    map-side partial combine, fixed-width buffers), so the join
+    *    carries distinct-gram mass, not raw occurrence mass;
+    *  - the equi-join hash-builds the reference side (8-byte rows,
+    *    per-task share bounded under data-scaled partitioning) and
+    *    streams the train side — no broadcast, no sort;
+    *  - both explodes sit above the data-scaled
+    *    [[TextFunctions.spreadForExplode]] barrier (the sf100
+    *    spill-onset rule).
+    * 64-bit collision expectation at 100 TB is the BlockDedup bound
+    * (~3·10⁴ colliding pairs per 10¹² distinct grams — a collision
+    * here at most perturbs one doc's overlap count by 1); the DuckDB
+    * oracle replays exact strings, so the sf0.01 hash-match is also
+    * the collision-freedom proof at test scale. */
+  def crossOverlaps(
+      train: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    def gramHashes(df: DataFrame) =
+      TextFunctions.spreadForExplode(df)
+        .select(col(idCol).as("doc"),
+          explode(TextFunctions.shingles(col(textCol), n)).as("g"))
+        .select(col("doc"), xxhash64(col("g")).as("h"))
+    val refH = gramHashes(reference).select(col("h")).distinct()
+    gramHashes(train)
+      .distinct() // (doc, h): the join carries distinct pairs only
+      .join(refH.hint("shuffle_hash"), Seq("h"))
+      // (doc, h) is distinct, so the matched count IS count_distinct
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(col("doc").as(idCol), col("n_overlap"))
+  }
 }

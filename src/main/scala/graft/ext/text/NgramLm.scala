@@ -126,12 +126,21 @@ object NgramLm {
     * from the model contribute 0 (OOV floor) via the left join. */
   def score(docs: DataFrame, model: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
-    // model is the vocab²-bounded (Heaps-sublinear) side, the bigram
-    // stream is corpus × tokens: hash-build the model per partition
-    // instead of sort-merging — an SMJ sorts stream/partitions rows
-    // per task for nothing (the docs_embed_knn residual-spill class)
+    // The model join's right strategy is SIZE-DEPENDENT, so it carries
+    // NO hint: a fixed-snapshot reference model is KB-scale and must
+    // BROADCAST (a forced shuffle-hash hint here measured 31 → 57 s at
+    // sf100 with a 110 MB → 10 GB shuffle — the bigram stream started
+    // exchanging to meet a join the model could ship to every task),
+    // while a self-trained model grows with the corpus's Heaps
+    // vocabulary and must not. The declarative resolution is AQE's
+    // runtime selection (maxShuffledHashJoinLocalMapThreshold, set by
+    // every session builder in this repo): small model → broadcast,
+    // corpus-scaled model → shuffled HASH join — either way the
+    // corpus-sized stream side never sorts (an SMJ here was the bulk
+    // of docs_lm_score's 49 GB sf100 memory spill; the AQE-converted
+    // run measures 0.3 GB).
     val perDoc = docBigrams(docs, idCol, textCol)
-      .join(model.hint("shuffle_hash"), Seq("w1", "w2"), "left")
+      .join(model, Seq("w1", "w2"), "left")
       .groupBy(col(idCol))
       .agg(sum(coalesce(col("score_scaled"), lit(0L))).as("sum_scaled"),
         count(lit(1)).as("nb"))

@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   * Strategy is merge-on-write:
   *  1. dedup the incoming batch to one row per key (last-write-wins
   *     inside a batch, like the reference's sequential executemany);
-  *  2. union with existing rows, prefer the update per key (max_by on
-  *     a priority tag — hash aggregation, no per-key sort);
+  *  2. keep every batch row and anti-join the existing table against
+  *     the batch's keys (incoming wins per key; no aggregation state);
   *  3. rewrite and promote crash-safely (see below).
   *
   * Scale posture: the unpartitioned form rewrites the whole table —
@@ -165,17 +165,28 @@ object ParquetUpsertSink {
 
   /** One row per key in the batch; ties broken arbitrarily (matches
     * `dropDuplicates`) — pass `orderCol` to make "last" explicit
-    * (deterministic when `(key, orderCol)` is unique, e.g. an event
-    * id). `max_by` instead of a row_number window: hash aggregation
-    * with map-side partial combine — each task reduces to one
-    * candidate row per key BEFORE the shuffle, and no reducer ever
-    * sorts a whole key group. */
+    * (one row per key exactly when `(key, orderCol)` is unique, e.g.
+    * an event id — the same determinism contract as before; rows
+    * tying on the max `orderCol` are all kept).
+    *
+    * Shape: a NARROW `max(orderCol)` aggregate (fixed-width buffer —
+    * stays in the vectorized hash map at any width) plus a semi-join
+    * of the batch against the winners. The previous
+    * `max_by(struct(all columns))` form dragged the entire row
+    * through the aggregation buffer: a var-length buffer disqualifies
+    * the fast fixed-width hash map and falls back to sort-based
+    * aggregation of the whole batch per task (the semantic-dedup
+    * argmax lesson) — tens of GB of sf100 spill for what is
+    * metadata-narrow decision state. */
   private def dedupBatch(batch: DataFrame, key: String, orderCol: Option[String]): DataFrame =
     orderCol match {
       case Some(o) =>
-        batch.groupBy(col(key))
-          .agg(max_by(struct(batch.columns.toIndexedSeq.map(col): _*), col(o)).as("__r"))
-          .select(col("__r.*"))
+        val winners = batch.groupBy(col(key)).agg(max(col(o)).as(o))
+        // winners is one narrow (key, max) row per key: hash-build it,
+        // stream the batch (no sort, no per-task row state); the
+        // using-columns join fronts (key, o) — restore batch order
+        batch.join(winners.hint("shuffle_hash"), Seq(key, o), "left_semi")
+          .select(batch.columns.toIndexedSeq.map(col): _*)
       case None => batch.dropDuplicates(key)
     }
 
@@ -301,18 +312,28 @@ object ParquetUpsertSink {
     } finally incoming.unpersist()
   }
 
-  /** Prefer the incoming row per key, keep one. Both sides are
-    * key-unique (batch deduped, table an upsert invariant), so each
-    * key sees at most two rows and `max_by` on the priority tag is
-    * deterministic — and, unlike the window form, it is a hash
-    * aggregation with map-side partial combine (no per-key reducer
-    * sort). */
-  private def merge(existing: DataFrame, incoming: DataFrame, key: String): DataFrame = {
-    val tagged = incoming.withColumn("__pri", lit(1))
-      .unionByName(existing.withColumn("__pri", lit(0)))
-    val cols = incoming.columns.toIndexedSeq
-    tagged.groupBy(col(key))
-      .agg(max_by(struct(cols.map(col): _*), col("__pri")).as("__r"))
-      .select(col("__r.*"))
-  }
+  /** Prefer the incoming row per key: all incoming rows survive, and
+    * an existing row survives iff its key is absent from the batch —
+    * i.e. `incoming UNION (existing ANTI JOIN incoming ON key)`.
+    * Identical to the previous union+argmax form on the (invariant)
+    * key-unique inputs, but with NO aggregation state at all: the
+    * union is exchange-free, the anti join streams the table side
+    * against a hash build of just the batch's KEY column.
+    *
+    * Why not the `max_by(struct(all columns), __pri)` aggregate this
+    * replaces: (a) its var-length buffer forced sort-based
+    * aggregation over union-of-both-sides row mass, and (b) the
+    * write-side `coalesce(outputFiles)` narrows the FINAL stage, so
+    * that sort-aggregation ran at outputFiles-way parallelism —
+    * together the dominant share of the sf100 upsert cells' 36-45 GB
+    * spill. The anti-join probe holds no per-row state, so the same
+    * coalesce is now harmless (build side = batch keys / tasks).
+    * Null keys (upstream contract violation — keys are generated
+    * surrogates) now pass through both sides unmerged instead of
+    * being collapsed to one arbitrary row. */
+  private def merge(existing: DataFrame, incoming: DataFrame, key: String): DataFrame =
+    incoming.unionByName(
+      existing.join(incoming.select(col(key)).hint("shuffle_hash"),
+        Seq(key), "left_anti")
+        .select(incoming.columns.toIndexedSeq.map(col): _*))
 }

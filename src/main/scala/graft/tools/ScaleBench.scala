@@ -63,6 +63,7 @@ object ScaleBench {
     "docs_minhash_pairs",    // banded LSH: O(n·bands) candidate join
     "docs_token_stats",      // pure map over every doc (linear reference)
     "docs_decontaminate",    // broadcast eval grams, map-only train side
+    "docs_decontaminate_cross", // corpus-vs-corpus: 8-byte gram-hash shuffle join
     "docs_dup_groups",       // pair mining + size-gated components
     "docs_block_dedup",      // corpus-wide first-occurrence + reassembly
     "docs_pack_shards",      // two-level distributed prefix sum
@@ -290,6 +291,10 @@ object ScaleBench {
         initialPartsFor(sfs.max))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         s"${advisoryMbFor(sfs.max)}m")
+      // runtime SMJ→shuffled-hash demotion for size-dependent join
+      // sides (effective only when ≥ the advisory size — 64 MB covers
+      // every rung's advisory; see Bench's builder note)
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

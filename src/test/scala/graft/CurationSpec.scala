@@ -108,6 +108,27 @@ class CurationSpec extends SparkSpec {
     assert(got == check.map { case (k, v) => k -> v.toLong })
   }
 
+  test("cross-corpus decontamination matches the broadcast path row for row") {
+    val docs = Tables(spark, sf, "documents")
+    val broadcastPath = Decontaminate.overlaps(docs, "doc_id", "text",
+      isEval = $"doc_id" % 97 === 0, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val crossPath = Decontaminate.crossOverlaps(
+      docs.filter($"doc_id" % 97 =!= 0), docs.filter($"doc_id" % 97 === 0),
+      "doc_id", "text", n = 3)
+    val got = crossPath.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == broadcastPath)
+    // the scale contract lives in the plan: a shuffled HASH join (no
+    // broadcast of the corpus-sized reference, no stream sort) keyed
+    // on the 8-byte gram hash, and the explode barrier on both sides
+    val p = crossPath.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.toLowerCase.contains("roundrobinpartitioning"), p.take(3000))
+    assert(p.contains("xxhash64"), p.take(3000))
+  }
+
   test("dup groups: transitive chains collapse to min-id components") {
     // two components: a transitive chain {1,5,9} (1-5, 5-9; 1 and 9
     // never directly paired) and a pair {2,7}

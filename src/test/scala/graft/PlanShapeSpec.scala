@@ -202,9 +202,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!pk.contains("SortMergeJoin"), pk.take(3000))
   }
 
-  test("LM train+score joins hash-build; the bigram stream never sorts") {
+  test("LM train+score: no sort-merge join survives adaptive planning") {
+    // the model join carries NO hint (its right strategy is size-
+    // dependent: broadcast for a snapshot-flat reference model,
+    // shuffled hash via maxShuffledHashJoinLocalMapThreshold for a
+    // corpus-scaled self-model) — so the contract lives in the FINAL
+    // adaptive plan, after execution
     Seq("docs_lm_score", "docs_lm_score_ref").foreach { q =>
-      val p = plan(q)
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.count()
+      val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("SortMergeJoin"), s"$q: ${p.take(3000)}")
     }
   }
