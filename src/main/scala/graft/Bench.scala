@@ -40,12 +40,6 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // let AQE swap a planned sort-merge join for a shuffled HASH
-      // join when the runtime build side is per-partition small (the
-      // corpus-stream ⋈ data-dependent-side joins, e.g. the LM model
-      // join: broadcast when the model is snapshot-flat, hash when it
-      // is corpus-scaled — never a stream-side sort)
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -1565,7 +1565,15 @@ object LlmQueries {
     * floor-division, exact BIGINT sums. */
   private def qLmScore(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val model = NgramLm.train(d, "doc_id", "text")
+    // the CALLER knows this model is corpus-scaled (self-trained, its
+    // Heaps vocabulary grows with the scored corpus), so the caller
+    // supplies the shuffle-hash hint: the scoring join hash-builds the
+    // model per partition instead of sorting the corpus-sized bigram
+    // stream to meet a sort-merge join (49 GB of the sf100 cell's
+    // memory spill; measured 215 → 146-157 s with spill at 0.3 GB).
+    // NgramLm.score itself stays hint-free — a snapshot-flat reference
+    // model (docs_lm_score_ref) must keep its broadcast.
+    val model = NgramLm.train(d, "doc_id", "text").hint("shuffle_hash")
     NgramLm.score(d, model, "doc_id", "text").orderBy(col("doc_id"))
   }
 

@@ -126,19 +126,17 @@ object NgramLm {
     * from the model contribute 0 (OOV floor) via the left join. */
   def score(docs: DataFrame, model: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
-    // The model join's right strategy is SIZE-DEPENDENT, so it carries
-    // NO hint: a fixed-snapshot reference model is KB-scale and must
-    // BROADCAST (a forced shuffle-hash hint here measured 31 → 57 s at
-    // sf100 with a 110 MB → 10 GB shuffle — the bigram stream started
-    // exchanging to meet a join the model could ship to every task),
-    // while a self-trained model grows with the corpus's Heaps
-    // vocabulary and must not. The declarative resolution is AQE's
-    // runtime selection (maxShuffledHashJoinLocalMapThreshold, set by
-    // every session builder in this repo): small model → broadcast,
-    // corpus-scaled model → shuffled HASH join — either way the
-    // corpus-sized stream side never sorts (an SMJ here was the bulk
-    // of docs_lm_score's 49 GB sf100 memory spill; the AQE-converted
-    // run measures 0.3 GB).
+    // The model join's right strategy is SIZE-DEPENDENT, so THIS code
+    // carries no hint: a fixed-snapshot reference model is KB-scale
+    // and must BROADCAST (a forced shuffle-hash hint here measured
+    // 31 → 57 s at sf100 with a 110 MB → 10 GB shuffle — the bigram
+    // stream started exchanging to meet a join the model could ship
+    // to every task), while a corpus-scaled self-model must not. The
+    // CALLER owns that knowledge: pass `model.hint("shuffle_hash")`
+    // for a model that grows with the scored corpus (the
+    // docs_lm_score registry query does — its SMJ stream-side sort
+    // was 49 GB of sf100 memory spill, 0.3 GB hash-built), pass the
+    // model bare to let size-based planning broadcast it.
     val perDoc = docBigrams(docs, idCol, textCol)
       .join(model, Seq("w1", "w2"), "left")
       .groupBy(col(idCol))

@@ -182,10 +182,14 @@ object ParquetUpsertSink {
     orderCol match {
       case Some(o) =>
         val winners = batch.groupBy(col(key)).agg(max(col(o)).as(o))
-        // winners is one narrow (key, max) row per key: hash-build it,
-        // stream the batch (no sort, no per-task row state); the
-        // using-columns join fronts (key, o) — restore batch order
-        batch.join(winners.hint("shuffle_hash"), Seq(key, o), "left_semi")
+        // winners is narrow but corpus-LINEAR (one row per batch key),
+        // so it carries NO shuffle-hash hint: AQE's local-map-threshold
+        // demotion converts the planned SMJ to a hash join only after
+        // CHECKING the per-partition build size — a blind hint OOM'd
+        // the sf100 cell when the write-side file-count stage fused in
+        // (no spill path in a forced hash build). The using-columns
+        // join fronts (key, o) — restore batch order.
+        batch.join(winners, Seq(key, o), "left_semi")
           .select(batch.columns.toIndexedSeq.map(col): _*)
       case None => batch.dropDuplicates(key)
     }
@@ -201,10 +205,16 @@ object ParquetUpsertSink {
     recover(spark, tablePath)
     // modest file counts: entity tables are row-few relative to the
     // event stream, and per-file FS metadata work dominates rewrite
-    // cost at small scale (outputFiles stays a knob for big tables)
+    // cost at small scale (outputFiles stays a knob for big tables).
+    // repartition, NOT coalesce: coalesce is a narrow dependency, so
+    // it fused the dedup/merge work INTO an outputFiles-way final
+    // stage — at sf100 that ran the whole merge at 8-task parallelism
+    // (the dominant share of the 36 GB spill, and an OOM under a
+    // forced hash build). The round-robin exchange decouples compute
+    // width from file count for one extra narrow-format pass.
     val incoming = dedupBatch(batch, key, orderCol)
     if (!hasData(spark, tablePath)) {
-      incoming.coalesce(outputFiles).write.mode("overwrite").parquet(tablePath)
+      incoming.repartition(outputFiles).write.mode("overwrite").parquet(tablePath)
       recordIo(countDataFiles(spark, tablePath), 0.0)
       return
     }
@@ -213,7 +223,7 @@ object ParquetUpsertSink {
     // can't overwrite a path while reading it: stage, then promote so a
     // complete copy exists at every instant (see class doc + recover)
     val tmp = stagingPath(tablePath)
-    merged.coalesce(outputFiles).write.mode("overwrite").parquet(tmp)
+    merged.repartition(outputFiles).write.mode("overwrite").parquet(tmp)
     val t0 = System.nanoTime()
     val f = fs(spark, tablePath)
     renameOrThrow(f, new Path(tablePath), new Path(backupPath(tablePath)))
@@ -323,17 +333,19 @@ object ParquetUpsertSink {
     * Why not the `max_by(struct(all columns), __pri)` aggregate this
     * replaces: (a) its var-length buffer forced sort-based
     * aggregation over union-of-both-sides row mass, and (b) the
-    * write-side `coalesce(outputFiles)` narrows the FINAL stage, so
+    * write-side `coalesce(outputFiles)` narrowed the FINAL stage, so
     * that sort-aggregation ran at outputFiles-way parallelism —
     * together the dominant share of the sf100 upsert cells' 36-45 GB
-    * spill. The anti-join probe holds no per-row state, so the same
-    * coalesce is now harmless (build side = batch keys / tasks).
+    * spill (the coalesce is now a repartition — see [[upsert]]).
+    * The batch-keys side is corpus-LINEAR, so the join carries no
+    * strategy hint: AQE's local-map-threshold demotion hash-builds it
+    * only after checking the per-partition size (a forced hint has no
+    * spill path and OOM'd the sf100 cell under stage fusion).
     * Null keys (upstream contract violation — keys are generated
     * surrogates) now pass through both sides unmerged instead of
     * being collapsed to one arbitrary row. */
   private def merge(existing: DataFrame, incoming: DataFrame, key: String): DataFrame =
     incoming.unionByName(
-      existing.join(incoming.select(col(key)).hint("shuffle_hash"),
-        Seq(key), "left_anti")
+      existing.join(incoming.select(col(key)), Seq(key), "left_anti")
         .select(incoming.columns.toIndexedSeq.map(col): _*))
 }

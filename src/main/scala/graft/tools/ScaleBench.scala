@@ -291,10 +291,6 @@ object ScaleBench {
         initialPartsFor(sfs.max))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         s"${advisoryMbFor(sfs.max)}m")
-      // runtime SMJ→shuffled-hash demotion for size-dependent join
-      // sides (effective only when ≥ the advisory size — 64 MB covers
-      // every rung's advisory; see Bench's builder note)
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

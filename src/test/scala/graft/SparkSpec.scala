@@ -17,9 +17,6 @@ object SparkSpec {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
-      // match the runtime builders: AQE may demote a planned SMJ to a
-      // shuffled hash join (plan-shape tests assert on FINAL plans)
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
