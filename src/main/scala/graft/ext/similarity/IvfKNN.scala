@@ -483,7 +483,10 @@ object IvfKNN {
       .groupBy(col(idCol))
       .agg(max(struct(col("__cos").as("cos"), (-col("cid")).as("negid"))).as("__best"))
       .select(col(idCol), (-col("__best.negid")).as("list_id"))
-    corpus.select(col(idCol), col(vecCol)).join(best, Seq(idCol))
+    // hash-build the narrow (id, list_id) argmax result: a sort-merge
+    // re-attach would sort the WIDE vector side by id for nothing
+    corpus.select(col(idCol), col(vecCol))
+      .join(best.hint("shuffle_hash"), Seq(idCol))
   }
 
   // ------------------------------------------------ codebook-as-data Lloyd

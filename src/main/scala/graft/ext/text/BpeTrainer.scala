@@ -209,12 +209,18 @@ object BpeTrainer {
       textCol: String): DataFrame = {
     val vocab = finalWords.select(col("word"),
       size(col("syms")).cast("long").as("n_sym"))
+    // hash-build the vocab side (distinct trained words —
+    // Heaps-sublinear in the corpus): the exploded word stream is
+    // corpus × tokens and must never sort to meet the join (the
+    // docs_embed_knn residual-spill class)
     val perDoc = TextFunctions.spreadForExplode(docs)
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("word"))
-      .join(vocab, Seq("word"))
+      .join(vocab.hint("shuffle_hash"), Seq("word"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), sum(col("n_sym")).as("n_pieces"))
-    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+    // perDoc is three longs per doc — hash-build it (the NgramLm.score
+    // shape)
+    docs.select(col(idCol)).join(perDoc.hint("shuffle_hash"), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
