@@ -21,6 +21,8 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *                                 'windows', 'w_id', 'w_start', 'w_end', 3600)
   *   SELECT * FROM graft_decontaminate('documents', 'doc_id', 'text',
   *                                     'doc_id % 97 = 0', 3)
+  *   SELECT * FROM graft_decontaminate_cross('train_docs', 'heldout_docs',
+  *                                           'doc_id', 'text', 3)
   *   SELECT * FROM graft_knn_exact('embeddings', 'vec_id', 'embedding',
   *                                 'vec_id < 5', 3)
   *   SELECT * FROM graft_lm_score('documents', 'lm_model', 'doc_id', 'text')
@@ -105,6 +107,19 @@ object GraftTableFunctions {
         isEval = org.apache.spark.sql.functions.expr(
           strArg(args(3), "graft_decontaminate", "evalPredicate")),
         n = longArg(args(4), "graft_decontaminate", "n").toInt)
+    },
+    tvf("graft_decontaminate_cross",
+      "graft_decontaminate_cross(trainTable, refTable, idCol, textCol, " +
+        "n) - corpus-vs-corpus contamination overlap counts through " +
+        "the non-broadcast 8-byte gram-hash shuffle join " +
+        "(Decontaminate.crossOverlaps)") { args =>
+      requireArgs(args, 5, "graft_decontaminate_cross")
+      graft.ext.text.Decontaminate.crossOverlaps(
+        tableArg(args(0), "graft_decontaminate_cross"),
+        tableArg(args(1), "graft_decontaminate_cross"),
+        strArg(args(2), "graft_decontaminate_cross", "idCol"),
+        strArg(args(3), "graft_decontaminate_cross", "textCol"),
+        n = longArg(args(4), "graft_decontaminate_cross", "n").toInt)
     },
     tvf("graft_knn_exact",
       "graft_knn_exact(table, idCol, vecCol, queryPredicate, k) - " +

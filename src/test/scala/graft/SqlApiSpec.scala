@@ -116,6 +116,20 @@ class SqlApiSpec extends SparkSpec {
       Seq("doc_id"))
   }
 
+  test("TVF graft_decontaminate_cross: plan-identical to crossOverlaps") {
+    Tables.registerViews(spark, sf)
+    val d = spark.table("documents")
+    d.filter(expr("doc_id % 97 != 0")).createOrReplaceTempView("tvf_train")
+    d.filter(expr("doc_id % 97 = 0")).createOrReplaceTempView("tvf_ref")
+    assertSamePlanAndRows(
+      spark.sql("SELECT * FROM graft_decontaminate_cross(" +
+        "'tvf_train', 'tvf_ref', 'doc_id', 'text', 3)"),
+      graft.ext.text.Decontaminate.crossOverlaps(
+        spark.table("tvf_train"), spark.table("tvf_ref"),
+        "doc_id", "text", n = 3),
+      Seq("doc_id"))
+  }
+
   test("TVF graft_knn_exact: plan-identical to CosineKNN.bruteForceTopK") {
     Tables.registerViews(spark, sf)
     val emb = spark.table("embeddings")
@@ -167,7 +181,8 @@ class SqlApiSpec extends SparkSpec {
         .withExtensions(new graft.plans.GraftExtensions)
         .getOrCreate()
       Seq("graft_dedup_ngrams_hashed", "graft_pack_shards",
-          "graft_count_sum", "graft_decontaminate", "graft_knn_exact",
+          "graft_count_sum", "graft_decontaminate",
+          "graft_decontaminate_cross", "graft_knn_exact",
           "graft_lm_score").foreach { f =>
         assert(s2.sessionState.tableFunctionRegistry
           .functionExists(FunctionIdentifier(f)), s"missing TVF $f")
