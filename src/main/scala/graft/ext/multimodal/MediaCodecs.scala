@@ -9,9 +9,16 @@ import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, Audi
   *
   * Images go through `javax.imageio` (`java.desktop` module: PNG, BMP,
   * JPEG, GIF read/write, fully headless); audio goes through
-  * `javax.sound.sampled` (WAV/AIFF/AU PCM). Only video has no JDK
-  * codec, so the video path remains the deterministic byte-level
-  * stand-in in [[Multimodal.DecoderStub]].
+  * `javax.sound.sampled` (WAV/AIFF/AU PCM); video is a real RIFF/AVI
+  * container ([[encodeAvi]]/[[decodeAvi]] — the JDK ships no video
+  * codec, so the container walk is implemented here: LIST/chunk
+  * traversal, `avih` header parse, `movi` frame iteration, `idx1`
+  * index) with each frame a complete lossless PNG decoded by the same
+  * `javax.imageio` path the still images use (the MPNG — "motion
+  * PNG" — layout: full image files in `00dc` chunks, the MJPEG
+  * container shape with a lossless per-frame codec so the
+  * formula-replay oracle stays exact; MJPEG itself would make the
+  * pixel sums JPEG-quantization-dependent and unreplayable).
   *
   * Determinism contract (what makes these oracle-checkable): the
   * synthetic corpus pixels/samples are a pure integer formula of
@@ -149,5 +156,180 @@ object MediaCodecs {
       }
       AudioStats(n.toLong, fmt.getSampleRate.toInt, sum, min, max)
     } finally ain.close()
+  }
+
+  // -------------------------------------------------------------- video
+
+  /** Deterministic synthetic video geometry/pixels for `doc_id` — the
+    * (doc, frame, pixel) analogue of the image formula, with per-frame
+    * drift terms so consecutive frames differ (a decode that returned
+    * frame 0 N times would fail the oracle). All BIGINT-safe,
+    * non-negative operands. */
+  def vidFrames(docId: Long): Int = (2 + docId % 5).toInt // 2..6
+  def vidWidth(docId: Long): Int = (4 + docId % 9).toInt // 4..12
+  def vidHeight(docId: Long): Int = (4 + docId % 5).toInt // 4..8
+  val VidFps = 10
+  def vidPixelR(docId: Long, f: Long, i: Long): Int =
+    ((docId * 7 + f * 19 + 11 * i) % 256).toInt
+  def vidPixelG(docId: Long, f: Long, i: Long): Int =
+    ((docId * 13 + f * 23 + 5 * i) % 256).toInt
+  def vidPixelB(docId: Long, f: Long, i: Long): Int =
+    ((docId * 29 + f * 31 + 3 * i) % 256).toInt
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+  private def fcc(s: String): Array[Byte] = {
+    require(s.length == 4, s"fourcc must be 4 chars: '$s'")
+    s.getBytes("US-ASCII")
+  }
+  /** RIFF chunk: fourcc + LE32 size + payload + word-align pad. */
+  private def riffChunk(id: String, payload: Array[Byte]): Array[Byte] =
+    fcc(id) ++ le32(payload.length.toLong) ++ payload ++
+      (if (payload.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+  private def riffList(kind: String, payload: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", fcc(kind) ++ payload)
+
+  /** Encode the synthetic video for `docId` as a REAL RIFF/AVI
+    * container: `LIST hdrl` (`avih` main header + `LIST strl` with
+    * `strh`/`strf` stream headers), `LIST movi` with one `00dc` chunk
+    * per frame (each a complete lossless PNG — the MPNG layout), and
+    * a standard `idx1` index. Every structural field is filled
+    * honestly (frame count, dims, rate, sizes, keyframe flags), so
+    * any AVI-aware reader can walk the file. */
+  def encodeAvi(docId: Long): Array[Byte] = {
+    val n = vidFrames(docId); val w = vidWidth(docId); val h = vidHeight(docId)
+    val frames: IndexedSeq[Array[Byte]] = (0 until n).map { f =>
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val i = y.toLong * w + x
+          img.setRGB(x, y,
+            (vidPixelR(docId, f, i) << 16) |
+              (vidPixelG(docId, f, i) << 8) | vidPixelB(docId, f, i))
+          x += 1
+        }
+        y += 1
+      }
+      val out = new ByteArrayOutputStream()
+      require(ImageIO.write(img, "png", out), "no png writer in this JVM")
+      out.toByteArray
+    }
+    val maxFrame = frames.map(_.length).max
+    val avih =
+      le32(1000000L / VidFps) ++ // dwMicroSecPerFrame
+        le32(maxFrame.toLong * VidFps) ++ // dwMaxBytesPerSec
+        le32(0) ++ // dwPaddingGranularity
+        le32(0x10) ++ // dwFlags: AVIF_HASINDEX
+        le32(n.toLong) ++ // dwTotalFrames
+        le32(0) ++ // dwInitialFrames
+        le32(1) ++ // dwStreams
+        le32(maxFrame.toLong) ++ // dwSuggestedBufferSize
+        le32(w.toLong) ++ le32(h.toLong) ++
+        le32(0) ++ le32(0) ++ le32(0) ++ le32(0) // dwReserved[4]
+    val strh =
+      fcc("vids") ++ fcc("MPNG") ++
+        le32(0) ++ // dwFlags
+        le16(0) ++ le16(0) ++ // wPriority, wLanguage
+        le32(0) ++ // dwInitialFrames
+        le32(1) ++ le32(VidFps.toLong) ++ // dwScale / dwRate = fps
+        le32(0) ++ // dwStart
+        le32(n.toLong) ++ // dwLength (frames)
+        le32(maxFrame.toLong) ++ // dwSuggestedBufferSize
+        le32(0xFFFFFFFFL) ++ // dwQuality (default)
+        le32(0) ++ // dwSampleSize (0: one sample per chunk)
+        le16(0) ++ le16(0) ++ le16(w) ++ le16(h) // rcFrame
+    val strf = // BITMAPINFOHEADER
+      le32(40) ++ le32(w.toLong) ++ le32(h.toLong) ++
+        le16(1) ++ le16(24) ++ // biPlanes, biBitCount
+        fcc("MPNG") ++ // biCompression
+        le32(w.toLong * h * 3) ++ // biSizeImage
+        le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = riffList("hdrl",
+      riffChunk("avih", avih) ++
+        riffList("strl", riffChunk("strh", strh) ++ riffChunk("strf", strf)))
+    val moviBody = frames.map(fb => riffChunk("00dc", fb))
+    val movi = riffList("movi", moviBody.toArray.flatten)
+    // idx1 offsets are relative to the 'movi' fourcc position; the
+    // first chunk header starts 4 bytes after it
+    val offsets = moviBody.scanLeft(4L)((off, c) => off + c.length).init
+    val idx1 = riffChunk("idx1",
+      offsets.zip(frames).flatMap { case (off, fb) =>
+        fcc("00dc") ++ le32(0x10) /* AVIIF_KEYFRAME */ ++
+          le32(off) ++ le32(fb.length.toLong)
+      }.toArray)
+    val riffBody = fcc("AVI ") ++ hdrl ++ movi ++ idx1
+    fcc("RIFF") ++ le32(riffBody.length.toLong) ++ riffBody
+  }
+
+  final case class VideoStats(
+      nFrames: Long, width: Int, height: Int,
+      sumR: Long, sumG: Long, sumB: Long)
+
+  /** REAL decode: walk the RIFF/AVI container structure (chunk
+    * traversal with word-aligned sizes, nested LISTs, `avih` main
+    * header, `movi` frame chunks) and decode every `00dc` frame with
+    * `javax.imageio`, reducing the pixel grids to exact integer
+    * channel sums. Dimensions come from the DECODED frames, not the
+    * headers; the `avih` declared frame count is cross-checked
+    * against the frames actually found (container-integrity check —
+    * a walk that missed or double-counted chunks fails loudly). */
+  def decodeAvi(media: Array[Byte]): VideoStats = {
+    def fourccAt(p: Int): String =
+      new String(media, p, 4, "US-ASCII")
+    def u32At(p: Int): Long =
+      (media(p) & 0xFFL) | ((media(p + 1) & 0xFFL) << 8) |
+        ((media(p + 2) & 0xFFL) << 16) | ((media(p + 3) & 0xFFL) << 24)
+    require(media.length >= 12 && fourccAt(0) == "RIFF" && fourccAt(8) == "AVI ",
+      "not a RIFF/AVI blob")
+    val riffEnd = math.min(media.length.toLong, 8L + u32At(4)).toInt
+    var declaredFrames = -1L
+    var nFrames = 0L
+    var (w, h) = (-1, -1)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    def walk(from: Int, to: Int, inHdrl: Boolean, inMovi: Boolean): Unit = {
+      var pos = from
+      while (pos + 8 <= to) {
+        val id = fourccAt(pos)
+        val size = u32At(pos + 4).toInt
+        val body = pos + 8
+        require(body + size <= to, s"chunk '$id' overruns its parent list")
+        if (id == "LIST") {
+          val kind = fourccAt(body)
+          walk(body + 4, body + size,
+            inHdrl = kind == "hdrl", inMovi = kind == "movi")
+        } else if (inHdrl && id == "avih") {
+          declaredFrames = u32At(body + 16) // dwTotalFrames
+        } else if (inMovi && id == "00dc") {
+          val img = ImageIO.read(
+            new ByteArrayInputStream(media, body, size))
+          require(img != null, s"undecodable frame at offset $body")
+          require(w < 0 || (img.getWidth == w && img.getHeight == h),
+            "inconsistent frame dimensions")
+          w = img.getWidth; h = img.getHeight
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          nFrames += 1
+        }
+        pos = body + size + (size & 1) // word-aligned
+      }
+    }
+    walk(12, riffEnd, inHdrl = false, inMovi = false)
+    require(nFrames > 0, "no video frames found in movi list")
+    require(declaredFrames == nFrames,
+      s"avih declares $declaredFrames frames, movi holds $nFrames")
+    VideoStats(nFrames, w, h, sr, sg, sb)
   }
 }

@@ -29,13 +29,14 @@ case class MediaFeatures(
   * The Spark-side plumbing is real and tested: schemas, encoders,
   * partition-preserving `mapPartitions` stages (the Scala analogue of
   * `mapInPandas` batch UDFs), and batch shapes. Decoding is REAL for
-  * images (BMP/PNG via `javax.imageio` — [[MediaCodecs.decodeImage]])
-  * and audio (RIFF/WAVE PCM via `javax.sound.sampled` —
-  * [[MediaCodecs.decodeWav]]); only VIDEO stays behind
-  * [[DecoderStub]], because the JVM ships no video codec. The stub is
-  * a deterministic pure function of the bytes so the video pipeline
-  * stays testable end-to-end; swapping in a real codec changes only
-  * that object.
+  * all three modalities: images (BMP/PNG via `javax.imageio` —
+  * [[MediaCodecs.decodeImage]]), audio (RIFF/WAVE PCM via
+  * `javax.sound.sampled` — [[MediaCodecs.decodeWav]]), and video
+  * (RIFF/AVI container walk with lossless PNG frames decoded by
+  * `javax.imageio` — [[MediaCodecs.decodeAvi]]; the container
+  * traversal is implemented in-repo because the JDK ships no video
+  * codec, while per-frame pixel decode rides the same JDK image path
+  * the stills use).
   *
   * Scale posture: decode is a per-partition map with no shuffle;
   * binary payloads stay columnar in parquet; feature extraction emits
@@ -43,12 +44,15 @@ case class MediaFeatures(
   */
 object Multimodal {
 
-  /** ======== STUB BOUNDARY (video only) ========
-    * Deterministic fakes standing in for a video codec (none ships in
-    * the JVM). Each is a pure function of the bytes, so pipelines are
-    * testable end-to-end. The byte-histogram feature extractor is also
-    * kept as the media-type-agnostic fallback featurizer (used by the
-    * mixed-type corpus queries, where 2/3 of rows are audio/video). */
+  /** Deterministic BYTE-LEVEL stages for the mixed-type plumbing
+    * queries ([[syntheticCorpus]] payloads are text bytes, not real
+    * containers — those queries exercise schema/partitioning/batch
+    * shape, and their oracles replay these byte formulas exactly).
+    * Real per-modality decode lives in [[MediaCodecs]]
+    * (`decodeImage`/`decodeWav`/`decodeAvi` — all three modalities);
+    * the byte-histogram here doubles as the media-type-agnostic
+    * fallback featurizer for corpora where payload formats are
+    * heterogeneous or unknown. */
   object DecoderStub {
     /** "Decode + feature-extract": 16-bin byte histogram, L1-normalized. */
     def extractFeatures(media: Array[Byte]): Array[Float] = {
@@ -138,6 +142,40 @@ object Multimodal {
       val st = MediaCodecs.decodeWav(r.media)
       AudioDecodeRow(r.id, st.nFrames, st.sampleRateHz,
         st.sumSamples, st.minSample, st.maxSample)
+    })
+  }
+
+  /** Synthesize a corpus of REAL RIFF/AVI blobs (lossless PNG frames
+    * in `00dc` chunks — the MPNG layout), frame pixels from
+    * [[MediaCodecs]]' pure formula of (doc_id, frame, pixel index) so
+    * a SQL oracle can replay the decoded stats without any codec. */
+  def videoCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val bytes = MediaCodecs.encodeAvi(id)
+      MediaRecord(id, bytes,
+        MediaMeta("video", "avi",
+          MediaCodecs.vidWidth(id), MediaCodecs.vidHeight(id),
+          MediaCodecs.vidFrames(id).toLong * 1000 / MediaCodecs.VidFps))
+    }
+  }
+
+  /** One decoded video per record. */
+  case class VideoDecodeRow(
+      id: Long, n_frames: Long, width: Int, height: Int,
+      n_px: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL video decode as a partition-preserving batch map: the AVI
+    * container is walked chunk-by-chunk and every frame's pixels come
+    * out of `javax.imageio` ([[MediaCodecs.decodeAvi]]); dimensions
+    * and frame counts are taken from what was actually decoded, with
+    * the header cross-checked against it. */
+  def decodeVideos(records: Dataset[MediaRecord]): Dataset[VideoDecodeRow] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.map { r =>
+      val st = MediaCodecs.decodeAvi(r.media)
+      VideoDecodeRow(r.id, st.nFrames, st.width, st.height,
+        st.nFrames * st.width * st.height, st.sumR, st.sumG, st.sumB)
     })
   }
 

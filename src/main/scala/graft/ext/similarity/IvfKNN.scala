@@ -458,6 +458,32 @@ object IvfKNN {
     *
     * Output: (idCol, vecCol, list_id) — same surface as
     * [[assignListsHier]]. */
+  /** The (cosine DESC, cid ASC) argmax ordering packed into ONE
+    * non-negative long, so the per-row argmax aggregates as a plain
+    * `max(bigint)` — a truly FIXED-WIDTH buffer. `max(struct(cos,
+    * -cid))` was already narrow, but a struct field in an UnsafeRow
+    * aggregation buffer is var-length, which disqualifies
+    * HashAggregate's fast path and SORT-aggregates the whole
+    * candidate stream per task (plan-verified: the struct form
+    * compiles to SortAggregate + per-task Sort; the packed form to
+    * HashAggregate with zero sorts — IvfSpec pins it).
+    *
+    * Exactness: `cos` is already rounded to 9 dp, so
+    * `s9 = round(cos·10⁹)` recovers the exact scaled integer
+    * (|cos| ≤ 1 ⇒ |s9| ≤ 10⁹, double-exact far below 2⁵³); the pack
+    * is `(s9 + 10⁹)·2³² + (2³¹ − cid)` — strictly monotone in
+    * (s9, −cid) because consecutive s9 values sit 2³² apart while
+    * the cid term spans < 2³¹, and ≤ 2·10⁹·2³² + 2³¹ < 2⁶³ so the
+    * long never overflows. Requires dense codebook ids < 2³¹
+    * (index-sized — the existing contract everywhere cids exist). */
+  private def packArgmax(cos: Column, cid: Column): Column =
+    (round(cos * 1e9, 0).cast("long") + 1000000000L) * 4294967296L +
+      (lit(2147483648L) - cid.cast("long"))
+
+  /** Decode the winning cid back out of a [[packArgmax]] maximum. */
+  private def unpackArgmaxCid(packed: Column): Column =
+    lit(2147483648L) - (packed % 4294967296L)
+
   def assignListsJoined(
       corpus: DataFrame, idCol: String, vecCol: String,
       coarse: Seq[Centroid], fine: DataFrame, probes: Int,
@@ -473,16 +499,17 @@ object IvfKNN {
     // probes·K/√K, each still hauling the vector) — stage-level spill
     // attribution pinned emb_semantic_dedup's whole 98–101 GB sf100
     // memory spill on exactly that sort, invariant to scan width or
-    // any upstream exchange. With only (cos, -cid) in the buffer the
+    // any upstream exchange. With only the packed (cos, -cid) long in
+    // the buffer ([[packArgmax]] — a struct would still sort-agg) the
     // partial argmax is a true map-side hash agg (per-task state =
-    // groups × 24 B at any corpus), and the vector re-attaches by one
+    // groups × 16 B at any corpus), and the vector re-attaches by one
     // id equi-join against the corpus afterwards.
     val best = probed.join(f, "gid")
       .withColumn("__cos",
         round(CosineKNN.dot(col(vecCol), col("cv")) / (col("__vn") * col("cnorm")), 9))
       .groupBy(col(idCol))
-      .agg(max(struct(col("__cos").as("cos"), (-col("cid")).as("negid"))).as("__best"))
-      .select(col(idCol), (-col("__best.negid")).as("list_id"))
+      .agg(max(packArgmax(col("__cos"), col("cid"))).as("__best"))
+      .select(col(idCol), unpackArgmaxCid(col("__best")).as("list_id"))
     // hash-build the narrow (id, list_id) argmax result: a sort-merge
     // re-attach would sort the WIDE vector side by id for nothing
     corpus.select(col(idCol), col(vecCol))
@@ -553,11 +580,25 @@ object IvfKNN {
             CosineKNN.norm(col(vecCol)).as("__vn")).crossJoin(cb)
           .withColumn("__s",
             round(CosineKNN.dot(col(vecCol), col("__cv")) / (col("__vn") * col("cnorm")), 9))
-    scored.groupBy(col(idCol))
-      .agg(
-        first(col(vecCol)).as(vecCol),
-        max(struct(col("__s").as("s"), (-col("cid")).as("negid"))).as("__best"))
-      .select(col(idCol), col(vecCol), (-col("__best.negid")).as("list_id"))
+    // The argmax aggregate must stay FIXED-WIDTH (the
+    // [[assignListsJoined]] rewrite, verbatim): the former
+    // `first(vecCol)` put a var-length field in the aggregation
+    // buffer, which disqualifies the fast hash map and
+    // sort-aggregates the ENTIRE n·K candidate stream with every row
+    // hauling the vector — the exact mechanism behind
+    // emb_semantic_dedup's ~100 GB sf100 spill, and here it ran once
+    // per Lloyd iteration inside [[lloydStepTable]]. With only the
+    // packed (s, -cid) long in the buffer ([[packArgmax]]) the
+    // partial argmax is a true map-side hash agg (per-task state =
+    // groups × 16 B at any corpus); the
+    // vector re-attaches by one id equi-join afterwards, hash-building
+    // the narrow (id, list_id) side — a sort-merge re-attach would
+    // sort the WIDE vector side by id for nothing.
+    val best = scored.groupBy(col(idCol))
+      .agg(max(packArgmax(col("__s"), col("cid"))).as("__best"))
+      .select(col(idCol), unpackArgmaxCid(col("__best")).as("list_id"))
+    corpus.select(col(idCol), col(vecCol))
+      .join(best.hint("shuffle_hash"), Seq(idCol))
   }
 
   /** ONE exact Lloyd step with the codebook as a DataFrame end to end

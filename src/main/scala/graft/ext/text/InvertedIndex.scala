@@ -83,8 +83,47 @@ object InvertedIndex {
     * self-join accumulates Σ idf² per pair and the per-doc norms
     * normalize it. Cosine here is over the PRUNED vocabulary on both
     * sides, so the measure stays a true cosine. */
+  /** The `(doc, term, w)` weighted-term frame [[tfidfPairs]] persists
+    * and fans out to its norm aggregate and both pair-join sides.
+    * With `hashTerms` (the default) the whole pipeline — the df
+    * aggregate, this cache, and the pair join — is keyed by
+    * `xxhash64(term)` instead of the shingle STRING (the
+    * dedupNgramsHashed trade, BlockDedup.scala): the term only ever
+    * acts as a join/group key here, never as output, and the string
+    * form is ~shingleN·avg-token-bytes per exploded occurrence, which
+    * made the MEMORY_AND_DISK cache ~71 GB for a ~30 GB sf100
+    * corpus — the 8-byte key is the production width. Collisions
+    * merge two different shingles into one term: expected colliding
+    * PAIRS ≈ d²/2⁶⁵ for d distinct shingles per the birthday bound
+    * (~3·10⁴ at 10¹² grams — a vanishing cosine perturbation);
+    * measured ZERO over 176 M distinct grams at sf100 for the same
+    * hash (GramHashStats), and the string/hashed forms are pinned
+    * output-identical on the test corpora (NgramHashParitySpec). */
+  private[graft] def weightedTerms(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, maxDf: Long, nDocs: Long,
+      hashTerms: Boolean): DataFrame = {
+    val strGrams = TextFunctions.spreadForExplode(docs)
+      .select(col(idCol).as("doc"),
+        explode(TextFunctions.shingles(col(textCol), shingleN)).as("term"))
+    val grams =
+      if (hashTerms) strGrams.select(col("doc"), xxhash64(col("term")).as("term"))
+      else strGrams
+    val dfs = grams.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    // hash-build the pruned vocab side: the gram stream is corpus ×
+    // shingles and an SMJ would sort it per task just to meet the
+    // join ordering (the docs_embed_knn residual-spill class); the
+    // build side is df-filtered vocab/partitions — bounded
+    grams.join(dfs.hint("shuffle_hash"), Seq("term"))
+      .select(col("doc"), col("term"),
+        expr(s"CAST(${nDocs * 1000000L} AS BIGINT) div df").cast(wDec).as("w"))
+  }
+
   def tfidfPairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, maxDf: Long, threshold: Double): DataFrame = {
+      shingleN: Int, maxDf: Long, threshold: Double,
+      hashTerms: Boolean = true): DataFrame = {
     val nDocs = docs.count() // corpus size: one scalar of index metadata
     // data-scaled spread before the shingle explode: Spread.wide only
     // rescued NARROW scans (≤32 tasks), so a many-file sf100 scan kept
@@ -92,22 +131,12 @@ object InvertedIndex {
     // rowGroupBytes × W per task into the term shuffle — the map-side
     // share of this query's 43 GB sf100 memory spill (the
     // spreadForExplode class)
-    val grams = TextFunctions.spreadForExplode(docs)
-      .select(col(idCol).as("doc"),
-        explode(TextFunctions.shingles(col(textCol), shingleN)).as("term"))
-    val dfs = grams.groupBy(col("term"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
     // the weighted term table feeds the norm aggregate AND both sides
     // of the pair join: persist it once or the shingle+df pipeline is
-    // re-derived three times (the NearDup cache-at-fanout rule)
-    // hash-build the pruned vocab side: the gram stream is corpus ×
-    // shingles and an SMJ would sort it per task just to meet the
-    // join ordering (the docs_embed_knn residual-spill class); the
-    // build side is df-filtered vocab/partitions — bounded
-    val w = grams.join(dfs.hint("shuffle_hash"), Seq("term"))
-      .select(col("doc"), col("term"),
-        expr(s"CAST(${nDocs * 1000000L} AS BIGINT) div df").cast(wDec).as("w"))
+    // re-derived three times (the NearDup cache-at-fanout rule); with
+    // hashTerms the persisted rows carry 8-byte term keys, not shingle
+    // strings — see weightedTerms
+    val w = weightedTerms(docs, idCol, textCol, shingleN, maxDf, nDocs, hashTerms)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nrm = w.groupBy(col("doc"))
       .agg(sum(col("w") * col("w")).as("nn"))

@@ -26,6 +26,10 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *   SELECT * FROM graft_knn_exact('embeddings', 'vec_id', 'embedding',
   *                                 'vec_id < 5', 3)
   *   SELECT * FROM graft_lm_score('documents', 'lm_model', 'doc_id', 'text')
+  *   SELECT * FROM graft_minhash_pairs('documents', 'doc_id', 'text',
+  *                                     2, 16, 4, 0.5, 1000)
+  *   SELECT * FROM graft_semantic_dedup('embeddings', 'vec_id', 'embedding',
+  *                                      32, 0.3, 2)
   * }}}
   *
   * Each builder resolves its table argument against the session
@@ -137,6 +141,42 @@ object GraftTableFunctions {
         strArg(args(2), "graft_knn_exact", "vecCol"),
         k = longArg(args(4), "graft_knn_exact", "k").toInt)
     },
+    tvf("graft_minhash_pairs",
+      "graft_minhash_pairs(table, idCol, textCol, shingleSize, bands, " +
+        "rowsPerBand, threshold, maxBucketSize) - banded-LSH near-dup " +
+        "pair mining with Jaccard verification (NearDup.minhashPairs: " +
+        "signature agg + band bucket-join, skew-capped; eager — the " +
+        "mining runs at analysis time and the plan scans its " +
+        "materialized output, the operator's own cache-release " +
+        "contract)") { args =>
+      requireArgs(args, 8, "graft_minhash_pairs")
+      graft.ext.dedup.NearDup.minhashPairs(
+        tableArg(args(0), "graft_minhash_pairs"),
+        strArg(args(1), "graft_minhash_pairs", "idCol"),
+        strArg(args(2), "graft_minhash_pairs", "textCol"),
+        shingleSize = longArg(args(3), "graft_minhash_pairs", "shingleSize").toInt,
+        bands = longArg(args(4), "graft_minhash_pairs", "bands").toInt,
+        rowsPerBand = longArg(args(5), "graft_minhash_pairs", "rowsPerBand").toInt,
+        threshold = doubleArg(args(6), "graft_minhash_pairs", "threshold"),
+        maxBucketSize = longArg(args(7), "graft_minhash_pairs", "maxBucketSize").toInt)
+    },
+    tvf("graft_semantic_dedup",
+      "graft_semantic_dedup(table, idCol, vecCol, k, threshold, probes) " +
+        "- SemDeDup cluster-then-dedup verdicts over an embedding " +
+        "column (SemanticDedup.verdicts: two-level codebook-as-data " +
+        "quantizer, within-cluster pairs only; eager — clustering runs " +
+        "at analysis time and the plan scans its materialized output)") { args =>
+      requireArgs(args, 6, "graft_semantic_dedup")
+      val table = strArg(args(0), "graft_semantic_dedup", "table")
+      graft.ext.dedup.SemanticDedup.verdicts(
+        SparkSession.active.table(table),
+        strArg(args(1), "graft_semantic_dedup", "idCol"),
+        strArg(args(2), "graft_semantic_dedup", "vecCol"),
+        k = longArg(args(3), "graft_semantic_dedup", "k").toInt,
+        threshold = doubleArg(args(4), "graft_semantic_dedup", "threshold"),
+        probes = longArg(args(5), "graft_semantic_dedup", "probes").toInt,
+        source = s"tvf:$table")
+    },
     tvf("graft_lm_score",
       "graft_lm_score(corpusTable, modelTable, idCol, textCol) - " +
         "per-document bigram LM quality score against an at-rest " +
@@ -185,6 +225,20 @@ object GraftTableFunctions {
       case other =>
         throw new IllegalArgumentException(
           s"$fn: argument '$arg' must be an integer literal, got $other")
+    }
+  }
+
+  private def doubleArg(e: Expression, fn: String, arg: String): Double = {
+    require(e.foldable, s"$fn: argument '$arg' must be a literal, got $e")
+    e.eval() match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case i: Int => i.toDouble
+      case l: Long => l.toDouble
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other =>
+        throw new IllegalArgumentException(
+          s"$fn: argument '$arg' must be a numeric literal, got $other")
     }
   }
 

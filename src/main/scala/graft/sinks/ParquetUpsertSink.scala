@@ -163,36 +163,67 @@ object ParquetUpsertSink {
     }
   }
 
-  /** One row per key in the batch; ties broken arbitrarily (matches
-    * `dropDuplicates`) — pass `orderCol` to make "last" explicit
-    * (one row per key exactly when `(key, orderCol)` is unique, e.g.
-    * an event id — the same determinism contract as before; rows
-    * tying on the max `orderCol` are all kept).
+  /** One row per key in the batch — UNCONDITIONALLY (the table's
+    * key-unique invariant must hold whatever the batch contains,
+    * matching the reference's `ON CONFLICT (key) DO UPDATE`, which
+    * can never insert a second row for a key). Without `orderCol`
+    * the surviving row is arbitrary (`dropDuplicates`); with it the
+    * max-`orderCol` row wins ("last" made explicit), rows tying on
+    * the max settle on the highest full-row `xxhash64` (deterministic;
+    * exact byte-duplicates collapse to one). Rows whose `orderCol` is
+    * NULL lose to any non-null row for the same key and fall back to
+    * the hash tie-break when the whole key group is null — never
+    * silently dropped (max() ignores nulls, so the winner join is
+    * null-SAFE on `orderCol`).
     *
-    * Shape: a NARROW `max(orderCol)` aggregate (fixed-width buffer —
-    * stays in the vectorized hash map at any width) plus a semi-join
-    * of the batch against the winners. The previous
+    * Shape: every aggregation buffer here is FIXED-WIDTH — `max(o)`,
+    * `max(__tb)` (8-byte row hash), and the final all-column distinct
+    * (grouping keys only, EMPTY buffer) — so each pass stays in the
+    * vectorized hash map at any width. The previous
     * `max_by(struct(all columns))` form dragged the entire row
     * through the aggregation buffer: a var-length buffer disqualifies
     * the fast fixed-width hash map and falls back to sort-based
     * aggregation of the whole batch per task (the semantic-dedup
     * argmax lesson) — tens of GB of sf100 spill for what is
-    * metadata-narrow decision state. */
+    * metadata-narrow decision state. (The tie-break trade: two
+    * DISTINCT tying rows sharing a 64-bit full-row hash would both
+    * survive — ~2⁻⁶⁴ per tying pair, the repo's standard accepted
+    * 8-byte-hash collision bound.) */
   private def dedupBatch(batch: DataFrame, key: String, orderCol: Option[String]): DataFrame =
     orderCol match {
       case Some(o) =>
-        val winners = batch.groupBy(col(key)).agg(max(col(o)).as(o))
+        val cols = batch.columns.toIndexedSeq
+        val b = batch.withColumn("__tb", xxhash64(cols.map(col): _*))
         // winners is narrow but corpus-LINEAR (one row per batch key),
-        // so it carries NO shuffle-hash hint: AQE's local-map-threshold
-        // demotion converts the planned SMJ to a hash join only after
-        // CHECKING the per-partition build size — a blind hint OOM'd
-        // the sf100 cell when the write-side file-count stage fused in
-        // (no spill path in a forced hash build). The using-columns
-        // join fronts (key, o) — restore batch order.
-        batch.join(winners, Seq(key, o), "left_semi")
-          .select(batch.columns.toIndexedSeq.map(col): _*)
+        // so neither join carries a shuffle-hash hint: AQE's
+        // local-map-threshold demotion converts the planned SMJ to a
+        // hash join only after CHECKING the per-partition build size —
+        // a blind hint OOM'd the sf100 cell when the write-side
+        // file-count stage fused in (no spill path in a forced hash
+        // build).
+        val winners = b.groupBy(col(key)).agg(max(col(o)).as("__o"))
+          .select(col(key).as("__k"), col("__o"))
+        val maxed = b.join(winners,
+          b(key) === winners("__k") && (b(o) <=> winners("__o")), "left_semi")
+        val tieBreak = maxed.groupBy(col(key)).agg(max(col("__tb")).as("__tb"))
+        maxed.join(tieBreak, Seq(key, "__tb"), "left_semi")
+          .dropDuplicates()
+          .select(cols.map(col): _*)
       case None => batch.dropDuplicates(key)
     }
+
+  /** Null keys would silently corrupt the merge — [[merge]]'s
+    * anti-join never matches a null key, so null-keyed rows would
+    * survive on BOTH sides and accumulate monotonically across
+    * batches. Keys are generated surrogates (upstream contract), so a
+    * null here is a bug: fail loudly, the same posture
+    * [[upsertPartitioned]] already takes for null partition values.
+    * Cost: one key-column-pruned scan with an immediate limit-1. */
+  private def requireNonNullKeys(batch: DataFrame, key: String): Unit =
+    require(batch.filter(col(key).isNull).isEmpty,
+      s"null values in upsert key column '$key' are unsupported (the " +
+        "keyed merge cannot match them); keys are generated surrogates — " +
+        "fix the key derivation upstream")
 
   /** Full-table merge-on-write upsert. */
   def upsert(
@@ -203,6 +234,7 @@ object ParquetUpsertSink {
       orderCol: Option[String] = None,
       outputFiles: Int = 8): Unit = {
     recover(spark, tablePath)
+    requireNonNullKeys(batch, key)
     // modest file counts: entity tables are row-few relative to the
     // event stream, and per-file FS metadata work dominates rewrite
     // cost at small scale (outputFiles stays a knob for big tables).
@@ -254,6 +286,7 @@ object ParquetUpsertSink {
       partitionCol: String,
       orderCol: Option[String] = None,
       detectMovedKeys: Boolean = false): Unit = {
+    requireNonNullKeys(batch, key)
     val incoming = dedupBatch(batch, key, orderCol).cache()
     try {
       // co-locate each hive partition's rows in one task before the
@@ -341,9 +374,10 @@ object ParquetUpsertSink {
     * strategy hint: AQE's local-map-threshold demotion hash-builds it
     * only after checking the per-partition size (a forced hint has no
     * spill path and OOM'd the sf100 cell under stage fusion).
-    * Null keys (upstream contract violation — keys are generated
-    * surrogates) now pass through both sides unmerged instead of
-    * being collapsed to one arbitrary row. */
+    * Null keys never reach this join: the anti join cannot match
+    * them (they would survive on both sides and accumulate across
+    * batches), so both public entry points reject them loudly first
+    * ([[requireNonNullKeys]]). */
   private def merge(existing: DataFrame, incoming: DataFrame, key: String): DataFrame =
     incoming.unionByName(
       existing.join(incoming.select(col(key)), Seq(key), "left_anti")

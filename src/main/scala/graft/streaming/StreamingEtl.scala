@@ -382,6 +382,70 @@ object StreamingEtl {
       }
       .start()
 
+  /** Streaming semantic dedup (the last major curation operator
+    * without a twin): each micro-batch of embedding rows is assigned
+    * against a FROZEN at-rest codebook (`coarse` literals + the
+    * distributed `fine` table — the production posture: the index is
+    * trained once, the stream only assigns) and receives SemDeDup
+    * verdicts against this batch plus all earlier batches via
+    * [[graft.ext.dedup.SemanticDedup.verdictsIncremental]].
+    *
+    * State is the `ngramDedupStream` at-rest pattern: every assigned
+    * vector lands under `stateDir` as `(vid, v, n, list_id)`
+    * partitioned by `__batch_id`; the per-batch read is pinned to
+    * `__batch_id < batchId` and pruned to the batch's touched
+    * clusters, and BOTH writes use dynamic partition overwrite, so a
+    * replayed batch (at-least-once foreachBatch) re-reads exactly the
+    * state it saw first time and rewrites its own partitions
+    * idempotently — state delta first, verdicts second, the crash
+    * between them replay-safe.
+    *
+    * Batch parity (StreamingSpec): with id-monotone arrival the
+    * concatenated verdict partitions equal
+    * [[graft.ext.dedup.SemanticDedup.verdicts]] on the union corpus
+    * (same codebook), row-identical. */
+  def semanticDedupStream(
+      vecStream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: Seq[graft.ext.similarity.IvfKNN.Centroid],
+      fine: DataFrame,
+      outDir: String,
+      stateDir: String,
+      checkpointDir: String,
+      threshold: Double = 0.3,
+      probes: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    vecStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val b = batch.localCheckpoint()
+        val stateP = new org.apache.hadoop.fs.Path(stateDir)
+        val hfs = stateP.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val prior =
+          if (hfs.exists(stateP))
+            Some(s.read.parquet(stateDir)
+              .filter(col("__batch_id") < batchId)
+              .select(col("vid"), col("v"), col("n"), col("list_id")))
+          else None
+        val (verdictRows, delta) = graft.ext.dedup.SemanticDedup
+          .verdictsIncremental(b, idCol, vecCol, coarse, fine,
+            threshold, probes, prior)
+        delta.withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id")
+          .parquet(stateDir)
+        verdictRows.withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id")
+          .parquet(outDir)
+        ()
+      }
+      .start()
+
   /** Watermarked stream-stream join: each purchase matched to clicks
     * from the same user within the preceding hour. Both sides carry
     * watermarks so join state is bounded and late rows are dropped —

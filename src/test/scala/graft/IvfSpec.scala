@@ -293,6 +293,46 @@ class IvfSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(2000))
   }
 
+  test("exact-joined assignment argmax is a hash aggregate — no sort anywhere") {
+    // Round-11 verdict #1: the former first(vecCol) in the argmax
+    // buffer was a var-length aggregation field — it disqualified the
+    // fast fixed-width hash map and sort-aggregated the ENTIRE n·K
+    // candidate stream with every row hauling the vector, once per
+    // Lloyd iteration (the emb_semantic_dedup ~100 GB spill class,
+    // iterated). The rewrite aggregates only (s, negid) and re-attaches
+    // the vector by a hash-built id equi-join, so the executed plan
+    // must contain NO sort-based operator of any kind.
+    val b1 = IvfKNN.lloydTrainTable(emb, "vec_id", "embedding", 8, iterations = 1)
+    Seq(true, false).foreach { stable =>
+      val assigned = IvfKNN.assignExactJoined(
+        emb, "vec_id", "embedding",
+        if (stable) b1 else IvfKNN.seedCodebookTable(emb, "vec_id", "embedding", 8),
+        stable = stable)
+      val plan = assigned.queryExecution.executedPlan.toString
+      assert(!plan.contains("SortAggregate"), plan.take(2000))
+      assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+      assert(!plan.contains("Sort "), plan.take(2000))
+      assert(plan.contains("HashAggregate"), plan.take(2000))
+      assert(plan.contains("ShuffledHashJoin"), plan.take(2000))
+      // and the aggregate buffer really is vector-free: the argmax
+      // output carries only (id, list_id); the vector re-attaches from
+      // the corpus side of the re-attach join
+      assert(assigned.columns.toSeq == Seq("vec_id", "embedding", "list_id"))
+    }
+    // the probed two-level assignment (semantic dedup's quantizer)
+    // carries the same packed-long argmax — no sort-based operator
+    val cents = IvfKNN.sampledCentroids(emb, "vec_id", "embedding", 8)
+    val hl = IvfKNN.hierLayer(cents)
+    val fine = IvfKNN.fineCodebookTable(emb, "vec_id", "embedding", 8, hl.coarse)
+    val joined = IvfKNN.assignListsJoined(
+      emb.select($"vec_id", $"embedding"), "vec_id", "embedding",
+      hl.coarse, fine, probes = 2)
+    val jPlan = joined.queryExecution.executedPlan.toString
+    assert(!jPlan.contains("SortAggregate"), jPlan.take(2000))
+    assert(!jPlan.contains("Sort "), jPlan.take(2000))
+    assert(jPlan.contains("HashAggregate"), jPlan.take(2000))
+  }
+
   test("hier quantizer is a pure map and routes tight clusters like the flat one") {
     val cents = IvfKNN.sampledCentroids(emb, "vec_id", "embedding", 8)
     val plan = IvfKNN.assignListsHier(emb, "embedding", cents, probes = 2)

@@ -157,6 +157,57 @@ class SqlApiSpec extends SparkSpec {
       Seq("doc_id"))
   }
 
+  // The two EAGER-MATERIALIZING operators (their entry points run the
+  // mining/clustering at call time, write the threshold-filtered
+  // output to a fresh scratch dir, and release their corpus-sized
+  // caches — the ENOSPC-at-sf100 contract): each TVF invokes the SAME
+  // Scala function, so literal canonicalized-plan equality is
+  // unattainable (two calls scan two scratch dirs). The assertion here
+  // is the eager contract instead: both plans are bare scans of a
+  // materialized output (proof the SQL path ran the identical
+  // compute, not a naive re-derivation), plus schema + row identity.
+  private def assertSameEagerResult(
+      viaSql: org.apache.spark.sql.DataFrame,
+      viaScala: org.apache.spark.sql.DataFrame,
+      sortCols: Seq[String]): Unit = {
+    assert(viaSql.schema == viaScala.schema,
+      s"schemas differ:\n${viaSql.schema}\n${viaScala.schema}")
+    Seq(viaSql, viaScala).foreach { df =>
+      val plan = df.queryExecution.optimizedPlan
+      val rels = plan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      }
+      assert(rels.length == 1 && plan.toString.contains("parquet"),
+        s"expected a bare materialized-output scan, got:\n$plan")
+    }
+    val a = viaSql.orderBy(sortCols.map(col): _*).collect()
+    val b = viaScala.orderBy(sortCols.map(col): _*).collect()
+    assert(a.sameElements(b), s"rows differ: sql=${a.length} scala=${b.length}")
+  }
+
+  test("TVF graft_minhash_pairs: same mining path and rows as NearDup") {
+    Tables.registerViews(spark, sf)
+    assertSameEagerResult(
+      spark.sql("SELECT * FROM graft_minhash_pairs(" +
+        "'documents', 'doc_id', 'text', 2, 16, 4, 0.5, 1000)"),
+      graft.ext.dedup.NearDup.minhashPairs(
+        spark.table("documents"), "doc_id", "text",
+        shingleSize = 2, bands = 16, rowsPerBand = 4, threshold = 0.5,
+        maxBucketSize = 1000),
+      Seq("doc_a", "doc_b"))
+  }
+
+  test("TVF graft_semantic_dedup: same clustering path and rows as SemanticDedup") {
+    Tables.registerViews(spark, sf)
+    assertSameEagerResult(
+      spark.sql("SELECT * FROM graft_semantic_dedup(" +
+        "'embeddings', 'vec_id', 'embedding', 32, 0.3, 2)"),
+      graft.ext.dedup.SemanticDedup.verdicts(
+        spark.table("embeddings"), "vec_id", "embedding",
+        k = 32, threshold = 0.3, probes = 2, source = "tvf:embeddings"),
+      Seq("vec_id"))
+  }
+
   test("TVF arguments must be literals (no row context in TVF position)") {
     Tables.registerViews(spark, sf)
     val e = intercept[Exception] {
@@ -183,7 +234,8 @@ class SqlApiSpec extends SparkSpec {
       Seq("graft_dedup_ngrams_hashed", "graft_pack_shards",
           "graft_count_sum", "graft_decontaminate",
           "graft_decontaminate_cross", "graft_knn_exact",
-          "graft_lm_score").foreach { f =>
+          "graft_lm_score", "graft_minhash_pairs",
+          "graft_semantic_dedup").foreach { f =>
         assert(s2.sessionState.tableFunctionRegistry
           .functionExists(FunctionIdentifier(f)), s"missing TVF $f")
       }

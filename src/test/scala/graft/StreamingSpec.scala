@@ -451,4 +451,73 @@ class StreamingSpec extends SparkSpec {
     assert(seenB1 > 0 && seenB2 > 0 && seenB2 < seenB1,
       s"b1=$seenB1 b2=$seenB2")
   }
+
+  test("streaming semantic dedup: verdicts equal the batch operator over the concatenated corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.dedup.SemanticDedup
+    import graft.ext.similarity.IvfKNN
+    val root = tmpDir("semstream")
+    // planted corpus: 4 orthogonal cluster centers (ids 0-3 — also the
+    // k=4 codebook seeds), members = center + a small deterministic
+    // off-axis perturbation, so within-cluster cosine ≈ 0.999 and
+    // cross-cluster cosine ≈ 0. Batch 1 holds ids 0-19, batch 2 ids
+    // 20-39 (id-monotone arrival, the parity precondition): every
+    // batch-2 member has a LOWER-id batch-1 cluster-mate within the
+    // threshold, so the cross-batch state must drop all of batch 2.
+    val dim = 8
+    def member(id: Long): (Long, Seq[Float]) = {
+      val c = (id % 4).toInt
+      val v = Array.fill(dim)(0f)
+      v(c) = 1f
+      v(4 + c) = 0.01f * ((id * 7 % 5) + 1)
+      (id, v.toSeq)
+    }
+    val all = (0L until 40L).map(member)
+    val (b1, b2) = all.partition(_._1 < 20)
+    // file-backed corpus: the batch operator's codebook memo keys on
+    // the source snapshot
+    all.toDF("vec_id", "embedding").write.parquet(s"$root/corpus")
+    val corpus = spark.read.parquet(s"$root/corpus")
+    val k = 4
+    // the stream's FROZEN at-rest codebook — the identical
+    // deterministic derivation the batch operator performs internally
+    val coarse = IvfKNN.cachedSampledCentroids(
+      corpus, "vec_id", "embedding",
+      math.ceil(math.sqrt(k.toDouble)).toInt, source = s"$root/corpus")
+    val fine = IvfKNN.fineCodebookTable(corpus, "vec_id", "embedding", k, coarse)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingEtl.semanticDedupStream(
+      input.toDS().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      coarse, fine, s"$root/out", s"$root/state", s"$root/ckpt",
+      threshold = 0.3, probes = 2)
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$root/out")
+      .select($"vec_id", $"list_id", $"kept")
+      .orderBy($"vec_id").collect()
+    val batch = SemanticDedup.verdicts(
+        corpus, "vec_id", "embedding", k, threshold = 0.3, probes = 2,
+        source = s"$root/corpus")
+      .select($"vec_id", $"list_id", $"kept")
+      .orderBy($"vec_id").collect()
+    assert(streamed.sameElements(batch),
+      s"stream=${streamed.mkString(";")}\nbatch=${batch.mkString(";")}")
+    // the cross-batch state actually did the work: every batch-2 row
+    // is dropped by a batch-1 neighbor, while the same batch run
+    // WITHOUT prior state keeps one member per touched cluster
+    assert(streamed.filter(_.getLong(0) >= 20).forall(!_.getBoolean(2)))
+    val (aloneOut, _) = SemanticDedup.verdictsIncremental(
+      b2.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      coarse, fine, threshold = 0.3, probes = 2, priorVectors = None)
+    assert(aloneOut.filter($"kept").count() > 0,
+      "batch 2 alone should keep its per-cluster survivors")
+    // state holds EVERY assigned vector (kept or not — transitive
+    // chains need non-survivors too), partitioned by batch
+    val state = spark.read.parquet(s"$root/state")
+    assert(state.count() == 40)
+    assert(state.filter($"__batch_id" === 0L).count() == 20)
+  }
 }

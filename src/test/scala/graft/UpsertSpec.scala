@@ -28,6 +28,58 @@ class UpsertSpec extends SparkSpec {
     assert(got.length == 1 && got.head.getString(1) == "new")
   }
 
+  test("upsert keeps exactly one row per key when rows tie on the max orderCol") {
+    // two DISTINCT rows tying on (key, max ver): the key-unique table
+    // invariant (the reference's ON CONFLICT guarantee) must hold
+    // anyway — the deterministic tie-break keeps the row with the
+    // highest full-row hash, and the choice is stable across runs
+    val batch = Seq(("k1", "a", 2), ("k1", "b", 2), ("k1", "old", 1),
+      ("k2", "x", 7)).toDF("id", "payload", "ver")
+    val survivors = (1 to 2).map { i =>
+      val path = tmpDir(s"upsert_tie$i") + "/t"
+      ParquetUpsertSink.upsert(spark, batch, path, "id", orderCol = Some("ver"))
+      val rows = spark.read.parquet(path).collect()
+        .map(r => r.getString(0) -> (r.getString(1), r.getInt(2))).toMap
+      assert(rows.size == 2, s"key-unique invariant violated: ${rows.mkString(",")}")
+      assert(rows("k1")._2 == 2 && Set("a", "b").contains(rows("k1")._1))
+      assert(rows("k2") == (("x", 7)))
+      rows("k1")
+    }
+    assert(survivors(0) == survivors(1), "tie-break is not deterministic")
+    // exact byte-duplicate ties collapse to one row too
+    val dupPath = tmpDir("upsert_tie_dup") + "/t"
+    val dups = Seq(("k1", "same", 2), ("k1", "same", 2)).toDF("id", "payload", "ver")
+    ParquetUpsertSink.upsert(spark, dups, dupPath, "id", orderCol = Some("ver"))
+    assert(spark.read.parquet(dupPath).count() == 1)
+  }
+
+  test("upsert never drops a key whose orderCol is null") {
+    val path = tmpDir("upsert_nullord") + "/t"
+    // k1: null loses to the non-null ver; k2: ALL vers null — the key
+    // must still land (max() ignoring nulls made the old equality
+    // semi-join silently drop it)
+    val batch = Seq(("k1", "late", Some(2)), ("k1", "nullver", None),
+      ("k2", "only", None)).toDF("id", "payload", "ver")
+    ParquetUpsertSink.upsert(spark, batch, path, "id", orderCol = Some("ver"))
+    val got = spark.read.parquet(path).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("k1" -> "late", "k2" -> "only"))
+  }
+
+  test("upsert rejects null keys loudly (both forms)") {
+    val path = tmpDir("upsert_nullkey") + "/t"
+    val bad = Seq((null: String, "x", "2022-11-24")).toDF("id", "payload", "dt")
+    val e1 = intercept[IllegalArgumentException] {
+      ParquetUpsertSink.upsert(spark, bad, path, "id")
+    }
+    assert(e1.getMessage.contains("null values in upsert key column"))
+    val e2 = intercept[IllegalArgumentException] {
+      ParquetUpsertSink.upsertPartitioned(spark, bad, path, "id", "dt")
+    }
+    assert(e2.getMessage.contains("null values in upsert key column"))
+    assert(!new java.io.File(path).exists()) // nothing written
+  }
+
   test("partitioned upsert only rewrites touched partitions") {
     val root = tmpDir("upsert3") + "/t"
     val day1 = Seq(("k1", "2022-11-24", "a"), ("k2", "2022-11-25", "b"))
@@ -158,6 +210,35 @@ class UpsertSpec extends SparkSpec {
     val got = spark.read.jdbc(url, "items", new java.util.Properties())
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "a", 2L -> "B", 3L -> "c"))
+  }
+
+  test("ON CONFLICT dialect-golden: generated statement mirrors the reference shape") {
+    // The reference's production loader (door2door-etl
+    // src/helper/postgres.py:157-189) builds
+    //   INSERT INTO {table} ({', '.join(columns)}) VALUES ({%s,...})
+    //   ON CONFLICT (key) DO UPDATE SET {col = EXCLUDED.col, ...}
+    // with columns in DataFrame order and the update set covering
+    // every non-key column in that same order. No Postgres exists in
+    // this sandbox, so this pin is what guards the dialect: clause
+    // order, column order, one placeholder per column, EXCLUDED
+    // references, and quoting (deliberate divergences from the
+    // reference: `?` JDBC placeholders instead of psycopg `%s`, and
+    // quoted identifiers to match Spark's JDBC writer casing).
+    val cols = Seq("event_generated_id", "event_location_lat",
+      "event_location_lng", "event_at", "created_at")
+    val sql = JdbcUpsertSink.onConflictSql("vehicle", cols, "event_generated_id")
+    val shape =
+      """INSERT INTO (\S+) \((.+)\) VALUES \((.+)\) ON CONFLICT \((.+)\) DO UPDATE SET (.+)""".r
+    sql match {
+      case shape(table, colList, params, conflict, sets) =>
+        assert(table == "vehicle")
+        assert(colList == cols.map(c => s""""$c"""").mkString(", "))
+        assert(params == cols.map(_ => "?").mkString(", "))
+        assert(conflict == "\"event_generated_id\"")
+        assert(sets == cols.filterNot(_ == "event_generated_id")
+          .map(c => s""""$c" = EXCLUDED."$c"""").mkString(", "))
+      case _ => fail(s"statement does not match the reference clause shape: $sql")
+    }
   }
 
   test("jdbc upsert SQL is parameterized ON CONFLICT / MERGE / UPDATE-INSERT") {
