@@ -14,7 +14,15 @@ import org.apache.spark.sql.SparkSession
   * and join-eliminable plans down to parquet metadata — those cells
   * timed the optimizer, not the operator. Cells for such queries are
   * NOT comparable across that boundary; everything else is, since
-  * the final ORDER BY is optimized away under both forcings.)
+  * the final ORDER BY is optimized away under both forcings.
+  * AGG-PRUNABLE plans belong to the same class: under count()
+  * Catalyst drops unreferenced aggregate expressions from an
+  * Aggregate, so round-1's q1_pricing_summary cell never ran the
+  * eight exact-decimal sums (0.75 s count-forced vs ~1.9 s full on
+  * the same binary/corpus — ProfileWatchRows) and events_profile's
+  * never ran its four distinct/min/max columns (0.38 vs ~1.9 s);
+  * their round-1 cells are optimizer artifacts, adjudicated
+  * round 12, isolated min-of-5 on a quiet host.)
   *
   * Noise control (this host has shown 1.6× total drift between
   * identical binaries hours apart): each query runs
