@@ -176,39 +176,55 @@ object ParquetUpsertSink {
     * silently dropped (max() ignores nulls, so the winner join is
     * null-SAFE on `orderCol`).
     *
-    * Shape: every aggregation buffer here is FIXED-WIDTH — `max(o)`,
-    * `max(__tb)` (8-byte row hash), and the final all-column distinct
-    * (grouping keys only, EMPTY buffer) — so each pass stays in the
-    * vectorized hash map at any width. The previous
-    * `max_by(struct(all columns))` form dragged the entire row
-    * through the aggregation buffer: a var-length buffer disqualifies
-    * the fast fixed-width hash map and falls back to sort-based
-    * aggregation of the whole batch per task (the semantic-dedup
-    * argmax lesson) — tens of GB of sf100 spill for what is
-    * metadata-narrow decision state. (The tie-break trade: two
+    * Shape: the hot path is UNCHANGED from the pre-tie-break form —
+    * one narrow `max(o)` aggregate (fixed-width buffer) plus one
+    * null-SAFE semi-join of the batch against the winners. The tie
+    * machinery (a full-row-hash argmax + an all-column distinct —
+    * two more batch-wide exchanges) runs ONLY when a cheap invariant
+    * probe finds a duplicate `(key, orderCol)` pair anywhere in the
+    * batch: one column-pruned narrow aggregate with an immediate
+    * limit-1, so the documented-unique common case pays a few
+    * seconds of metadata-width scanning, never the extra wide
+    * shuffles (the sf100 upsert cells are the registry's heaviest
+    * rows — doubling their shuffle for a contract-violation path
+    * would regress the ladder for nothing). Every aggregation buffer
+    * on either path is FIXED-WIDTH — `max(o)`, `count`, `max(__tb)`
+    * (8-byte row hash), and the final all-column distinct (grouping
+    * keys only, EMPTY buffer) — so nothing here ever falls back to
+    * sort-based aggregation (the semantic-dedup argmax lesson; the
+    * previous `max_by(struct(all columns))` form spilled tens of GB
+    * at sf100 through exactly that fallback). Tie-break trade: two
     * DISTINCT tying rows sharing a 64-bit full-row hash would both
     * survive — ~2⁻⁶⁴ per tying pair, the repo's standard accepted
-    * 8-byte-hash collision bound.) */
+    * 8-byte-hash collision bound. */
   private def dedupBatch(batch: DataFrame, key: String, orderCol: Option[String]): DataFrame =
     orderCol match {
       case Some(o) =>
         val cols = batch.columns.toIndexedSeq
-        val b = batch.withColumn("__tb", xxhash64(cols.map(col): _*))
         // winners is narrow but corpus-LINEAR (one row per batch key),
         // so neither join carries a shuffle-hash hint: AQE's
         // local-map-threshold demotion converts the planned SMJ to a
         // hash join only after CHECKING the per-partition build size —
         // a blind hint OOM'd the sf100 cell when the write-side
         // file-count stage fused in (no spill path in a forced hash
-        // build).
-        val winners = b.groupBy(col(key)).agg(max(col(o)).as("__o"))
+        // build). The winner join is null-safe on o: max() ignores
+        // nulls, so an all-null key group matches its null "max" and
+        // still lands (previously silently dropped), while null-o rows
+        // lose to any non-null sibling.
+        val winners = batch.groupBy(col(key)).agg(max(col(o)).as("__o"))
           .select(col(key).as("__k"), col("__o"))
-        val maxed = b.join(winners,
-          b(key) === winners("__k") && (b(o) <=> winners("__o")), "left_semi")
-        val tieBreak = maxed.groupBy(col(key)).agg(max(col("__tb")).as("__tb"))
-        maxed.join(tieBreak, Seq(key, "__tb"), "left_semi")
-          .dropDuplicates()
-          .select(cols.map(col): _*)
+        val maxed = batch.join(winners,
+          batch(key) === winners("__k") && (batch(o) <=> winners("__o")), "left_semi")
+        val hasDupPairs = !batch.groupBy(col(key), col(o)).count()
+          .filter(col("count") > lit(1L)).isEmpty
+        if (!hasDupPairs) maxed
+        else {
+          val b = maxed.withColumn("__tb", xxhash64(cols.map(col): _*))
+          val tieBreak = b.groupBy(col(key)).agg(max(col("__tb")).as("__tb"))
+          b.join(tieBreak, Seq(key, "__tb"), "left_semi")
+            .dropDuplicates()
+            .select(cols.map(col): _*)
+        }
       case None => batch.dropDuplicates(key)
     }
 
