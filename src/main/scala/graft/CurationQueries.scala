@@ -134,6 +134,121 @@ object CurationQueries {
       |FROM assign a LEFT JOIN drops dr ON dr.vec_id = a.vec_id
       |ORDER BY a.vec_id""".stripMargin
 
+  /** Embedding-based cross-corpus decontamination (round-12 verdict
+    * task 6 — the semantic twin of docs_decontaminate_cross): the
+    * benchmark split is every 7th vector, the codebook is anchored on
+    * that EVAL side (K lowest-id eval vectors, cids = id-ranks since
+    * the split's ids are sparse), K scales with the TRAIN corpus
+    * capped by the eval count
+    * ([[graft.ext.dedup.SemanticDedup.decontaminationClusterCount]]),
+    * and a train vector is contaminated when an eval vector in its
+    * cluster has cosine ≥ 0.3. The oracle replays the ENTIRE
+    * approximate pipeline — ranked eval codebook, 2-probe coarse
+    * routing, fine argmax, cross-split within-cluster pair counts —
+    * so the row is hash-exact like emb_semantic_dedup. */
+  private def qSemanticDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val evalSide = e.filter(col("vec_id") % 7 === 0)
+    val trainSide = e.filter(col("vec_id") % 7 =!= 0)
+    val k = SemanticDedup.decontaminationClusterCount(
+      trainSide.count(), evalSide.count())
+    SemanticDedup.decontaminate(trainSide, evalSide, "vec_id", "embedding",
+        k, threshold = 0.3, probes = 2, source = s"$dir#eval7")
+      .orderBy(col("vec_id"))
+  }
+
+  private val qSemanticDecontaminateSql =
+    """WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0),
+      |tr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 0),
+      |kk AS (
+      |  SELECT least((SELECT count(*) FROM ev),
+      |               greatest(16, (SELECT count(*) FROM tr) // 250)) AS k),
+      |cent AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+      |  FROM ev QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM kk)),
+      |coarse AS (
+      |  SELECT cid AS gid, cv AS gv FROM cent
+      |  WHERE cid < (SELECT CAST(ceil(sqrt(k)) AS BIGINT) FROM kk)),
+      |norms AS (
+      |  SELECT vec_id, SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nn
+      |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+      |cnorm AS (
+      |  SELECT cid, SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS cn
+      |  FROM (SELECT cid, unnest(cv) AS x FROM cent) GROUP BY cid),
+      |gnorm AS (
+      |  SELECT gid, SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS gn
+      |  FROM (SELECT gid, unnest(gv) AS x FROM coarse) GROUP BY gid),
+      |cgd AS (
+      |  SELECT cid, gid, SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot
+      |  FROM (SELECT c.cid, g.gid, unnest(c.cv) AS x, unnest(g.gv) AS y
+      |        FROM cent c, coarse g)
+      |  GROUP BY cid, gid),
+      |member AS (
+      |  -- a coarse cell owns its own centroid BY CONSTRUCTION (ranked
+      |  -- cid < C routes to itself); only cid >= C route by argmax
+      |  SELECT gid AS cid, gid FROM coarse
+      |  UNION ALL
+      |  SELECT cid, gid FROM (
+      |    SELECT d.cid, d.gid FROM cgd d
+      |    JOIN cnorm cn ON cn.cid = d.cid
+      |    JOIN gnorm gn ON gn.gid = d.gid
+      |    WHERE d.cid >= (SELECT count(*) FROM coarse)
+      |    QUALIFY row_number() OVER (PARTITION BY d.cid
+      |      ORDER BY round(d.dot / (sqrt(cn.cn) * sqrt(gn.gn)), 9) DESC, d.gid) = 1)),
+      |vgd AS (
+      |  SELECT vec_id, gid, SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot
+      |  FROM (SELECT e.vec_id, g.gid, unnest(e.embedding) AS x, unnest(g.gv) AS y
+      |        FROM embeddings e, coarse g)
+      |  GROUP BY vec_id, gid),
+      |probes AS (
+      |  SELECT d.vec_id, d.gid FROM vgd d
+      |  JOIN norms n ON n.vec_id = d.vec_id
+      |  JOIN gnorm gn ON gn.gid = d.gid
+      |  QUALIFY row_number() OVER (PARTITION BY d.vec_id
+      |    ORDER BY round(d.dot / (sqrt(n.nn) * sqrt(gn.gn)), 9) DESC, d.gid) <= 2),
+      |vcd AS (
+      |  SELECT vec_id, cid, SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot
+      |  FROM (SELECT p.vec_id, m.cid, unnest(e.embedding) AS x, unnest(c.cv) AS y
+      |        FROM probes p
+      |        JOIN member m ON m.gid = p.gid
+      |        JOIN embeddings e ON e.vec_id = p.vec_id
+      |        JOIN cent c ON c.cid = m.cid)
+      |  GROUP BY vec_id, cid),
+      |vccos AS (
+      |  SELECT v.vec_id, v.cid,
+      |    round(v.dot / (sqrt(n.nn) * sqrt(cn.cn)), 9) AS cos
+      |  FROM vcd v
+      |  JOIN norms n ON n.vec_id = v.vec_id
+      |  JOIN cnorm cn ON cn.cid = v.cid),
+      |assign AS (
+      |  SELECT vec_id, cid AS list_id FROM vccos
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) = 1),
+      |tassign AS (SELECT vec_id, list_id FROM assign WHERE vec_id % 7 <> 0),
+      |eassign AS (SELECT vec_id, list_id FROM assign WHERE vec_id % 7 = 0),
+      |cand AS (
+      |  SELECT t.vec_id AS id_t, e.vec_id AS id_e
+      |  FROM tassign t JOIN eassign e ON t.list_id = e.list_id),
+      |dots AS (
+      |  SELECT id_t, id_e, SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot
+      |  FROM (SELECT c.id_t, c.id_e,
+      |          unnest(ea.embedding) AS x, unnest(eb.embedding) AS y
+      |        FROM cand c
+      |        JOIN embeddings ea ON ea.vec_id = c.id_t
+      |        JOIN embeddings eb ON eb.vec_id = c.id_e)
+      |  GROUP BY id_t, id_e),
+      |hits AS (
+      |  SELECT d.id_t AS vec_id, COUNT(*) AS h
+      |  FROM dots d
+      |  JOIN norms na ON na.vec_id = d.id_t
+      |  JOIN norms nb ON nb.vec_id = d.id_e
+      |  WHERE round(d.dot / (sqrt(na.nn) * sqrt(nb.nn)), 9) >= 0.3
+      |  GROUP BY d.id_t)
+      |SELECT t.vec_id, t.list_id,
+      |  CAST(COALESCE(h.h, 0) AS BIGINT) AS n_eval_hits,
+      |  COALESCE(h.h, 0) > 0 AS contaminated
+      |FROM tassign t LEFT JOIN hits h ON h.vec_id = t.vec_id
+      |ORDER BY t.vec_id""".stripMargin
+
   /** Decontamination over trigram shingles; the benchmark split is
     * every 97th document (≈1% — benchmark-sized). Real deployments
     * use 8–13-gram windows; 3 fits this corpus's ~40-token docs. */
@@ -538,6 +653,7 @@ object CurationQueries {
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_semantic_dedup" -> (qSemanticDedup _),
+    "emb_semantic_decontaminate" -> (qSemanticDecontaminate _),
     "docs_decontaminate" -> (qDecontaminate _),
     "docs_decontaminate_cross" -> (qDecontaminateCross _),
     "docs_pack_shards"   -> (qPackShards _),
@@ -551,6 +667,7 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "emb_semantic_dedup" -> qSemanticDedupSql,
+    "emb_semantic_decontaminate" -> qSemanticDecontaminateSql,
     "docs_decontaminate" -> qDecontaminateSql,
     // the cross (non-broadcast, hashed) path is output-identical by
     // construction — the shared oracle text is the cross-check

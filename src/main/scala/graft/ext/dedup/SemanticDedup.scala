@@ -102,6 +102,86 @@ object SemanticDedup {
     NearDup.materializeAndRelease(out, "semdedup", lists)
   }
 
+  /** Decontamination cluster count: scaled to the TRAIN corpus (the
+    * side that grows to 100 TB — target train-cluster size fixed, so
+    * the pair stage stays linear in train rows, the [[scaledClusterCount]]
+    * argument), CAPPED by the eval count because the codebook is
+    * sampled from the eval side (you cannot take more centroids than
+    * eval vectors). More clusters ⇒ fewer eval vectors per cluster ⇒
+    * per-train-row pair work ≈ n_eval/K ≈ bounded by
+    * targetClusterSize·n_eval/n_train — sub-constant once the train
+    * corpus dwarfs the benchmark. */
+  def decontaminationClusterCount(
+      nTrain: Long, nEval: Long,
+      targetClusterSize: Long = 250, minK: Int = 16): Int = {
+    require(nEval > 0, "semantic decontamination needs a non-empty eval corpus")
+    math.min(nEval, math.max(minK.toLong, nTrain / targetClusterSize)).toInt
+  }
+
+  /** Embedding-based cross-corpus decontamination — the semantic twin
+    * of the gram-hash [[graft.ext.text.Decontaminate.crossOverlaps]]:
+    * gram overlap catches exact/near-verbatim benchmark leakage, this
+    * catches PARAPHRASED leakage a token-level match misses. Shape is
+    * the SemDeDup machinery pointed across corpora:
+    *
+    *  1. the codebook is anchored on the EVAL (benchmark) side — the
+    *     ⌈√K⌉ coarse centroids and the K fine centroids are the K
+    *     lowest-id eval vectors ([[IvfKNN.fineCodebookTableRanked]]:
+    *     eval ids are a sparse split, so cids are id-RANKS), because
+    *     contamination neighborhoods are defined by where the
+    *     benchmark lives in embedding space;
+    *  2. BOTH corpora assign through the same two-level quantizer
+    *     ([[IvfKNN.assignListsJoined]] — train never sees more than
+    *     ~probes·K/√K candidate centroids per row);
+    *  3. one shuffle-by-cluster join pairs each train vector with the
+    *     eval vectors of ITS cluster only — per-cluster work is
+    *     |train ∩ cluster| × |eval ∩ cluster|, never train × eval —
+    *     and a train vector is CONTAMINATED when any such eval
+    *     neighbor has cosine ≥ `threshold`.
+    *
+    * Output: one row per train vector — (idCol, list_id, n_eval_hits,
+    * contaminated). Cosines round to 9 dp, so the whole approximate
+    * pipeline (codebook, probes, assignment, pair verdicts) replays
+    * hash-exactly in the DuckDB oracle, the [[verdicts]] convention.
+    * Recall caveat (same class as SemDeDup's): a contaminated pair is
+    * missed iff the two sides argmax into different clusters; the
+    * registry row's planted-pair recall is sampled per ladder rung. */
+  def decontaminate(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      threshold: Double,
+      probes: Int = 2,
+      source: String = "mem"): DataFrame = {
+    val c = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val coarse = IvfKNN.cachedSampledCentroids(eval, idCol, vecCol, c, source)
+    val fine = IvfKNN.fineCodebookTableRanked(eval, idCol, vecCol, k, coarse)
+    def assigned(df: DataFrame): DataFrame =
+      IvfKNN.assignListsJoined(
+          df.select(col(idCol), col(vecCol)), idCol, vecCol, coarse, fine, probes)
+        .select(col(idCol).as("vid"), col(vecCol).as("v"),
+          CosineKNN.norm(col(vecCol)).as("n"), col("list_id"))
+    // cache: the assigned train frame feeds the pair join AND the
+    // output spine (the verdicts lesson — without a materialization
+    // point the probe join re-runs per branch)
+    val t = assigned(train).cache()
+    val e = assigned(eval).select(col("vid").as("eid"), col("v").as("ev"),
+      col("n").as("en"), col("list_id"))
+    val hits = t.join(e, "list_id")
+      .withColumn("cosine",
+        round(CosineKNN.dot(col("v"), col("ev")) / (col("n") * col("en")), 9))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("vid")).agg(count(lit(1)).as("__h"))
+    val out = t.select(col("vid"), col("list_id"))
+      .join(hits, Seq("vid"), "left")
+      .select(col("vid").as(idCol), col("list_id"),
+        coalesce(col("__h"), lit(0L)).as("n_eval_hits"),
+        (coalesce(col("__h"), lit(0L)) > 0).as("contaminated"))
+    NearDup.materializeAndRelease(out, "semdecon", t)
+  }
+
   /** Cross-batch incremental form of [[verdicts]] (the streaming
     * twin's per-batch kernel, the `dedupNgramsHashedIncremental`
     * shape): the codebook is FROZEN (trained at rest — `coarse` plan

@@ -439,6 +439,31 @@ object IvfKNN {
           .otherwise(nearestCentroid(col(vecCol), coarse)).as("gid"))
   }
 
+  /** [[fineCodebookTable]] for a corpus WITHOUT dense 0..n-1 ids (an
+    * id-sparse split, e.g. the eval side of semantic decontamination):
+    * the codebook is still "the K lowest-id vectors" (the
+    * [[sampledCentroids]] rule), but cids come from the RANK of the id
+    * within the selected K, not the id itself — so cid 0..K-1 stays
+    * dense and coarse cells still own their own centroid (`cid < C` ⇒
+    * `gid = cid`, because [[cachedSampledCentroids]] re-indexes the
+    * same C lowest-id rows 0..C-1). The rank window runs over the
+    * already-`limit(k)`-ed frame — single-partition but bounded by K
+    * rows (index-sized, the same bound the codebook itself carries),
+    * never corpus-wide. */
+  def fineCodebookTableRanked(
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      coarse: Seq[Centroid]): DataFrame = {
+    val c = coarse.length
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__oid"))
+    corpus.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("__oid"), col(vecCol).as("cv"))
+      .withColumn("cid", (row_number().over(w) - 1).cast("long"))
+      .select(col("cid"), col("cv"),
+        CosineKNN.norm(col("cv")).as("cnorm"),
+        when(col("cid") < c, col("cid"))
+          .otherwise(nearestCentroid(col("cv"), coarse)).as("gid"))
+  }
+
   /** Two-level assignment with the fine codebook AS DATA: each row is
     * routed to its `probes` nearest coarse cells (coarse level = plan
     * literals, the only driver-resident piece) and then JOINED against
@@ -475,10 +500,28 @@ object IvfKNN {
     * (s9, −cid) because consecutive s9 values sit 2³² apart while
     * the cid term spans < 2³¹, and ≤ 2·10⁹·2³² + 2³¹ < 2⁶³ so the
     * long never overflows. Requires dense codebook ids < 2³¹
-    * (index-sized — the existing contract everywhere cids exist). */
-  private def packArgmax(cos: Column, cid: Column): Column =
-    (round(cos * 1e9, 0).cast("long") + 1000000000L) * 4294967296L +
+    * (index-sized — the existing contract everywhere cids exist).
+    *
+    * Non-finite guard: a zero-norm vector makes the cosine 0/0 = NaN,
+    * which the non-ANSI long cast would silently turn into 0 (ranked
+    * as cosine 0.0 — where the old `max(struct)` ranked NaN above
+    * everything), and an Infinity would overflow the pack into a
+    * garbage cid with no error. Both are upstream contract violations
+    * (vectors must be finite and non-zero), so the pack fails LOUDLY
+    * on them instead of mis-assigning: one codegen'd comparison per
+    * candidate, buffer stays a plain long, the HashAggregate plan pin
+    * holds (IvfSpec). */
+  private def packArgmax(cos: Column, cid: Column): Column = {
+    val s9 = round(cos * 1e9, 0).cast("long")
+    val s9ok = when(isnan(cos) || abs(s9) > 1000000000L,
+        raise_error(concat(
+          lit("packArgmax: non-finite or out-of-range cosine "),
+          cos.cast("string"),
+          lit(" (zero-norm or non-finite vector upstream)"))).cast("long"))
+      .otherwise(s9)
+    (s9ok + 1000000000L) * 4294967296L +
       (lit(2147483648L) - cid.cast("long"))
+  }
 
   /** Decode the winning cid back out of a [[packArgmax]] maximum. */
   private def unpackArgmaxCid(packed: Column): Column =
@@ -511,7 +554,21 @@ object IvfKNN {
       .agg(max(packArgmax(col("__cos"), col("cid"))).as("__best"))
       .select(col(idCol), unpackArgmaxCid(col("__best")).as("list_id"))
     // hash-build the narrow (id, list_id) argmax result: a sort-merge
-    // re-attach would sort the WIDE vector side by id for nothing
+    // re-attach would sort the WIDE vector side by id for nothing.
+    // The forced build side is corpus-LINEAR in rows but BOUNDED per
+    // partition as a fraction of the partition size AQE already
+    // manages: both join inputs shuffle on id into the SAME
+    // partitioning, the build row is ~50 B (two longs + hash-relation
+    // overhead) while the probe row carries the vector (≥ 4·dim B —
+    // ~300 B at dim 64, more at production dims), so per partition
+    // the build is ≤ ~1/6 of the bytes the advisory target caps —
+    // ~3 MB at the ladder's 16 MB sf100 advisory, shrinking relative
+    // to the stream as dim grows. That is categorically unlike the
+    // upsert's removed blind hint, whose build carried FULL-WIDTH
+    // rows (build bytes = stream bytes) under stage fusion. Measured:
+    // emb_semantic_dedup (this path) 88.5 s / ZERO spill at sf100;
+    // emb_ivf_lloyd_table (the assignExactJoined twin) has its own
+    // sf100 cell.
     corpus.select(col(idCol), col(vecCol))
       .join(best.hint("shuffle_hash"), Seq(idCol))
   }
@@ -593,7 +650,14 @@ object IvfKNN {
     // groups × 16 B at any corpus); the
     // vector re-attaches by one id equi-join afterwards, hash-building
     // the narrow (id, list_id) side — a sort-merge re-attach would
-    // sort the WIDE vector side by id for nothing.
+    // sort the WIDE vector side by id for nothing. The forced build is
+    // corpus-linear in ROWS but bounded per partition as a ~1/6 BYTES
+    // fraction of the AQE-managed partition size (see the
+    // [[assignListsJoined]] re-attach comment for the full argument:
+    // ~50 B build rows vs ≥ 4·dim B probe rows in the same id
+    // partitioning — nothing like the upsert's removed full-width
+    // blind hint). Runs once per Lloyd iteration; the sf100
+    // emb_ivf_lloyd_table cell measures exactly this join.
     val best = scored.groupBy(col(idCol))
       .agg(max(packArgmax(col("__s"), col("cid"))).as("__best"))
       .select(col(idCol), unpackArgmaxCid(col("__best")).as("list_id"))

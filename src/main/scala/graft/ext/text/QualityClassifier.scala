@@ -210,6 +210,47 @@ object QualityClassifier {
         when(col("margin") > 0, lit(1)).otherwise(lit(-1)).as("pred"))
   }
 
+  /** The trained weight vector as an at-rest TABLE `(idx, weight)`,
+    * idx 0..Dim with the bias at idx = Dim — the catalog-resident
+    * form of the model, so a frozen classifier can live next to the
+    * corpus it scores and the SQL surface (`graft_quality_score`)
+    * takes it as a table argument: the same at-rest-model posture as
+    * `graft_lm_score`'s model table, just Dim+1 rows instead of a
+    * vocab-sized one. */
+  def weightsTable(spark: org.apache.spark.sql.SparkSession,
+      w: Array[Long]): DataFrame = {
+    require(w.length == Dim + 1,
+      s"weights must be Dim+1 = ${Dim + 1} long, got ${w.length}")
+    import spark.implicits._
+    w.toIndexedSeq.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("idx", "weight")
+  }
+
+  /** Inverse of [[weightsTable]]: one BOUNDED collect (exactly Dim+1 =
+    * 257 rows — index metadata, never corpus-sized) validating shape
+    * and idx coverage, so a malformed model table fails loudly instead
+    * of scoring with silently-zero buckets. */
+  def weightsFromTable(model: DataFrame): Array[Long] = {
+    val rows = model
+      .select(col("idx").cast("int"), col("weight").cast("long"))
+      .collect()
+    require(rows.length == Dim + 1,
+      s"quality model table must have exactly ${Dim + 1} rows " +
+        s"(idx 0..$Dim), got ${rows.length}")
+    val w = new Array[Long](Dim + 1)
+    val seen = new Array[Boolean](Dim + 1)
+    rows.foreach { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        "null idx/weight in quality model table")
+      val i = r.getInt(0)
+      require(i >= 0 && i <= Dim && !seen(i),
+        s"bad or duplicate idx $i in quality model table")
+      seen(i) = true
+      w(i) = r.getLong(1)
+    }
+    w
+  }
+
   /** Train-then-score in one call (the registry query). */
   def trainAndScore(docs: DataFrame, idCol: String, textCol: String,
                     iters: Int): DataFrame =

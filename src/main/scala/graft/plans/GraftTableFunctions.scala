@@ -30,6 +30,10 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *                                     2, 16, 4, 0.5, 1000)
   *   SELECT * FROM graft_semantic_dedup('embeddings', 'vec_id', 'embedding',
   *                                      32, 0.3, 2)
+  *   SELECT * FROM graft_chunk('documents', 'doc_id', 'text', 16, 12)
+  *   SELECT * FROM graft_bpe_tokenize('documents', 'bpe_words', 'doc_id', 'text')
+  *   SELECT * FROM graft_quality_score('documents', 'quality_model',
+  *                                     'doc_id', 'text')
   * }}}
   *
   * Each builder resolves its table argument against the session
@@ -145,10 +149,13 @@ object GraftTableFunctions {
       "graft_minhash_pairs(table, idCol, textCol, shingleSize, bands, " +
         "rowsPerBand, threshold, maxBucketSize) - banded-LSH near-dup " +
         "pair mining with Jaccard verification (NearDup.minhashPairs: " +
-        "signature agg + band bucket-join, skew-capped; eager — the " +
+        "signature agg + band bucket-join, skew-capped; EAGER - the " +
         "mining runs at analysis time and the plan scans its " +
         "materialized output, the operator's own cache-release " +
-        "contract)") { args =>
+        "contract. Every RE-analysis of the same plan text (EXPLAIN, " +
+        "view expansion, retried resolution) re-runs the full mining " +
+        "job and materializes another scratch output - bind the " +
+        "result once via CREATE TABLE AS / cache, don't re-expand it)") { args =>
       requireArgs(args, 8, "graft_minhash_pairs")
       graft.ext.dedup.NearDup.minhashPairs(
         tableArg(args(0), "graft_minhash_pairs"),
@@ -164,10 +171,14 @@ object GraftTableFunctions {
       "graft_semantic_dedup(table, idCol, vecCol, k, threshold, probes) " +
         "- SemDeDup cluster-then-dedup verdicts over an embedding " +
         "column (SemanticDedup.verdicts: two-level codebook-as-data " +
-        "quantizer, within-cluster pairs only; eager — clustering runs " +
-        "at analysis time and the plan scans its materialized output)") { args =>
+        "quantizer, within-cluster pairs only; EAGER - clustering runs " +
+        "at analysis time and the plan scans its materialized output. " +
+        "Every RE-analysis of the same plan text (EXPLAIN, view " +
+        "expansion, retried resolution) re-runs the clustering job and " +
+        "materializes another scratch output - bind the result once " +
+        "via CREATE TABLE AS / cache, don't re-expand it)") { args =>
       requireArgs(args, 6, "graft_semantic_dedup")
-      val table = strArg(args(0), "graft_semantic_dedup", "table")
+      val table = tableNameArg(args(0), "graft_semantic_dedup")
       graft.ext.dedup.SemanticDedup.verdicts(
         SparkSession.active.table(table),
         strArg(args(1), "graft_semantic_dedup", "idCol"),
@@ -176,6 +187,51 @@ object GraftTableFunctions {
         threshold = doubleArg(args(4), "graft_semantic_dedup", "threshold"),
         probes = longArg(args(5), "graft_semantic_dedup", "probes").toInt,
         source = s"tvf:$table")
+    },
+    tvf("graft_chunk",
+      "graft_chunk(table, idCol, textCol, window, stride) - " +
+        "overlapping context-window chunking: each document becomes " +
+        "window-token chunks every stride tokens (Chunker.chunks: " +
+        "pure map + bounded explode, zero shuffle)") { args =>
+      requireArgs(args, 5, "graft_chunk")
+      graft.ext.text.Chunker.chunks(
+        tableArg(args(0), "graft_chunk"),
+        strArg(args(1), "graft_chunk", "idCol"),
+        strArg(args(2), "graft_chunk", "textCol"),
+        window = longArg(args(3), "graft_chunk", "window").toInt,
+        stride = longArg(args(4), "graft_chunk", "stride").toInt)
+    },
+    tvf("graft_bpe_tokenize",
+      "graft_bpe_tokenize(corpusTable, wordsTable, idCol, textCol) - " +
+        "per-document piece statistics under an at-rest trained BPE " +
+        "vocabulary table (word, syms) as produced by BpeTrainer.train " +
+        "(BpeTrainer.tokenStats: explode + equi-join against the " +
+        "vocab-sized table; the per-character fold never touches a " +
+        "document - the TVF consumes ANY trained words table, it " +
+        "never trains)") { args =>
+      requireArgs(args, 4, "graft_bpe_tokenize")
+      graft.ext.text.BpeTrainer.tokenStats(
+        tableArg(args(0), "graft_bpe_tokenize"),
+        tableArg(args(1), "graft_bpe_tokenize"),
+        strArg(args(2), "graft_bpe_tokenize", "idCol"),
+        strArg(args(3), "graft_bpe_tokenize", "textCol"))
+    },
+    tvf("graft_quality_score",
+      "graft_quality_score(corpusTable, modelTable, idCol, textCol) - " +
+        "per-document margin/label/prediction under a FROZEN at-rest " +
+        "linear quality model table (idx, weight) of Dim+1 rows as " +
+        "produced by QualityClassifier.weightsTable " +
+        "(QualityClassifier.score: hashed-token features + one " +
+        "fixed-width aggregate, weights ride the plan as literals; " +
+        "the Dim+1-row model collect is a bounded analysis-time " +
+        "metadata job, like pack_shards' offsets)") { args =>
+      requireArgs(args, 4, "graft_quality_score")
+      graft.ext.text.QualityClassifier.score(
+        tableArg(args(0), "graft_quality_score"),
+        strArg(args(2), "graft_quality_score", "idCol"),
+        strArg(args(3), "graft_quality_score", "textCol"),
+        w = graft.ext.text.QualityClassifier.weightsFromTable(
+          tableArg(args(1), "graft_quality_score")))
     },
     tvf("graft_lm_score",
       "graft_lm_score(corpusTable, modelTable, idCol, textCol) - " +
@@ -206,9 +262,15 @@ object GraftTableFunctions {
   /** A table argument is a literal table/view NAME resolved against
     * the current catalog — the analysis-time analogue of
     * `spark.table(name)`. (TVF argument positions carry expressions,
-    * not relations, so the name travels as a string literal.) */
+    * not relations, so the name travels as a string literal.) Every
+    * TVF takes its tables through this one convention;
+    * [[tableNameArg]] is the same resolution when the builder also
+    * needs the NAME (e.g. for a memo/source key). */
+  private def tableNameArg(e: Expression, fn: String): String =
+    strArg(e, fn, "table")
+
   private def tableArg(e: Expression, fn: String): DataFrame =
-    SparkSession.active.table(strArg(e, fn, "table"))
+    SparkSession.active.table(tableNameArg(e, fn))
 
   private def strArg(e: Expression, fn: String, arg: String): String = {
     require(e.foldable, s"$fn: argument '$arg' must be a literal, got $e")

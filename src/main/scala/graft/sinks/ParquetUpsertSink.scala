@@ -180,14 +180,16 @@ object ParquetUpsertSink {
     * one narrow `max(o)` aggregate (fixed-width buffer) plus one
     * null-SAFE semi-join of the batch against the winners. The tie
     * machinery (a full-row-hash argmax + an all-column distinct —
-    * two more batch-wide exchanges) runs ONLY when a cheap invariant
+    * two more batch-wide exchanges) runs ONLY when the invariant
     * probe finds a duplicate `(key, orderCol)` pair anywhere in the
-    * batch: one column-pruned narrow aggregate with an immediate
-    * limit-1, so the documented-unique common case pays a few
-    * seconds of metadata-width scanning, never the extra wide
-    * shuffles (the sf100 upsert cells are the registry's heaviest
-    * rows — doubling their shuffle for a contract-violation path
-    * would regress the ladder for nothing). Every aggregation buffer
+    * batch. The probe is ONE column-pruned aggregate job that also
+    * enforces the null-key contract (round-12 fold: the former
+    * separate null scan + dup probe + merge derived the batch
+    * lineage three times; now probe + merge = two), so the
+    * documented-unique common case pays one pass of metadata-width
+    * scanning, never the extra wide shuffles (the sf100 upsert cells
+    * are the registry's heaviest rows — doubling their shuffle for a
+    * contract-violation path would regress the ladder for nothing). Every aggregation buffer
     * on either path is FIXED-WIDTH — `max(o)`, `count`, `max(__tb)`
     * (8-byte row hash), and the final all-column distinct (grouping
     * keys only, EMPTY buffer) — so nothing here ever falls back to
@@ -201,6 +203,22 @@ object ParquetUpsertSink {
     orderCol match {
       case Some(o) =>
         val cols = batch.columns.toIndexedSeq
+        // ONE column-pruned probe job answers BOTH pre-merge
+        // invariants (round-12 advice/verdict: the separate null-key
+        // scan and dup-pair probe each re-derived the batch lineage —
+        // three eager passes over a 100 M-row batch before the merge):
+        // from the (key, orderCol) group counts, max(count) > 1
+        // detects duplicate pairs (routes to the tie-break path) and
+        // counting null-key groups enforces the non-null-key contract.
+        // Both aggregation buffers are fixed-width; the pass reads
+        // only the two probe columns.
+        val probe = batch.groupBy(col(key), col(o))
+          .agg(count(lit(1)).as("__n"))
+          .agg(max(col("__n")).as("__maxn"),
+            count(when(col(key).isNull, lit(1))).as("__nullKeyGroups"))
+          .head()
+        require(probe.getLong(1) == 0L, nullKeyMessage(key))
+        val hasDupPairs = !probe.isNullAt(0) && probe.getLong(0) > 1L
         // winners is narrow but corpus-LINEAR (one row per batch key),
         // so neither join carries a shuffle-hash hint: AQE's
         // local-map-threshold demotion converts the planned SMJ to a
@@ -215,8 +233,6 @@ object ParquetUpsertSink {
           .select(col(key).as("__k"), col("__o"))
         val maxed = batch.join(winners,
           batch(key) === winners("__k") && (batch(o) <=> winners("__o")), "left_semi")
-        val hasDupPairs = !batch.groupBy(col(key), col(o)).count()
-          .filter(col("count") > lit(1L)).isEmpty
         if (!hasDupPairs) maxed
         else {
           val b = maxed.withColumn("__tb", xxhash64(cols.map(col): _*))
@@ -225,8 +241,15 @@ object ParquetUpsertSink {
             .dropDuplicates()
             .select(cols.map(col): _*)
         }
-      case None => batch.dropDuplicates(key)
+      case None =>
+        requireNonNullKeys(batch, key)
+        batch.dropDuplicates(key)
     }
+
+  private def nullKeyMessage(key: String): String =
+    s"null values in upsert key column '$key' are unsupported (the " +
+      "keyed merge cannot match them); keys are generated surrogates — " +
+      "fix the key derivation upstream"
 
   /** Null keys would silently corrupt the merge — [[merge]]'s
     * anti-join never matches a null key, so null-keyed rows would
@@ -234,12 +257,12 @@ object ParquetUpsertSink {
     * batches. Keys are generated surrogates (upstream contract), so a
     * null here is a bug: fail loudly, the same posture
     * [[upsertPartitioned]] already takes for null partition values.
-    * Cost: one key-column-pruned scan with an immediate limit-1. */
+    * Only the orderCol-less path uses this standalone scan (one
+    * key-column-pruned pass with an immediate limit-1); with an
+    * orderCol the check folds into [[dedupBatch]]'s single probe
+    * aggregate so the batch lineage is derived once, not twice. */
   private def requireNonNullKeys(batch: DataFrame, key: String): Unit =
-    require(batch.filter(col(key).isNull).isEmpty,
-      s"null values in upsert key column '$key' are unsupported (the " +
-        "keyed merge cannot match them); keys are generated surrogates — " +
-        "fix the key derivation upstream")
+    require(batch.filter(col(key).isNull).isEmpty, nullKeyMessage(key))
 
   /** Full-table merge-on-write upsert. */
   def upsert(
@@ -250,7 +273,8 @@ object ParquetUpsertSink {
       orderCol: Option[String] = None,
       outputFiles: Int = 8): Unit = {
     recover(spark, tablePath)
-    requireNonNullKeys(batch, key)
+    // the null-key invariant is enforced inside dedupBatch (folded
+    // into its single probe aggregate on the orderCol path)
     // modest file counts: entity tables are row-few relative to the
     // event stream, and per-file FS metadata work dominates rewrite
     // cost at small scale (outputFiles stays a knob for big tables).
@@ -302,7 +326,7 @@ object ParquetUpsertSink {
       partitionCol: String,
       orderCol: Option[String] = None,
       detectMovedKeys: Boolean = false): Unit = {
-    requireNonNullKeys(batch, key)
+    // null-key invariant enforced inside dedupBatch (one probe job)
     val incoming = dedupBatch(batch, key, orderCol).cache()
     try {
       // co-locate each hive partition's rows in one task before the

@@ -334,6 +334,40 @@ object StreamingEtl {
     * `__batch_id < batchId` — a replayed batch re-reads exactly the
     * state it saw the first time (its own partially-written delta is
     * excluded) and rewrites its own partitions idempotently. */
+  /** Prior-state read for the at-rest cross-batch dedup patterns,
+    * gated on COMMITTED DATA rather than bare directory existence: a
+    * crash during the very first state write leaves the directory
+    * with only `_temporary/` task attempts (no committed files), and
+    * a bare `hfs.exists(dir)` + schema-inference read would then fail
+    * every replay with "Unable to infer schema for Parquet" —
+    * permanently wedging the stream (round-12 advice). The gate looks
+    * for at least one file every path segment of which is visible to
+    * Spark's reader (hive partition dirs like `__batch_id=0` count;
+    * `_temporary`, `.staging`, `.crc` do not) — i.e. exactly "some
+    * earlier batch committed state". A root `_SUCCESS` marker would
+    * be simpler but dynamic partition overwrite does NOT write one
+    * (probed on this Spark version), so presence-of-committed-data is
+    * the reliable signal; StreamingSpec pins the wedge scenario. */
+  private def committedState(
+      s: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val hfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def hiddenSeg(name: String): Boolean =
+      (name.startsWith("_") && !name.contains("=")) || name.startsWith(".")
+    val hasCommitted = hfs.exists(p) && {
+      val qdir = hfs.makeQualified(p).toString
+      val it = hfs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val f = it.next().getPath.toString
+        val rel = f.stripPrefix(qdir).stripPrefix("/")
+        found = rel.nonEmpty && rel.split("/").forall(seg => !hiddenSeg(seg))
+      }
+      found
+    }
+    if (hasCommitted) Some(s.read.parquet(dir)) else None
+  }
+
   def ngramDedupStream(
       docStream: DataFrame,
       idCol: String,
@@ -351,18 +385,17 @@ object StreamingEtl {
         // branches — materialize once (the curationStream lesson:
         // foreachBatch re-executes the upstream per branch)
         val b = batch.localCheckpoint()
-        val seenP = new org.apache.hadoop.fs.Path(seenDir)
-        val hfs = seenP.getFileSystem(s.sparkContext.hadoopConfiguration)
         val seen =
-          if (hfs.exists(seenP))
-            s.read.parquet(seenDir)
-              .filter(col("__batch_id") < batchId).select(col("gram"))
-          else
-            s.createDataFrame(
-              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-              org.apache.spark.sql.types.StructType(Seq(
-                org.apache.spark.sql.types.StructField("gram",
-                  org.apache.spark.sql.types.LongType, nullable = false))))
+          committedState(s, seenDir) match {
+            case Some(st) =>
+              st.filter(col("__batch_id") < batchId).select(col("gram"))
+            case None =>
+              s.createDataFrame(
+                java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+                org.apache.spark.sql.types.StructType(Seq(
+                  org.apache.spark.sql.types.StructField("gram",
+                    org.apache.spark.sql.types.LongType, nullable = false))))
+          }
         val (res, newHashes) = graft.ext.dedup.BlockDedup
           .dedupNgramsHashedIncremental(b, idCol, textCol, gramTokens, seen)
         // state delta FIRST: if the batch dies between the two writes,
@@ -421,14 +454,9 @@ object StreamingEtl {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
         val b = batch.localCheckpoint()
-        val stateP = new org.apache.hadoop.fs.Path(stateDir)
-        val hfs = stateP.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val prior =
-          if (hfs.exists(stateP))
-            Some(s.read.parquet(stateDir)
-              .filter(col("__batch_id") < batchId)
-              .select(col("vid"), col("v"), col("n"), col("list_id")))
-          else None
+        val prior = committedState(s, stateDir).map(
+          _.filter(col("__batch_id") < batchId)
+            .select(col("vid"), col("v"), col("n"), col("list_id")))
         val (verdictRows, delta) = graft.ext.dedup.SemanticDedup
           .verdictsIncremental(b, idCol, vecCol, coarse, fine,
             threshold, probes, prior)

@@ -117,4 +117,39 @@ object RecallSampler {
       truth.join(verdicts.filter(!col("kept")), Seq("vec_id"), "left_semi").count())
     finally truth.unpersist()
   }
+
+  /** Semantic-decontamination planted detection rate: of the planted
+    * embedding pairs that STRADDLE the registry row's split (one side
+    * `vec_id % 7 = 0` — eval — the other train) and clear the exact
+    * rounded-cosine threshold, the fraction whose TRAIN side is
+    * flagged contaminated. A flag via some other eval neighbor also
+    * counts — like [[semdedupRecall]], this measures whether the
+    * eval-anchored clustering routed the pair into one cluster, the
+    * thing the probe approximation can lose. `flags` is the
+    * (vec_id, list_id, n_eval_hits, contaminated) frame the
+    * registered query produces. */
+  def semdeconRecall(
+      spark: SparkSession, sf: Double, flags: DataFrame,
+      dir: String, threshold: Double = 0.3): Recall = {
+    val planted = SynthGen.plantedEmbPairs(spark, sf).select(
+      col("dup_id").as("id_a"), col("base_id").as("id_b"))
+    val straddle = planted
+      .filter((col("id_a") % 7 === 0) =!= (col("id_b") % 7 === 0))
+      .select(
+        when(col("id_a") % 7 === 0, col("id_b")).otherwise(col("id_a")).as("train_id"),
+        when(col("id_a") % 7 === 0, col("id_a")).otherwise(col("id_b")).as("eval_id"))
+    val emb = graft.Tables(spark, dir, "embeddings")
+      .join(straddle.select(col("train_id").as("vec_id"))
+        .union(straddle.select(col("eval_id").as("vec_id"))).distinct(), "vec_id")
+      .select(col("vec_id"), col("embedding"))
+    val truth = straddle
+      .join(emb.select(col("vec_id").as("train_id"), col("embedding").as("vt")), "train_id")
+      .join(emb.select(col("vec_id").as("eval_id"), col("embedding").as("ve")), "eval_id")
+      .filter(CosineKNN.cosine(col("vt"), col("ve")) >= threshold)
+      .select(col("train_id").as("vec_id")).distinct()
+      .cache()
+    try Recall(truth.count(),
+      truth.join(flags.filter(col("contaminated")), Seq("vec_id"), "left_semi").count())
+    finally truth.unpersist()
+  }
 }

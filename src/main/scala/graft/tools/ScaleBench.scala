@@ -70,7 +70,12 @@ object ScaleBench {
     "docs_curation_pipeline",// fused multi-stage curation plan
     "docs_bpe_tokenize",     // BPE: one corpus agg + vocab-sized merge loop
     "emb_semantic_dedup",    // map-only assign + one cluster shuffle
+    "emb_semantic_decontaminate", // eval-anchored codebook, cross-split cluster join
     "emb_knn_ivf",           // pruned ANN probe (codebook built at-rest)
+    // round-13 (round-12 verdict task 1b): the packed-argmax Lloyd
+    // TABLE trainer + exact codebook-as-data assignment — the row the
+    // round-12 rewrite fixed by plan shape but never measured at sf100
+    "emb_ivf_lloyd_table",   // 1 Lloyd step + exact assign, codebook as data
     "etl_upsert",            // merge-on-write upsert
     "etl_upsert_partitioned",// partition-scoped merge-on-write
     "etl_keygen",            // per-row surrogate keys (pure map)
@@ -110,6 +115,14 @@ object ScaleBench {
     // rung cannot take this cell with it.
     "docs_lm_score_ref",     // bigram-LM scoring vs fixed at-rest model
     "docs_lm_score",         // bigram-LM scoring: count aggs + model join
+    // the WIDE (b=5) SimHash scheme — what simhashSchemeFor
+    // auto-selects past ~1.05 M docs, i.e. the miner a production
+    // corpus actually runs (round-12 verdict task 1b: it had no rung
+    // cells). Unlike the 4×16-bit form below it is NOT excluded at
+    // sf100: bucket keys are 2-chunk combinations (~25 bits — the
+    // scheme rule keeps n well under the keyspace), so the cell
+    // measures the engine, not the saturation cap.
+    "docs_simhash_pairs_wide", // 5-chunk pigeonhole bucket join (production scheme)
     // LAST by design: the heaviest-memory query in the list. Its
     // nested sort-merge pair joins buffer whole key groups, and a
     // top-rung executor OOM kills local-mode's shared SparkContext —
@@ -212,9 +225,22 @@ object ScaleBench {
         val (pairs, st) = NearDup.simhashPairsWithStats(
           graft.Tables(spark, dir, "documents"), "doc_id", "text", maxHamming = 3)
         (Some(st), Some(RecallSampler.simhashRecall(spark, dir, sf, pairs)))
+      case "docs_simhash_pairs_wide" =>
+        // the registered wide row's exact parameters (numChunks = 5 —
+        // the simhashSchemeFor selection past ~1.05 M docs); recall
+        // truth is scheme-independent (exact hamming <= 3 on planted
+        // pairs), so the same sampler measures what the 2-chunk
+        // combination buckets + skew cap lose
+        val (pairs, st) = NearDup.simhashPairsWithStats(
+          graft.Tables(spark, dir, "documents"), "doc_id", "text",
+          maxHamming = 3, numChunks = 5)
+        (Some(st), Some(RecallSampler.simhashRecall(spark, dir, sf, pairs)))
       case "emb_semantic_dedup" =>
         val verdicts = graft.SparkEntry.queries(name)(spark, dir)
         (None, Some(RecallSampler.semdedupRecall(spark, sf, verdicts, dir)))
+      case "emb_semantic_decontaminate" =>
+        val flags = graft.SparkEntry.queries(name)(spark, dir)
+        (None, Some(RecallSampler.semdeconRecall(spark, sf, flags, dir)))
       case _ => (None, None)
     }
   }

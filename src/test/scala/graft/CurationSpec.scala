@@ -74,6 +74,79 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("semantic decontamination: planted eval twin is flagged, far vectors are not") {
+    val e = Tables(spark, sf, "embeddings")
+    val evalSide = e.filter($"vec_id" % 7 === 0)
+    val trainSide = e.filter($"vec_id" % 7 =!= 0)
+    val k = SemanticDedup.decontaminationClusterCount(
+      trainSide.count(), evalSide.count())
+    val (out, leaked) = newPersistedAfter(
+      SemanticDedup.decontaminate(trainSide, evalSide, "vec_id", "embedding",
+        k, threshold = 0.3))
+    assert(leaked.isEmpty, s"semantic decontamination leaked cached RDDs: $leaked")
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // one verdict per TRAIN vector, never an eval id in the output
+    assert(rows.length == trainSide.count())
+    assert(rows.forall(_._1 % 7 != 0))
+    assert(rows.forall(r => r._4 == (r._3 > 0)))
+    // ground truth on the driver (550 vectors): every flagged train
+    // vector really has an eval vector with cosine >= threshold
+    // (the miner never false-positives; misses are the documented
+    // different-cluster recall caveat)
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      math.rint(d / (math.sqrt(na) * math.sqrt(nb)) * 1e9) / 1e9
+    }
+    val evalIds = vecs.keys.filter(_ % 7 == 0).toSeq
+    rows.filter(_._4).foreach { case (id, _, _, _) =>
+      assert(evalIds.exists(ev => cos(vecs(ev), vecs(id)) >= 0.3),
+        s"train $id flagged but no eval vector is within the threshold")
+    }
+    assert(rows.exists(_._4), "sf0.001 should plant some contamination at 0.3")
+    assert(rows.exists(!_._4), "not everything should be contaminated")
+    // an EXACT planted twin of an eval vector must always be caught:
+    // identical vectors share the argmax cluster by construction
+    import spark.implicits._
+    val twinSrc = vecs(evalIds.head)
+    val planted = trainSide.select($"vec_id", $"embedding").unionByName(
+      Seq((1000001L, twinSrc.toSeq)).toDF("vec_id", "embedding")
+        .select($"vec_id", $"embedding".cast("array<float>")))
+    val out2 = SemanticDedup.decontaminate(planted, evalSide,
+      "vec_id", "embedding", k, threshold = 0.3)
+    val twin = out2.filter($"vec_id" === 1000001L).collect()
+    assert(twin.length == 1 && twin(0).getBoolean(3),
+      "exact eval twin must be flagged contaminated")
+  }
+
+  test("semantic decontamination: K scales with train, capped by eval; ranked codebook is dense") {
+    assert(SemanticDedup.decontaminationClusterCount(100, 50) == 16)
+    assert(SemanticDedup.decontaminationClusterCount(100000, 50000) == 400)
+    assert(SemanticDedup.decontaminationClusterCount(100000000L, 50000) == 50000)
+    intercept[IllegalArgumentException] {
+      SemanticDedup.decontaminationClusterCount(10, 0)
+    }
+    // ranked fine codebook on a sparse-id split: cids dense 0..K-1 in
+    // id order, coarse cells own themselves (gid = cid below C)
+    val e = Tables(spark, sf, "embeddings").filter($"vec_id" % 7 === 0)
+    val coarse = IvfKNN.sampledCentroids(e, "vec_id", "embedding", 3)
+    val fine = IvfKNN.fineCodebookTableRanked(e, "vec_id", "embedding", 8, coarse)
+      .orderBy($"cid").collect()
+    assert(fine.map(_.getLong(0)).toSeq == (0L until 8L))
+    assert(fine.take(3).forall(r => r.getLong(0) == r.getLong(3)),
+      "coarse cells must own their own centroid")
+    // cid order = eval id order: cid 0 is the lowest eval id's vector
+    val lowest = e.orderBy($"vec_id").limit(8)
+      .select($"embedding").collect().map(_.getSeq[Float](0))
+    assert(fine.map(_.getSeq[Float](1)).toSeq == lowest.toSeq)
+  }
+
   test("decontamination: finds planted n-gram overlap, skips clean docs") {
     val df = Seq(
       (0L, "alpha beta gamma delta"),          // eval (id % 2 == 0 below)

@@ -333,6 +333,33 @@ class IvfSpec extends SparkSpec {
     assert(jPlan.contains("HashAggregate"), jPlan.take(2000))
   }
 
+  test("packed argmax fails loudly on a non-finite cosine instead of mis-assigning") {
+    // round-12 advice: a NaN cosine used to cast silently to 0 in the
+    // packed long — ranked as cosine 0.0 where max(struct) ranked NaN
+    // above everything — and an Infinity would unpack to a garbage
+    // cid. Both now raise. (A ZERO-norm vector already fails loudly
+    // upstream: ANSI mode — the session default — raises
+    // DIVIDE_BY_ZERO at the cosine division itself; the silent path
+    // the guard closes is a NaN/Inf VALUE inside a vector, where the
+    // divisor is NaN, not zero.)
+    val cents = IvfKNN.sampledCentroids(emb, "vec_id", "embedding", 8)
+    val hl = IvfKNN.hierLayer(cents)
+    val fine = IvfKNN.fineCodebookTable(emb, "vec_id", "embedding", 8, hl.coarse)
+    val poisoned = emb.select($"vec_id",
+      when($"vec_id" === 3L,
+        array_repeat(lit(Float.NaN), org.apache.spark.sql.functions.size($"embedding")))
+        .otherwise($"embedding").as("embedding"))
+    val e = intercept[Exception] {
+      IvfKNN.assignListsJoined(poisoned, "vec_id", "embedding",
+        hl.coarse, fine, probes = 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("packArgmax")),
+      s"expected the packArgmax guard, got: ${msgs(e).mkString(" | ")}")
+  }
+
   test("hier quantizer is a pure map and routes tight clusters like the flat one") {
     val cents = IvfKNN.sampledCentroids(emb, "vec_id", "embedding", 8)
     val plan = IvfKNN.assignListsHier(emb, "embedding", cents, probes = 2)

