@@ -471,12 +471,26 @@ object NearDup {
       col("doc").as("doc_a"), col("sim").as("sim_a"))
     val right = capped.select(col("chunk"), col("piece"),
       col("doc").as("doc_b"), col("sim").as("sim_b"))
+    // VERIFY BEFORE the dedup exchange — the opposite order from the
+    // MinHash twin, and deliberately so: SimHash verification is one
+    // xor+popcount on two values already in the candidate row (a few
+    // ns, codegen'd), while MinHash verification is a Jaccard over
+    // shingle SETS (re-joined doc text — expensive, so there dedup
+    // runs first). Filtering here means the dropDuplicates exchange
+    // carries only TRUE pairs (survivors × ≤combos multiplicity)
+    // instead of the full post-cap candidate mass — measured at the
+    // sf100 wide (b=5) scheme, the dedup-first order buffered the
+    // ~10⁹-candidate join output in one partial-aggregate stage
+    // (162 GB memory spill + 45 GB disk → ENOSPC); verify-first
+    // drops the stage's input to the verified-pair mass. hamming is
+    // functionally determined by (doc_a, doc_b), so dedup after the
+    // filter keeps identical rows.
     val pairs = left.join(right, Seq("chunk", "piece"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sim_a", "sim_b")
-      .dropDuplicates("doc_a", "doc_b")
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
     (pairs, Seq(withSim), bucketSizes)
   }
