@@ -7,8 +7,11 @@
 # Each rung writes SCALE_RUNG_sf<sf>.json; dev/merge_ladder.py folds
 # the rung artifacts into one SCALE_BENCH-shaped file with cross-rung
 # ratios. Streaming runs only in the sf10 rung's process; simhash is
-# skipped at sf100 by design (fixed pigeonhole keyspace ⇒ the cell
-# would measure the skew cap, not the engine).
+# skipped at sf100 because the auto scheme there selects b=5 — the
+# exact plan docs_simhash_pairs_wide already measures with pinned
+# chunks at every rung, so the cell would double-measure it (the old
+# "fixed 4x16-bit keyspace" rationale was stale: past ~1.05M docs the
+# registered row is not the 4-chunk scheme).
 #
 # Usage: dev/scale_ladder.sh [workDir] [out.json]   (rungs fixed 10/31.6/100)
 set -u

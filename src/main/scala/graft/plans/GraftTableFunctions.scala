@@ -30,6 +30,8 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *                                     2, 16, 4, 0.5, 1000)
   *   SELECT * FROM graft_semantic_dedup('embeddings', 'vec_id', 'embedding',
   *                                      32, 0.3, 2)
+  *   SELECT * FROM graft_semantic_decontaminate('embeddings', 'vec_id',
+  *                                      'embedding', 'vec_id % 7 = 0', 0.3, 2)
   *   SELECT * FROM graft_chunk('documents', 'doc_id', 'text', 16, 12)
   *   SELECT * FROM graft_bpe_tokenize('documents', 'bpe_words', 'doc_id', 'text')
   *   SELECT * FROM graft_quality_score('documents', 'quality_model',
@@ -187,6 +189,35 @@ object GraftTableFunctions {
         threshold = doubleArg(args(4), "graft_semantic_dedup", "threshold"),
         probes = longArg(args(5), "graft_semantic_dedup", "probes").toInt,
         source = s"tvf:$table")
+    },
+    tvf("graft_semantic_decontaminate",
+      "graft_semantic_decontaminate(table, idCol, vecCol, evalPredicate, " +
+        "threshold, probes) - embedding-based cross-corpus " +
+        "decontamination: evalPredicate (a SQL boolean) selects the " +
+        "benchmark split, the codebook anchors on that eval side, and " +
+        "every train vector is flagged when an eval vector in its " +
+        "cluster has cosine >= threshold (SemanticDedup.decontaminate; " +
+        "K scales with the train corpus capped by the eval count; " +
+        "EAGER - clustering runs at analysis time and the plan scans " +
+        "its materialized output; re-analysis re-runs the job - bind " +
+        "the result once. Rows where evalPredicate is NULL belong to " +
+        "neither split)") { args =>
+      requireArgs(args, 6, "graft_semantic_decontaminate")
+      val table = tableNameArg(args(0), "graft_semantic_decontaminate")
+      val df = SparkSession.active.table(table)
+      val predText = strArg(args(3), "graft_semantic_decontaminate", "evalPredicate")
+      val pred = org.apache.spark.sql.functions.expr(predText)
+      val trainSide = df.filter(!pred)
+      val evalSide = df.filter(pred)
+      graft.ext.dedup.SemanticDedup.decontaminate(
+        trainSide, evalSide,
+        strArg(args(1), "graft_semantic_decontaminate", "idCol"),
+        strArg(args(2), "graft_semantic_decontaminate", "vecCol"),
+        k = graft.ext.dedup.SemanticDedup.decontaminationClusterCount(
+          trainSide.count(), evalSide.count()),
+        threshold = doubleArg(args(4), "graft_semantic_decontaminate", "threshold"),
+        probes = longArg(args(5), "graft_semantic_decontaminate", "probes").toInt,
+        source = s"tvf:$table#$predText")
     },
     tvf("graft_chunk",
       "graft_chunk(table, idCol, textCol, window, stride) - " +

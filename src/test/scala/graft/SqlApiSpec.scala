@@ -208,6 +208,22 @@ class SqlApiSpec extends SparkSpec {
       Seq("vec_id"))
   }
 
+  test("TVF graft_semantic_decontaminate: same clustering path and rows as the Scala entry") {
+    Tables.registerViews(spark, sf)
+    val e = spark.table("embeddings")
+    val evalSide = e.filter(expr("vec_id % 7 = 0"))
+    val trainSide = e.filter(expr("NOT (vec_id % 7 = 0)"))
+    val k = graft.ext.dedup.SemanticDedup.decontaminationClusterCount(
+      trainSide.count(), evalSide.count())
+    assertSameEagerResult(
+      spark.sql("SELECT * FROM graft_semantic_decontaminate(" +
+        "'embeddings', 'vec_id', 'embedding', 'vec_id % 7 = 0', 0.3, 2)"),
+      graft.ext.dedup.SemanticDedup.decontaminate(
+        trainSide, evalSide, "vec_id", "embedding", k,
+        threshold = 0.3, probes = 2, source = "tvf:embeddings#vec_id % 7 = 0"),
+      Seq("vec_id"))
+  }
+
   test("TVF graft_chunk: plan-identical to Chunker.chunks") {
     Tables.registerViews(spark, sf)
     assertSamePlanAndRows(
