@@ -146,6 +146,42 @@ object SemanticDedup {
     * Recall caveat (same class as SemDeDup's): a contaminated pair is
     * missed iff the two sides argmax into different clusters; the
     * registry row's planted-pair recall is sampled per ladder rung. */
+  /** Quantizer assignment in the (vid, v, n, list_id) shape every
+    * SemDeDup kernel consumes — shared by the batch operators and the
+    * streaming twins (the stream assigns each micro-batch against the
+    * same FROZEN codebook this produces the at-rest side with). */
+  def assigned(
+      df: DataFrame, idCol: String, vecCol: String,
+      coarse: Seq[IvfKNN.Centroid], fine: DataFrame,
+      probes: Int): DataFrame =
+    IvfKNN.assignListsJoined(
+        df.select(col(idCol), col(vecCol)), idCol, vecCol, coarse, fine, probes)
+      .select(col(idCol).as("vid"), col(vecCol).as("v"),
+        CosineKNN.norm(col(vecCol)).as("n"), col("list_id"))
+
+  /** The decontamination verdict kernel over PRE-ASSIGNED frames
+    * (`t` = train, `e` = eval, both in [[assigned]]'s shape): one
+    * shuffle-by-cluster cross join, cosine ≥ threshold hits counted
+    * per train vector, one row per train vector out. Shared verbatim
+    * by the batch operator and the stream-static streaming twin, so
+    * their parity is structural. */
+  private[graft] def flagsFromAssigned(
+      t: DataFrame, e: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
+    val er = e.select(col("vid").as("eid"), col("v").as("ev"),
+      col("n").as("en"), col("list_id"))
+    val hits = t.join(er, "list_id")
+      .withColumn("cosine",
+        round(CosineKNN.dot(col("v"), col("ev")) / (col("n") * col("en")), 9))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("vid")).agg(count(lit(1)).as("__h"))
+    t.select(col("vid"), col("list_id"))
+      .join(hits, Seq("vid"), "left")
+      .select(col("vid").as(idCol), col("list_id"),
+        coalesce(col("__h"), lit(0L)).as("n_eval_hits"),
+        (coalesce(col("__h"), lit(0L)) > 0).as("contaminated"))
+  }
+
   def decontaminate(
       train: DataFrame,
       eval: DataFrame,
@@ -158,27 +194,12 @@ object SemanticDedup {
     val c = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
     val coarse = IvfKNN.cachedSampledCentroids(eval, idCol, vecCol, c, source)
     val fine = IvfKNN.fineCodebookTableRanked(eval, idCol, vecCol, k, coarse)
-    def assigned(df: DataFrame): DataFrame =
-      IvfKNN.assignListsJoined(
-          df.select(col(idCol), col(vecCol)), idCol, vecCol, coarse, fine, probes)
-        .select(col(idCol).as("vid"), col(vecCol).as("v"),
-          CosineKNN.norm(col(vecCol)).as("n"), col("list_id"))
     // cache: the assigned train frame feeds the pair join AND the
     // output spine (the verdicts lesson — without a materialization
     // point the probe join re-runs per branch)
-    val t = assigned(train).cache()
-    val e = assigned(eval).select(col("vid").as("eid"), col("v").as("ev"),
-      col("n").as("en"), col("list_id"))
-    val hits = t.join(e, "list_id")
-      .withColumn("cosine",
-        round(CosineKNN.dot(col("v"), col("ev")) / (col("n") * col("en")), 9))
-      .filter(col("cosine") >= threshold)
-      .groupBy(col("vid")).agg(count(lit(1)).as("__h"))
-    val out = t.select(col("vid"), col("list_id"))
-      .join(hits, Seq("vid"), "left")
-      .select(col("vid").as(idCol), col("list_id"),
-        coalesce(col("__h"), lit(0L)).as("n_eval_hits"),
-        (coalesce(col("__h"), lit(0L)) > 0).as("contaminated"))
+    val t = assigned(train, idCol, vecCol, coarse, fine, probes).cache()
+    val e = assigned(eval, idCol, vecCol, coarse, fine, probes)
+    val out = flagsFromAssigned(t, e, idCol, threshold)
     NearDup.materializeAndRelease(out, "semdecon", t)
   }
 

@@ -474,6 +474,54 @@ object StreamingEtl {
       }
       .start()
 
+  /** Stream-static semantic decontamination — the streaming twin of
+    * [[graft.ext.dedup.SemanticDedup.decontaminate]], and the
+    * embedding-space sibling of [[decontaminateStream]]'s gram
+    * overlap: the eval (benchmark) corpus is AT REST — assigned once
+    * against the frozen eval-anchored codebook
+    * ([[graft.ext.dedup.SemanticDedup.assigned]] produces
+    * `evalAssigned`) — and each micro-batch of train vectors assigns
+    * against the SAME codebook and joins the static eval-assigned
+    * table by cluster. Verdicts depend only on the batch row and the
+    * static eval side, so the stream is STATELESS (unlike
+    * [[semanticDedupStream]], whose drop rule couples batches):
+    * exactly-once comes free with the idempotent per-`__batch_id`
+    * dynamic-overwrite write, and batch/stream parity is structural —
+    * both paths call the same
+    * [[graft.ext.dedup.SemanticDedup.flagsFromAssigned]] kernel
+    * (StreamingSpec pins concatenated stream output row-identical to
+    * the batch operator). */
+  def semanticDecontaminateStream(
+      vecStream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: Seq[graft.ext.similarity.IvfKNN.Centroid],
+      fine: DataFrame,
+      evalAssigned: DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      threshold: Double = 0.3,
+      probes: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    vecStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // localCheckpoint: the assigned batch feeds the pair join and
+        // the output spine (the curationStream lesson)
+        val t = graft.ext.dedup.SemanticDedup
+          .assigned(batch, idCol, vecCol, coarse, fine, probes)
+          .localCheckpoint()
+        graft.ext.dedup.SemanticDedup
+          .flagsFromAssigned(t, evalAssigned, idCol, threshold)
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id")
+          .parquet(outDir)
+        ()
+      }
+      .start()
+
   /** Watermarked stream-stream join: each purchase matched to clicks
     * from the same user within the preceding hour. Both sides carry
     * watermarks so join state is bounded and late rows are dropped —

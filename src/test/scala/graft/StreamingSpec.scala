@@ -521,6 +521,72 @@ class StreamingSpec extends SparkSpec {
     assert(state.filter($"__batch_id" === 0L).count() == 20)
   }
 
+  test("stream-static semantic decontamination equals the batch operator, stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.dedup.SemanticDedup
+    import graft.ext.similarity.IvfKNN
+    val root = tmpDir("semdeconstream")
+    // planted corpus: eval = ids % 7 == 0, every other train vector a
+    // slightly-perturbed copy of SOME eval vector (contaminated) and
+    // the rest orthogonal to all eval vectors (clean)
+    val dim = 8
+    def vec(axis: Int, eps: Float): Seq[Float] = {
+      val v = Array.fill(dim)(0f); v(axis) = 1f; if (eps != 0f) v(4 + (axis % 4)) = eps
+      v.toSeq
+    }
+    val all = (0L until 42L).map { id =>
+      if (id % 7 == 0) (id, vec((id % 4).toInt, 0f)) // eval anchors
+      else if (id % 2 == 0) (id, vec((id % 4).toInt, 0.01f)) // near an anchor
+      else (id, vec(3 - (id % 4).toInt, 0f)) // may or may not hit
+    }
+    all.toDF("vec_id", "embedding").write.parquet(s"$root/corpus")
+    val corpus = spark.read.parquet(s"$root/corpus")
+    val evalSide = corpus.filter($"vec_id" % 7 === 0)
+    val trainSide = corpus.filter($"vec_id" % 7 =!= 0)
+    val k = SemanticDedup.decontaminationClusterCount(
+      trainSide.count(), evalSide.count())
+    val c = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    // the frozen at-rest pieces: eval-anchored codebook + the eval
+    // corpus assigned once (exactly what decontaminate derives)
+    val coarse = IvfKNN.cachedSampledCentroids(
+      evalSide, "vec_id", "embedding", c, source = s"$root/corpus#eval")
+    val fine = IvfKNN.fineCodebookTableRanked(
+      evalSide, "vec_id", "embedding", k, coarse)
+    val evalAssigned = SemanticDedup.assigned(
+      evalSide, "vec_id", "embedding", coarse, fine, probes = 2)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingEtl.semanticDecontaminateStream(
+      input.toDS().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      coarse, fine, evalAssigned, s"$root/out", s"$root/ckpt",
+      threshold = 0.3, probes = 2)
+    val trainRows = all.filter(_._1 % 7 != 0)
+    val (b1, b2) = trainRows.partition(_._1 < 21)
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$root/out")
+      .select($"vec_id", $"list_id", $"n_eval_hits", $"contaminated")
+      .orderBy($"vec_id").collect()
+    val batch = SemanticDedup.decontaminate(
+        trainSide, evalSide, "vec_id", "embedding", k,
+        threshold = 0.3, probes = 2, source = s"$root/corpus#eval")
+      .select($"vec_id", $"list_id", $"n_eval_hits", $"contaminated")
+      .orderBy($"vec_id").collect()
+    assert(streamed.sameElements(batch),
+      s"stream=${streamed.mkString(";")}\nbatch=${batch.mkString(";")}")
+    // the planted structure is actually detected: every perturbed
+    // even-id train vector is contaminated
+    val flags = streamed.map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    trainRows.map(_._1).filter(_ % 2 == 0).foreach(id =>
+      assert(flags(id), s"planted near-anchor train $id not flagged"))
+    // stateless: no state directory exists, and a REPLAYED batch is
+    // idempotent (dynamic overwrite of its own partition)
+    assert(!new java.io.File(s"$root/state").exists())
+    assert(spark.read.parquet(s"$root/out").count() == trainRows.length)
+  }
+
   test("a crash during the FIRST state write cannot wedge the stateful streams") {
     // round-12 advice: the prior-state read used to gate on bare
     // directory existence + schema inference — a state dir left with
