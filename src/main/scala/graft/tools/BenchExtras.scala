@@ -223,7 +223,107 @@ object StreamBench {
         StreamingEtl.curationStream(
           input.toDS().toDF("doc_id", "text"), evalDocs, "doc_id", "text",
           outDir = tmp + "/out", checkpointDir = tmp + "/ck")
+      }) ++ semanticPaths(spark, sfDir)
+  }
+
+  /** The two embedding-space streaming twins at rung scale (rounds
+    * 12-13): both assign against a FROZEN at-rest codebook — trained
+    * once here, before the measured loop, exactly the production
+    * posture. Semantic DEDUP is the state-heavy path (state = every
+    * assigned vector, re-read and cluster-pruned per batch); semantic
+    * DECONTAMINATION is stateless stream-static (the eval side is an
+    * at-rest assigned table). */
+  private def semanticPaths(
+      spark: SparkSession, sfDir: String): Seq[PathResult] = {
+    import spark.implicits._
+    import graft.streaming.StreamingEtl
+    import graft.ext.dedup.SemanticDedup
+    import graft.ext.similarity.IvfKNN
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = graft.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id").cast("long"), col("embedding"))
+    val vecs = corpus.as[(Long, Seq[Float])].collect().toSeq
+    val per = math.max(1, vecs.length / numBatches)
+    // id-monotone batches (the dedup stream's parity precondition)
+    val batches = vecs.sortBy(_._1).grouped(per).take(numBatches).toSeq
+
+    def run(name: String, feed: Seq[Seq[(Long, Seq[Float])]])(
+        mk: (org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])],
+             String) => org.apache.spark.sql.streaming.StreamingQuery): PathResult =
+      try {
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Seq[Float])]
+        val tmp = graft.tools.Scratch.dir(s"graft_sbench_$name")
+        val q = mk(input, tmp)
+        val rows = Seq.newBuilder[Long]
+        val secs = Seq.newBuilder[Double]
+        feed.foreach { batch =>
+          input.addData(batch)
+          val t = System.nanoTime()
+          q.processAllAvailable()
+          secs += (System.nanoTime() - t) / 1e9
+          rows += batch.length.toLong
+        }
+        q.stop()
+        // at-rest state (foreachBatch parquet, not operator state):
+        // report rows written under the state/out dirs per batch is
+        // not exposed by lastProgress — leave stateRows empty
+        PathResult(name, rows.result(), secs.result(), Nil, None)
+      } catch {
+        case e: Throwable => PathResult(name, Nil, Nil, Nil,
+          Some(e.toString.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)))
+      }
+
+    // semantic dedup: codebook frozen over the whole stream corpus
+    val k = SemanticDedup.scaledClusterCount(vecs.length.toLong)
+    val c = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val coarse = IvfKNN.cachedSampledCentroids(
+      corpus, "vec_id", "embedding", c, source = s"$sfDir#sbench")
+    val fine = IvfKNN.fineCodebookTable(corpus, "vec_id", "embedding", k, coarse)
+    // semantic decontamination: eval split + its own eval-anchored codebook
+    val evalSide = corpus.filter(col("vec_id") % 7 === 0)
+    val trainVecs = batches.map(_.filter(_._1 % 7 != 0))
+    val kd = SemanticDedup.decontaminationClusterCount(
+      vecs.count(_._1 % 7 != 0).toLong, vecs.count(_._1 % 7 == 0).toLong)
+    val cd = math.max(1, math.ceil(math.sqrt(kd.toDouble)).toInt)
+    val dcoarse = IvfKNN.cachedSampledCentroids(
+      evalSide, "vec_id", "embedding", cd, source = s"$sfDir#sbench_eval")
+    val dfine = IvfKNN.fineCodebookTableRanked(
+      evalSide, "vec_id", "embedding", kd, dcoarse)
+    val evalAssigned = SemanticDedup.assigned(
+      evalSide, "vec_id", "embedding", dcoarse, dfine, probes = 2)
+      .localCheckpoint()
+
+    Seq(
+      run("semantic_dedup", batches) { (input, tmp) =>
+        StreamingEtl.semanticDedupStream(
+          input.toDS().toDF("vec_id", "embedding"), "vec_id", "embedding",
+          coarse, fine, outDir = tmp + "/out", stateDir = tmp + "/state",
+          checkpointDir = tmp + "/ck")
+      },
+      run("semantic_decontaminate", trainVecs) { (input, tmp) =>
+        StreamingEtl.semanticDecontaminateStream(
+          input.toDS().toDF("vec_id", "embedding"), "vec_id", "embedding",
+          dcoarse, dfine, evalAssigned, outDir = tmp + "/out",
+          checkpointDir = tmp + "/ck")
       })
+  }
+
+  /** Standalone entry point (`runMain graft.tools.StreamBench [sfDir]`)
+    * so the streaming section can be measured or smoked without a
+    * full ladder rung. Prints the same JSON fragment the rung embeds. */
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println(json(measure(spark, sfDir)))
+    spark.stop()
   }
 
   /** JSON object fragment keyed by path name. */
