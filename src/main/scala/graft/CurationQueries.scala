@@ -2,7 +2,7 @@ package graft
 
 import graft.ext.dedup.{BlockDedup, DupGroups, NearDup, SemanticDedup}
 import graft.ext.similarity.IvfKNN
-import graft.ext.text.{Decontaminate, ShardPacker}
+import graft.ext.text.{Decontaminate, Dsir, ShardPacker}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
   *  - docs_decontaminate_cross: the corpus-vs-corpus twin through the
   *    non-broadcast 8-byte gram-hash shuffle join (same output, same
   *    oracle — [[graft.ext.text.Decontaminate.crossOverlaps]]);
+  *  - docs_dsir_weights: DSIR importance-resampling selection weights
+  *    over hashed unigram+bigram buckets ([[graft.ext.text.Dsir]] —
+  *    Mitchell-log fixed point, so the approximate pipeline replays
+  *    hash-exactly);
   *  - docs_pack_shards: token-budget shard assignment via the
   *    two-level distributed prefix sum
   *    ([[graft.ext.text.ShardPacker]]) — the oracle replays it with
@@ -651,9 +655,79 @@ object CurationQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** DSIR importance-resampling weights ([[graft.ext.text.Dsir]]):
+    * target split = `source = 'src0'` (a curated domain), every other
+    * document scored against it. The oracle replays the ENTIRE
+    * pipeline — PolyHash buckets, Laplace smoothing, Mitchell-log₂
+    * fixed-point λ table, per-doc BIGINT sums — because every
+    * operation is integer or exact-dyadic-double arithmetic (the
+    * docs_term_rank/docs_lm_score determinism rule: no `ln`
+    * anywhere). */
+  private def qDsirWeights(s: SparkSession, dir: String): DataFrame =
+    Dsir.weights(Tables(s, dir, "documents"), "doc_id", "text",
+      isTarget = col("source") === "src0")
+      .orderBy(col("doc_id"))
+
+  private val qDsirWeightsSql = {
+    val B = Dsir.Buckets
+    val scale = (1L << Dsir.FracBits).toDouble
+    val ph = graft.functions.PolyHash.duckdbSql("gram", 31)
+    // Mitchell's log2 of a positive BIGINT expression (see
+    // Dsir.mitchellLog2): (k-1) + (n - 2^(k-1))/2^(k-1), k = bitlen
+    def mlog(e: String) =
+      s"((length(bin($e))-1) + CAST(($e) - (CAST(1 AS BIGINT) " +
+        s"<< (length(bin($e))-1)) AS DOUBLE) " +
+        s"/ CAST(CAST(1 AS BIGINT) << (length(bin($e))-1) AS DOUBLE))"
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN len(trim(text)) = 0 THEN []
+       |         ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, source, unnest(toks) AS gram FROM t
+       |  UNION ALL
+       |  SELECT doc_id, source, toks[i+1] || ' ' || toks[i+2] AS gram
+       |  FROM t, (SELECT unnest(range((
+       |    SELECT CAST(COALESCE(max(len(toks) - 1), 0) AS BIGINT) FROM t))) AS i)
+       |  WHERE i <= len(toks) - 2),
+       |b AS (SELECT doc_id, source, $ph % $B AS bucket FROM g),
+       |ct AS (SELECT bucket, COUNT(*) AS c_t FROM b
+       |       WHERE source = 'src0' GROUP BY bucket),
+       |cq AS (SELECT bucket, COUNT(*) AS c_q FROM b
+       |       WHERE source <> 'src0' GROUP BY bucket),
+       |tt AS (SELECT CAST(COALESCE(SUM(c_t), 0) + $B AS BIGINT) AS v FROM ct),
+       |tq AS (SELECT CAST(COALESCE(SUM(c_q), 0) + $B AS BIGINT) AS v FROM cq),
+       |lam AS (
+       |  SELECT q.bucket,
+       |    CAST(floor((${mlog("COALESCE(t2.c_t, 0) + 1")}
+       |      - ${mlog("tt.v")}
+       |      - ${mlog("q.c_q + 1")}
+       |      + ${mlog("tq.v")}) * $scale) AS BIGINT) AS lam
+       |  FROM cq q LEFT JOIN ct t2 USING (bucket), tt, tq),
+       |sums AS (
+       |  SELECT b.doc_id, COUNT(*) AS n_grams,
+       |    CAST(SUM(l.lam) AS BIGINT) AS logw_scaled
+       |  FROM b JOIN lam l USING (bucket)
+       |  WHERE b.source <> 'src0' GROUP BY b.doc_id),
+       |tot AS (
+       |  SELECT CAST(COALESCE(SUM(logw_scaled), 0) AS HUGEINT) AS s_tot,
+       |    CAST(COALESCE(SUM(n_grams), 0) AS HUGEINT) AS n_tot
+       |  FROM sums)
+       |SELECT d.doc_id,
+       |  COALESCE(s.n_grams, 0) AS n_grams,
+       |  COALESCE(s.logw_scaled, 0) AS logw_scaled,
+       |  CAST(COALESCE(s.logw_scaled, 0) AS DOUBLE) / $scale AS logw,
+       |  CAST(COALESCE(s.logw_scaled, 0) AS HUGEINT) * tot.n_tot
+       |    > tot.s_tot * CAST(COALESCE(s.n_grams, 0) AS HUGEINT) AS selected
+       |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+       |LEFT JOIN sums s USING (doc_id), tot
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_semantic_dedup" -> (qSemanticDedup _),
     "emb_semantic_decontaminate" -> (qSemanticDecontaminate _),
+    "docs_dsir_weights"  -> (qDsirWeights _),
     "docs_decontaminate" -> (qDecontaminate _),
     "docs_decontaminate_cross" -> (qDecontaminateCross _),
     "docs_pack_shards"   -> (qPackShards _),
@@ -668,6 +742,7 @@ object CurationQueries {
   val oracles: Map[String, String] = Map(
     "emb_semantic_dedup" -> qSemanticDedupSql,
     "emb_semantic_decontaminate" -> qSemanticDecontaminateSql,
+    "docs_dsir_weights"  -> qDsirWeightsSql,
     "docs_decontaminate" -> qDecontaminateSql,
     // the cross (non-broadcast, hashed) path is output-identical by
     // construction — the shared oracle text is the cross-check

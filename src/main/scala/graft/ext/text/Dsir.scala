@@ -1,0 +1,177 @@
+package graft.ext.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style data selection — importance resampling weights over
+  * hashed n-gram features (Xie et al. 2023, "Data Selection for
+  * Language Models via Importance Resampling"): score every raw
+  * document by how much more likely its hashed unigram+bigram stream
+  * is under a TARGET corpus distribution than under the RAW corpus
+  * distribution, so a curation pass can keep the slice of a web crawl
+  * that "looks like" a small high-quality target domain.
+  *
+  * logw(doc) = Σ_grams [log p̂_target(bucket(gram)) − log p̂_raw(...)]
+  * with Laplace-smoothed bucket distributions over a FIXED hashed
+  * feature space of [[Buckets]] cells.
+  *
+  * Determinism contract (the repo-wide rule: `ln` has no cross-engine
+  * bit guarantee, so oracles may only use +,−,×,÷ on exactly-
+  * representable values, integer ops, and correctly-rounded IEEE
+  * primitives): log₂ here is MITCHELL'S APPROXIMATION (Mitchell 1962,
+  * "Computer Multiplication and Division Using Binary Logarithms") —
+  * for n = 2^(k−1)·(1+m), lg̃(n) = (k−1) + m, i.e. exact at powers of
+  * two with the mantissa interpolated linearly (max error 0.0861
+  * bits, far inside DSIR's own noise floor). Every step is exact:
+  * k is the bit length of an integer, m = (n − 2^(k−1))/2^(k−1) an
+  * exact dyadic double (n < 2^46 holds to ~70 T grams/side), and the
+  * per-bucket log-ratio is floor-scaled to a 2^[[FracBits]]
+  * fixed-point BIGINT — so the DuckDB oracle replays the ENTIRE
+  * pipeline bit-identically, the same way the LSH pipelines replay
+  * [[graft.functions.PolyHash]].
+  *
+  * Scale shape (nothing grows past the corpus's one pass):
+  *  - both gram streams sit above
+  *    [[TextFunctions.spreadForExplode]] (the sf100 spill-onset
+  *    rule) and hash each gram to a bucket in [0, [[Buckets]])
+  *    BEFORE any aggregation, so no gram string is ever exchanged;
+  *  - the two distribution estimates are map-side-partial aggregates
+  *    whose outputs are bounded by the FIXED bucket count, not the
+  *    corpus — ≤ 8192 rows each, COLLECTED as bounded metadata (the
+  *    sourceMix/quality-classifier collect class; a 1-row
+  *    `crossJoin(broadcast(totals))` would plan as a gate-tripping
+  *    BroadcastNestedLoopJoin), so the λ table, both Laplace totals,
+  *    and the corpus-mean selection threshold all fold driver-side
+  *    with EXACT BigInt/dyadic-double arithmetic;
+  *  - the λ table (≤ [[Buckets]] local rows) BROADCASTS into the raw
+  *    gram stream — the per-gram scoring join never shuffles;
+  *  - the per-doc weight is one map-side-combined BIGINT sum keyed
+  *    by doc id — fixed-width buffers, ONE exchange in the whole
+  *    scoring pass.
+  * At 100 TB the target side is a curated domain (GBs), the raw side
+  * the crawl: two wide scans into 8192-cell aggregates, one narrow
+  * doc-keyed exchange. The two bucket-count jobs run EAGERLY at
+  * construction (the pack_shards eager-metadata contract).
+  */
+object Dsir {
+
+  /** Fixed hashed-feature space (the paper's hashed n-gram trick —
+    * 8192 cells keeps every distribution table broadcastable at any
+    * corpus size while leaving bucket collisions rare at test SFs). */
+  val Buckets = 8192
+
+  /** Fixed-point fractional bits of the scaled per-bucket log-ratio
+    * (λ·2^30 floors to BIGINT; |λ| < 2^7 bits so λ_scaled < 2^38,
+    * and a 10⁵-gram document's sum stays < 2^55 — exact in BIGINT). */
+  val FracBits = 30
+
+  private val FracScale = 1L << FracBits
+
+  /** Mitchell's binary logarithm of a positive integer:
+    * (k−1) + (n − 2^(k−1))/2^(k−1), k = bit length. Exact dyadic
+    * double for n < 2^46 (frac ≤ 45 bits + 6 integer bits ≤ 51),
+    * mirrored term-for-term by the oracle's
+    * `(length(bin(n))-1) + (n - (1::BIGINT << (length(bin(n))-1)))
+    * / (1::BIGINT << (length(bin(n))-1))`. */
+  def mitchellLog2(n: Long): Double = {
+    require(n > 0, s"mitchellLog2 of non-positive $n")
+    val k = 64 - java.lang.Long.numberOfLeadingZeros(n)
+    val p = 1L << (k - 1)
+    (k - 1).toDouble + (n - p).toDouble / p.toDouble
+  }
+
+  /** Unigram + bigram occurrence stream of a token array — NOT
+    * deduplicated (DSIR weights are per-occurrence feature counts;
+    * [[TextFunctions.shinglesFromTokens]] is distinct-per-doc, built
+    * for set-overlap miners). The bigram half is the
+    * [[NgramLm.bigrams]] zip-with-shifted-copy idiom joined to
+    * "w1 w2" strings. */
+  def unibigrams(toks: Column): Column =
+    when(size(toks) < 2, toks).otherwise(concat(toks,
+      slice(zip_with(toks, slice(toks, lit(2), size(toks)),
+        (a, b) => concat_ws(" ", a, b)), lit(1), size(toks) - 1)))
+
+  /** One row per gram OCCURRENCE: (idCol, bucket) with
+    * bucket = polyhash₃₁(gram) mod [[Buckets]] (PolyHash is
+    * non-negative by construction, so no pmod dance). */
+  def gramBuckets(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    TextFunctions.spreadForExplode(docs)
+      .select(col(idCol),
+        explode(unibigrams(TextFunctions.tokens(col(textCol)))).as("g"))
+      .select(col(idCol),
+        (graft.functions.PolyHash.polyhash(col("g"), 31) % Buckets)
+          .as("bucket"))
+
+  /** Per-bucket occurrence counts, collected — bounded by the FIXED
+    * [[Buckets]] cell count (the repo's bounded-metadata collect
+    * class), whatever the corpus size. */
+  private def bucketCounts(docs: DataFrame, idCol: String,
+      textCol: String): Map[Long, Long] =
+    gramBuckets(docs, idCol, textCol)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Importance weights for every RAW document: (idCol, n_grams,
+    * logw_scaled, logw, selected) — logw_scaled the exact BIGINT
+    * fixed-point sum Σ λ_scaled(bucket(gram)) with
+    * λ_scaled(b) = ⌊(lg̃(ct_b+1) − lg̃(Tt+B) − lg̃(cq_b+1) + lg̃(Tq+B))
+    * · 2^[[FracBits]]⌋ (Laplace α=1 over the fixed B-cell space; a
+    * raw gram's bucket always has cq ≥ 1, so the inner scoring join
+    * never misses), logw its descaled double (BIGINT→double cast is
+    * correctly-rounded IEEE, ÷2^30 exact — still deterministic), and
+    * selected = the doc's PER-GRAM mean λ is strictly above the raw
+    * corpus's per-gram mean — i.e. the doc is more target-like than
+    * the average raw gram. An absolute `logw > 0` cut is vacuous
+    * whenever the target split is small against the B-cell Laplace
+    * prior (every weight goes negative), and DSIR's top-k resample
+    * needs a corpus-wide rank — a 100 TB single-window sort; the
+    * mean-relative cut costs NOTHING extra (S = Σ_b cq_b·λ_b and
+    * N = Σ_b cq_b fold exactly from the already-collected counts)
+    * and the comparison logw_scaled·N > S·n_grams cross-multiplies
+    * in DECIMAL so it stays integer-exact in both engines
+    * (|logw|·N < 10^30 ≪ the 10^38 decimal cap). Zero-gram docs
+    * (blank text) keep a (0, 0, 0.0, false) row WITHOUT a doc-id
+    * join: one null-λ sentinel row per raw doc rides the same
+    * aggregate (`count(lam)` skips it).
+    *
+    * @param isTarget row predicate naming the target split
+    */
+  def weights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val raw = docs.filter(!isTarget)
+    val ct = bucketCounts(docs.filter(isTarget), idCol, textCol)
+    val cq = bucketCounts(raw, idCol, textCol)
+    val tt = ct.values.sum + Buckets
+    val tq = cq.values.sum + Buckets
+    val lamRows = cq.toSeq.sortBy(_._1).map { case (b, c) =>
+      (b, math.floor((mitchellLog2(ct.getOrElse(b, 0L) + 1)
+        - mitchellLog2(tt) - mitchellLog2(c + 1)
+        + mitchellLog2(tq)) * FracScale).toLong)
+    }
+    // corpus totals for the mean-relative cut — exact driver folds
+    // over the same bounded counts (Σ over ≤8192 cells)
+    val cqMap = cq
+    val sTot = lamRows.iterator
+      .map { case (b, lam) => BigInt(lam) * cqMap(b) }.sum
+    val nTot = BigInt(cq.values.sum)
+    def decLit(v: BigInt) = lit(new java.math.BigDecimal(v.bigInteger))
+    val lam = lamRows.toDF("bucket", "lam")
+    gramBuckets(raw, idCol, textCol)
+      .join(broadcast(lam), Seq("bucket"))
+      .select(col(idCol), col("lam"))
+      .unionByName(raw.select(col(idCol),
+        lit(null).cast("long").as("lam")))
+      .groupBy(col(idCol))
+      .agg(count(col("lam")).as("n_grams"),
+        coalesce(sum(col("lam")), lit(0L)).as("logw_scaled"))
+      .select(col(idCol), col("n_grams"), col("logw_scaled"),
+        (col("logw_scaled").cast("double") / lit(FracScale.toDouble))
+          .as("logw"),
+        (col("logw_scaled").cast("decimal(20,0)") * decLit(nTot) >
+          decLit(sTot) * col("n_grams").cast("decimal(20,0)"))
+          .as("selected"))
+  }
+}

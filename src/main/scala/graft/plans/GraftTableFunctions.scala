@@ -23,6 +23,8 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *                                     'doc_id % 97 = 0', 3)
   *   SELECT * FROM graft_decontaminate_cross('train_docs', 'heldout_docs',
   *                                           'doc_id', 'text', 3)
+  *   SELECT * FROM graft_dsir_weights('documents', 'doc_id', 'text',
+  *                                    "source = 'src0'")
   *   SELECT * FROM graft_knn_exact('embeddings', 'vec_id', 'embedding',
   *                                 'vec_id < 5', 3)
   *   SELECT * FROM graft_lm_score('documents', 'lm_model', 'doc_id', 'text')
@@ -130,6 +132,21 @@ object GraftTableFunctions {
         strArg(args(2), "graft_decontaminate_cross", "idCol"),
         strArg(args(3), "graft_decontaminate_cross", "textCol"),
         n = longArg(args(4), "graft_decontaminate_cross", "n").toInt)
+    },
+    tvf("graft_dsir_weights",
+      "graft_dsir_weights(table, idCol, textCol, targetPredicate) - " +
+        "DSIR importance-resampling selection weights over hashed " +
+        "unigram+bigram buckets; targetPredicate is a SQL boolean " +
+        "expression naming the target split (Dsir.weights: fixed " +
+        "8192-bucket distributions, broadcast λ table, one doc-keyed " +
+        "exchange)") { args =>
+      requireArgs(args, 4, "graft_dsir_weights")
+      graft.ext.text.Dsir.weights(
+        tableArg(args(0), "graft_dsir_weights"),
+        strArg(args(1), "graft_dsir_weights", "idCol"),
+        strArg(args(2), "graft_dsir_weights", "textCol"),
+        isTarget = org.apache.spark.sql.functions.expr(
+          strArg(args(3), "graft_dsir_weights", "targetPredicate")))
     },
     tvf("graft_knn_exact",
       "graft_knn_exact(table, idCol, vecCol, queryPredicate, k) - " +

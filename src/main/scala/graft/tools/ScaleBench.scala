@@ -68,6 +68,10 @@ object ScaleBench {
     "docs_block_dedup",      // corpus-wide first-occurrence + reassembly
     "docs_pack_shards",      // two-level distributed prefix sum
     "docs_curation_pipeline",// fused multi-stage curation plan
+    // round-13 new operator: two 8192-cell gram aggregates (bounded
+    // collects) + one broadcast-λ scoring pass — the decontaminate
+    // cost class with a fixed-width reduce
+    "docs_dsir_weights",     // DSIR hashed-ngram importance weights
     "docs_bpe_tokenize",     // BPE: one corpus agg + vocab-sized merge loop
     "emb_semantic_dedup",    // map-only assign + one cluster shuffle
     "emb_semantic_decontaminate", // eval-anchored codebook, cross-split cluster join

@@ -130,6 +130,17 @@ class SqlApiSpec extends SparkSpec {
       Seq("doc_id"))
   }
 
+  test("TVF graft_dsir_weights: plan-identical to Dsir.weights") {
+    Tables.registerViews(spark, sf)
+    assertSamePlanAndRows(
+      spark.sql("SELECT * FROM graft_dsir_weights(" +
+        "'documents', 'doc_id', 'text', 'source = ''src0''')"),
+      graft.ext.text.Dsir.weights(
+        spark.table("documents"), "doc_id", "text",
+        isTarget = expr("source = 'src0'")),
+      Seq("doc_id"))
+  }
+
   test("TVF graft_knn_exact: plan-identical to CosineKNN.bruteForceTopK") {
     Tables.registerViews(spark, sf)
     val emb = spark.table("embeddings")
@@ -305,7 +316,8 @@ class SqlApiSpec extends SparkSpec {
         .getOrCreate()
       Seq("graft_dedup_ngrams_hashed", "graft_pack_shards",
           "graft_count_sum", "graft_decontaminate",
-          "graft_decontaminate_cross", "graft_knn_exact",
+          "graft_decontaminate_cross", "graft_dsir_weights",
+          "graft_knn_exact",
           "graft_lm_score", "graft_minhash_pairs",
           "graft_semantic_dedup").foreach { f =>
         assert(s2.sessionState.tableFunctionRegistry
