@@ -93,15 +93,25 @@ object Dsir {
 
   /** One row per gram OCCURRENCE: (idCol, bucket) with
     * bucket = polyhash₃₁(gram) mod [[Buckets]] (PolyHash is
-    * non-negative by construction, so no pmod dance). */
-  def gramBuckets(docs: DataFrame, idCol: String, textCol: String)
-      : DataFrame =
-    TextFunctions.spreadForExplode(docs)
-      .select(col(idCol),
+    * non-negative by construction, so no pmod dance). No exchange —
+    * the batch path wraps this in [[gramBuckets]]' spread barrier; a
+    * STREAMING frame arrives pre-parallelized from its source and
+    * must not repartition on a planning-time size estimate. */
+  private[graft] def gramBucketsNoSpread(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol),
         explode(unibigrams(TextFunctions.tokens(col(textCol)))).as("g"))
       .select(col(idCol),
         (graft.functions.PolyHash.polyhash(col("g"), 31) % Buckets)
           .as("bucket"))
+
+  /** [[gramBucketsNoSpread]] above the data-scaled
+    * [[TextFunctions.spreadForExplode]] barrier — the batch-corpus
+    * form (the sf100 spill-onset rule). */
+  def gramBuckets(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    gramBucketsNoSpread(TextFunctions.spreadForExplode(docs),
+      idCol, textCol)
 
   /** Per-bucket occurrence counts, collected — bounded by the FIXED
     * [[Buckets]] cell count (the repo's bounded-metadata collect
@@ -139,10 +149,20 @@ object Dsir {
     */
   def weights(docs: DataFrame, idCol: String, textCol: String,
       isTarget: Column): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val raw = docs.filter(!isTarget)
-    val ct = bucketCounts(docs.filter(isTarget), idCol, textCol)
+    scoreAgainst(raw, idCol, textCol,
+      train(docs.filter(isTarget), raw, idCol, textCol))
+  }
+
+  /** Train the frozen DSIR model: λ table + the raw-corpus totals
+    * backing the mean-relative selection cut — all folded driver-side
+    * from the two bounded bucket-count collects (see [[weights]]).
+    * In production this runs ONCE at rest over a reference snapshot
+    * (the `cachedRefTrain`/`scoreStream` posture) and any batch or
+    * stream scores against it. */
+  def train(target: DataFrame, raw: DataFrame, idCol: String,
+      textCol: String): DsirModel = {
+    val ct = bucketCounts(target, idCol, textCol)
     val cq = bucketCounts(raw, idCol, textCol)
     val tt = ct.values.sum + Buckets
     val tq = cq.values.sum + Buckets
@@ -153,16 +173,32 @@ object Dsir {
     }
     // corpus totals for the mean-relative cut — exact driver folds
     // over the same bounded counts (Σ over ≤8192 cells)
-    val cqMap = cq
     val sTot = lamRows.iterator
-      .map { case (b, lam) => BigInt(lam) * cqMap(b) }.sum
-    val nTot = BigInt(cq.values.sum)
+      .map { case (b, lam) => BigInt(lam) * cq(b) }.sum
+    DsirModel(lamRows, sTot, BigInt(cq.values.sum))
+  }
+
+  /** Score ANY doc frame — batch corpus, micro-batch, or streaming —
+    * against a frozen [[DsirModel]]. ONE implementation for both
+    * execution modes (the `flagsFromAssigned` structural-parity
+    * idiom): broadcast λ join + the null-λ sentinel union + one
+    * doc-keyed aggregate, so the streaming twin can't drift from the
+    * batch semantics. `spread = false` for streaming frames (no
+    * planning-time size estimate to scale a barrier by; sources
+    * arrive pre-parallelized). */
+  def scoreAgainst(docs: DataFrame, idCol: String, textCol: String,
+      model: DsirModel, spread: Boolean = true): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     def decLit(v: BigInt) = lit(new java.math.BigDecimal(v.bigInteger))
-    val lam = lamRows.toDF("bucket", "lam")
-    gramBuckets(raw, idCol, textCol)
+    val lam = model.lam.toDF("bucket", "lam")
+    val grams =
+      if (spread) gramBuckets(docs, idCol, textCol)
+      else gramBucketsNoSpread(docs, idCol, textCol)
+    grams
       .join(broadcast(lam), Seq("bucket"))
       .select(col(idCol), col("lam"))
-      .unionByName(raw.select(col(idCol),
+      .unionByName(docs.select(col(idCol),
         lit(null).cast("long").as("lam")))
       .groupBy(col(idCol))
       .agg(count(col("lam")).as("n_grams"),
@@ -170,8 +206,15 @@ object Dsir {
       .select(col(idCol), col("n_grams"), col("logw_scaled"),
         (col("logw_scaled").cast("double") / lit(FracScale.toDouble))
           .as("logw"),
-        (col("logw_scaled").cast("decimal(20,0)") * decLit(nTot) >
-          decLit(sTot) * col("n_grams").cast("decimal(20,0)"))
+        (col("logw_scaled").cast("decimal(20,0)") * decLit(model.nTot) >
+          decLit(model.sTot) * col("n_grams").cast("decimal(20,0)"))
           .as("selected"))
   }
 }
+
+/** Frozen DSIR model: the ≤[[Dsir.Buckets]]-row fixed-point λ table
+  * plus the raw-corpus gram totals (Σ cq_b·λ_b, Σ cq_b) that define
+  * the mean-relative selection threshold — small enough to live in a
+  * checkpoint or broadcast, exact by construction. */
+final case class DsirModel(
+    lam: Seq[(Long, Long)], sTot: BigInt, nTot: BigInt)

@@ -313,6 +313,28 @@ object StreamingEtl {
       w: Array[Long]): DataFrame =
     graft.ext.text.QualityClassifier.scoreMap(docStream, idCol, textCol, w)
 
+  /** Streaming DSIR importance scoring: score the ingest firehose
+    * against a FROZEN [[graft.ext.text.DsirModel]] (λ table + the
+    * mean-relative selection threshold, trained ONCE at rest on a
+    * reference target/raw snapshot — the same frozen-model posture as
+    * [[scoreStream]]'s quality weights). Stateless: the ≤8192-row λ
+    * table broadcasts into the exploded gram stream and the per-doc
+    * weight aggregates in update mode; the null-λ sentinel union
+    * keeps blank docs present with a (0, 0, 0.0, false) row. Batch
+    * and stream run the LITERAL same [[graft.ext.text.Dsir
+    * .scoreAgainst]] code (the `flagsFromAssigned` structural-parity
+    * idiom), so stream output per doc is row-identical to scoring the
+    * same docs in one batch — no cross-batch state to reconcile, a
+    * doc's weight depends only on its own grams and the frozen
+    * model. */
+  def dsirScoreStream(
+      docStream: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: graft.ext.text.DsirModel): DataFrame =
+    graft.ext.text.Dsir.scoreAgainst(docStream, idCol, textCol, model,
+      spread = false)
+
   /** Cross-batch hashed-gram dedup (round-10 verdict task 5): the
     * streaming twin of
     * [[graft.ext.dedup.BlockDedup.dedupNgramsHashed]]. Structured

@@ -170,6 +170,43 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming DSIR scoring: frozen model, stream ≡ batch row-identical") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.text.Dsir
+    import org.apache.spark.sql.functions.col
+    // target speaks {alpha..gamma}; raw mixes target-like, off-domain,
+    // and a blank doc, split across two micro-batches
+    val target = Seq((900L, "alpha beta gamma alpha beta"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((1L, "alpha beta gamma"), (2L, "zork quux blarg"))
+    val b2 = Seq((3L, "beta gamma alpha alpha"), (4L, "   "))
+    val rawAll = (b1 ++ b2).toDF("doc_id", "text")
+    // the frozen-at-rest posture: model trained once on the snapshot
+    val model = Dsir.train(target, rawAll, "doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingEtl.dsirScoreStream(
+        input.toDS().toDF("doc_id", "text"), "doc_id", "text", model)
+      .writeStream.format("memory").queryName("streamdsir")
+      .outputMode(OutputMode.Update).start()
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4))
+    val streamed = spark.table("streamdsir").collect().map(key).toSet
+    val batch = Dsir.scoreAgainst(rawAll, "doc_id", "text", model)
+      .collect().map(key).toSet
+    assert(streamed === batch, s"stream $streamed vs batch $batch")
+    assert(streamed.size === 4)
+    // blank doc kept as a zero row; the planted split separates
+    val byId = spark.table("streamdsir").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(byId(4L).getLong(1) === 0L && !byId(4L).getBoolean(4))
+    assert(byId(1L).getBoolean(4) && byId(3L).getBoolean(4))
+    assert(!byId(2L).getBoolean(4))
+  }
+
   test("streaming curation pipeline: dedup + quality gate + decontamination + scrub") {
     implicit val sqlCtx = spark.sqlContext
     val root = tmpDir("streamcuration")
