@@ -178,6 +178,61 @@ object Dsir {
     DsirModel(lamRows, sTot, BigInt(cq.values.sum))
   }
 
+  /** Persist a frozen [[DsirModel]] as an at-rest table — the
+    * production posture ([[QualityClassifier.weightsTable]] idiom:
+    * train once, store like any warehouse table, score any corpus or
+    * stream against it). One `(bucket, value)` row per λ cell plus
+    * two RESERVED rows (`bucket = -1` → sTot, `-2` → nTot; real
+    * buckets are ≥ 0 by construction). Values are DECIMAL(38,0)
+    * because the totals exceed BIGINT at full scale
+    * (|λ|·Σgrams ≈ 2^38 · 10^13); built via strings so no
+    * default-encoder (38,18) precision cap truncates them. */
+  def modelTable(spark: org.apache.spark.sql.SparkSession,
+      model: DsirModel): DataFrame = {
+    import spark.implicits._
+    (model.lam.map { case (b, l) => (b, l.toString) } ++
+      Seq((-1L, model.sTot.toString), (-2L, model.nTot.toString)))
+      .toDF("bucket", "value")
+      .select(col("bucket"), col("value").cast("decimal(38,0)").as("value"))
+  }
+
+  /** Inverse of [[modelTable]]: one BOUNDED collect (≤ [[Buckets]]+2
+    * rows — model metadata, never corpus-sized) that validates shape
+    * loudly — null cells, out-of-range or duplicate buckets, λ
+    * overflow, and missing/duplicate total rows all throw instead of
+    * scoring with a silently-corrupt model. */
+  def modelFromTable(df: DataFrame): DsirModel = {
+    val rows = df
+      .select(col("bucket").cast("long"), col("value").cast("decimal(38,0)"))
+      .collect()
+    require(rows.length <= Buckets + 2,
+      s"DSIR model table too large: ${rows.length} rows " +
+        s"(max ${Buckets + 2} — is this a corpus, not a model?)")
+    var sTot: Option[BigInt] = None
+    var nTot: Option[BigInt] = None
+    val seen = scala.collection.mutable.HashSet.empty[Long]
+    val lam = Seq.newBuilder[(Long, Long)]
+    rows.foreach { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        "null bucket/value in DSIR model table")
+      val b = r.getLong(0)
+      val v = BigInt(r.getDecimal(1).toBigInteger)
+      require(seen.add(b), s"duplicate bucket $b in DSIR model table")
+      if (b == -1L) sTot = Some(v)
+      else if (b == -2L) nTot = Some(v)
+      else {
+        require(b >= 0 && b < Buckets,
+          s"bucket $b outside [0, $Buckets) in DSIR model table")
+        require(v.isValidLong,
+          s"λ $v overflows BIGINT for bucket $b in DSIR model table")
+        lam += ((b, v.toLong))
+      }
+    }
+    require(sTot.nonEmpty && nTot.nonEmpty,
+      "DSIR model table missing total rows (bucket = -1 sTot, -2 nTot)")
+    DsirModel(lam.result().sortBy(_._1), sTot.get, nTot.get)
+  }
+
   /** Score ANY doc frame — batch corpus, micro-batch, or streaming —
     * against a frozen [[DsirModel]]. ONE implementation for both
     * execution modes (the `flagsFromAssigned` structural-parity

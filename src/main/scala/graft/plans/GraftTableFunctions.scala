@@ -25,6 +25,8 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *                                           'doc_id', 'text', 3)
   *   SELECT * FROM graft_dsir_weights('documents', 'doc_id', 'text',
   *                                    "source = 'src0'")
+  *   SELECT * FROM graft_dsir_score('documents', 'dsir_model',
+  *                                  'doc_id', 'text')
   *   SELECT * FROM graft_knn_exact('embeddings', 'vec_id', 'embedding',
   *                                 'vec_id < 5', 3)
   *   SELECT * FROM graft_lm_score('documents', 'lm_model', 'doc_id', 'text')
@@ -147,6 +149,20 @@ object GraftTableFunctions {
         strArg(args(2), "graft_dsir_weights", "textCol"),
         isTarget = org.apache.spark.sql.functions.expr(
           strArg(args(3), "graft_dsir_weights", "targetPredicate")))
+    },
+    tvf("graft_dsir_score",
+      "graft_dsir_score(table, modelTable, idCol, textCol) - score a " +
+        "corpus against a FROZEN at-rest DSIR model table (bucket, " +
+        "value) with reserved total rows bucket=-1/-2 " +
+        "(Dsir.modelTable round-trip; malformed models fail loudly); " +
+        "the bounded model collect runs at analysis time") { args =>
+      requireArgs(args, 4, "graft_dsir_score")
+      graft.ext.text.Dsir.scoreAgainst(
+        tableArg(args(0), "graft_dsir_score"),
+        strArg(args(2), "graft_dsir_score", "idCol"),
+        strArg(args(3), "graft_dsir_score", "textCol"),
+        graft.ext.text.Dsir.modelFromTable(
+          tableArg(args(1), "graft_dsir_score")))
     },
     tvf("graft_knn_exact",
       "graft_knn_exact(table, idCol, vecCol, queryPredicate, k) - " +

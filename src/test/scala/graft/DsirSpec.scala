@@ -88,6 +88,33 @@ class DsirSpec extends SparkSpec {
     }
   }
 
+  test("model table round-trip: exact through DECIMAL, malformed fails loudly") {
+    val d = docsDf((1L, "alpha beta alpha", "src0"),
+      (2L, "alpha gamma", "web"), (3L, "zork quux", "web"))
+    val m = Dsir.train(d.filter(col("source") === "src0"),
+      d.filter(col("source") =!= "src0"), "doc_id", "text")
+    val back = Dsir.modelFromTable(Dsir.modelTable(spark, m))
+    assert(back === m)
+    // scoring against the round-tripped model is row-identical
+    val raw = d.filter(col("source") =!= "src0")
+    assert(Dsir.scoreAgainst(raw, "doc_id", "text", back).collect().toSeq
+      === Dsir.scoreAgainst(raw, "doc_id", "text", m).collect().toSeq)
+    // malformed models throw instead of scoring silently wrong
+    val ok = Dsir.modelTable(spark, m)
+    intercept[IllegalArgumentException] {  // missing totals
+      Dsir.modelFromTable(ok.filter(col("bucket") >= 0))
+    }
+    intercept[IllegalArgumentException] {  // duplicate bucket
+      Dsir.modelFromTable(ok.unionAll(ok.limit(1)))
+    }
+    intercept[IllegalArgumentException] {  // out-of-range bucket
+      Dsir.modelFromTable(ok.unionAll(
+        Seq((Dsir.Buckets.toLong, java.math.BigDecimal.ONE))
+          .toDF("bucket", "value")
+          .select(col("bucket"), col("value").cast("decimal(38,0)"))))
+    }
+  }
+
   test("plan: λ scoring join broadcasts; no sort operator anywhere") {
     val d = Tables(spark, "/root/testdata/sf0.001", "documents")
     val plan = Dsir.weights(d, "doc_id", "text",

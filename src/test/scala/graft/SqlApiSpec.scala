@@ -141,6 +141,33 @@ class SqlApiSpec extends SparkSpec {
       Seq("doc_id"))
   }
 
+  test("TVF graft_dsir_score: plan-identical to scoreAgainst on a frozen model table") {
+    Tables.registerViews(spark, sf)
+    val d = spark.table("documents")
+    val model = graft.ext.text.Dsir.train(
+      d.filter(expr("source = 'src0'")),
+      d.filter(expr("source <> 'src0'")), "doc_id", "text")
+    graft.ext.text.Dsir.modelTable(spark, model)
+      .createOrReplaceTempView("tvf_dsir_model")
+    assertSamePlanAndRows(
+      spark.sql("SELECT * FROM graft_dsir_score(" +
+        "'documents', 'tvf_dsir_model', 'doc_id', 'text')"),
+      graft.ext.text.Dsir.scoreAgainst(d, "doc_id", "text",
+        graft.ext.text.Dsir.modelFromTable(spark.table("tvf_dsir_model"))),
+      Seq("doc_id"))
+  }
+
+  test("TVF graft_dsir_score rejects a malformed model table loudly") {
+    Tables.registerViews(spark, sf)
+    spark.range(3).selectExpr("id AS bucket", "CAST(id AS decimal(38,0)) AS value")
+      .createOrReplaceTempView("tvf_dsir_bad")
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_dsir_score(" +
+        "'documents', 'tvf_dsir_bad', 'doc_id', 'text')")
+    }
+    assert(e.getMessage.contains("missing total rows"), e.getMessage)
+  }
+
   test("TVF graft_knn_exact: plan-identical to CosineKNN.bruteForceTopK") {
     Tables.registerViews(spark, sf)
     val emb = spark.table("embeddings")
@@ -317,7 +344,7 @@ class SqlApiSpec extends SparkSpec {
       Seq("graft_dedup_ngrams_hashed", "graft_pack_shards",
           "graft_count_sum", "graft_decontaminate",
           "graft_decontaminate_cross", "graft_dsir_weights",
-          "graft_knn_exact",
+          "graft_dsir_score", "graft_knn_exact",
           "graft_lm_score", "graft_minhash_pairs",
           "graft_semantic_dedup").foreach { f =>
         assert(s2.sessionState.tableFunctionRegistry
