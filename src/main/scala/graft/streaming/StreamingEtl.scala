@@ -317,15 +317,20 @@ object StreamingEtl {
     * against a FROZEN [[graft.ext.text.DsirModel]] (λ table + the
     * mean-relative selection threshold, trained ONCE at rest on a
     * reference target/raw snapshot — the same frozen-model posture as
-    * [[scoreStream]]'s quality weights). Stateless: the ≤8192-row λ
-    * table broadcasts into the exploded gram stream and the per-doc
-    * weight aggregates in update mode; the null-λ sentinel union
-    * keeps blank docs present with a (0, 0, 0.0, false) row. Batch
-    * and stream run the LITERAL same [[graft.ext.text.Dsir
-    * .scoreAgainst]] code (the `flagsFromAssigned` structural-parity
-    * idiom), so stream output per doc is row-identical to scoring the
-    * same docs in one batch — no cross-batch state to reconcile, a
-    * doc's weight depends only on its own grams and the frozen
+    * [[scoreStream]]'s quality weights). The λ join itself is
+    * STATELESS (broadcast static side — the stream never shuffles to
+    * meet the model); the per-doc weight aggregate in update mode
+    * carries ONE state row per doc seen (measured: state_rows = docs,
+    * the [[decontaminateStream]] state class — bounded by documents,
+    * not grams; at scale pair with a watermark on an event-time
+    * column to evict settled docs, or run the scoring inside
+    * foreachBatch where a doc never spans batches). The null-λ
+    * sentinel union keeps blank docs present with a (0, 0, 0.0,
+    * false) row. Batch and stream run the LITERAL same
+    * [[graft.ext.text.Dsir.scoreAgainst]] code (the
+    * `flagsFromAssigned` structural-parity idiom), so stream output
+    * per doc is row-identical to scoring the same docs in one batch —
+    * a doc's weight depends only on its own grams and the frozen
     * model. */
   def dsirScoreStream(
       docStream: DataFrame,

@@ -223,6 +223,24 @@ object StreamBench {
         StreamingEtl.curationStream(
           input.toDS().toDF("doc_id", "text"), evalDocs, "doc_id", "text",
           outDir = tmp + "/out", checkpointDir = tmp + "/ck")
+      }, {
+        // DSIR scoring: model frozen at rest BEFORE the measured loop
+        // (target = src0 split of the rung corpus), each batch scores
+        // statelessly against the broadcast λ table
+        val full = graft.Tables(spark, sfDir, "documents")
+          .select(col("doc_id").cast("long"), col("text"), col("source"))
+        val dsirModel = graft.ext.text.Dsir.train(
+          full.filter(col("source") === "src0"),
+          full.filter(col("source") =!= "src0"), "doc_id", "text")
+        run("dsir_score", batches) { (input, tmp) =>
+          StreamingEtl.dsirScoreStream(
+              input.toDS().toDF("doc_id", "text"), "doc_id", "text",
+              dsirModel)
+            .writeStream.format("memory")
+            .queryName(s"sb_dsir_${System.nanoTime()}")
+            .option("checkpointLocation", tmp + "/ck")
+            .outputMode("update").start()
+        }
       }) ++ semanticPaths(spark, sfDir)
   }
 
