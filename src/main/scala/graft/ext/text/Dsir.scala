@@ -126,9 +126,10 @@ object Dsir {
     * logw_scaled, logw, selected) — logw_scaled the exact BIGINT
     * fixed-point sum Σ λ_scaled(bucket(gram)) with
     * λ_scaled(b) = ⌊(lg̃(ct_b+1) − lg̃(Tt+B) − lg̃(cq_b+1) + lg̃(Tq+B))
-    * · 2^[[FracBits]]⌋ (Laplace α=1 over the fixed B-cell space; a
-    * raw gram's bucket always has cq ≥ 1, so the inner scoring join
-    * never misses), logw its descaled double (BIGINT→double cast is
+    * · 2^[[FracBits]]⌋ (Laplace α=1 over the fixed B-cell space; the
+    * λ table carries ALL B cells, so the inner scoring join is total
+    * for any scored frame — including corpora/streams the training
+    * snapshot never saw), logw its descaled double (BIGINT→double cast is
     * correctly-rounded IEEE, ÷2^30 exact — still deterministic), and
     * selected = the doc's PER-GRAM mean λ is strictly above the raw
     * corpus's per-gram mean — i.e. the doc is more target-like than
@@ -166,22 +167,32 @@ object Dsir {
     val cq = bucketCounts(raw, idCol, textCol)
     val tt = ct.values.sum + Buckets
     val tq = cq.values.sum + Buckets
-    val lamRows = cq.toSeq.sortBy(_._1).map { case (b, c) =>
+    // λ is TOTAL over the fixed feature space — every bucket gets a
+    // row, including cells neither snapshot observed (pure Laplace
+    // prior: lg̃(1) − lg̃(Tt+B) + lg̃(Tq+B)). A cq-keyed table would
+    // make the scoring join silently DROP grams whose bucket the raw
+    // SNAPSHOT never saw when a frozen model scores a NEW corpus or
+    // stream — precisely the target-characteristic vocabulary DSIR
+    // exists to reward (round-13 review finding).
+    val lamRows = (0L until Buckets.toLong).map { b =>
       (b, math.floor((mitchellLog2(ct.getOrElse(b, 0L) + 1)
-        - mitchellLog2(tt) - mitchellLog2(c + 1)
+        - mitchellLog2(tt) - mitchellLog2(cq.getOrElse(b, 0L) + 1)
         + mitchellLog2(tq)) * FracScale).toLong)
     }
     // corpus totals for the mean-relative cut — exact driver folds
-    // over the same bounded counts (Σ over ≤8192 cells)
+    // over the same bounded counts (Σ over the B cells; cq-absent
+    // cells contribute 0)
     val sTot = lamRows.iterator
-      .map { case (b, lam) => BigInt(lam) * cq(b) }.sum
+      .map { case (b, lam) => BigInt(lam) * BigInt(cq.getOrElse(b, 0L)) }
+      .sum
     DsirModel(lamRows, sTot, BigInt(cq.values.sum))
   }
 
   /** Persist a frozen [[DsirModel]] as an at-rest table — the
     * production posture ([[QualityClassifier.weightsTable]] idiom:
     * train once, store like any warehouse table, score any corpus or
-    * stream against it). One `(bucket, value)` row per λ cell plus
+    * stream against it). One `(bucket, value)` row per λ cell (all
+    * [[Buckets]] of them — the table is total by construction) plus
     * two RESERVED rows (`bucket = -1` → sTot, `-2` → nTot; real
     * buckets are ≥ 0 by construction). Values are DECIMAL(38,0)
     * because the totals exceed BIGINT at full scale
@@ -230,7 +241,13 @@ object Dsir {
     }
     require(sTot.nonEmpty && nTot.nonEmpty,
       "DSIR model table missing total rows (bucket = -1 sTot, -2 nTot)")
-    DsirModel(lam.result().sortBy(_._1), sTot.get, nTot.get)
+    val lamRows = lam.result().sortBy(_._1)
+    // totality: a partial λ table would make the scoring join drop
+    // grams silently — the exact bug the all-B-cells train() closes
+    require(lamRows.length == Buckets,
+      s"DSIR model table must carry one λ row per bucket " +
+        s"($Buckets), got ${lamRows.length}")
+    DsirModel(lamRows, sTot.get, nTot.get)
   }
 
   /** Score ANY doc frame — batch corpus, micro-batch, or streaming —
@@ -240,7 +257,12 @@ object Dsir {
     * doc-keyed aggregate, so the streaming twin can't drift from the
     * batch semantics. `spread = false` for streaming frames (no
     * planning-time size estimate to scale a barrier by; sources
-    * arrive pre-parallelized). */
+    * arrive pre-parallelized). Overflow posture: a pathological
+    * megadoc (≳4·10⁸ grams) would push |logw_scaled| past 2^63 — the
+    * session's ANSI default (Spark 4, no override anywhere in this
+    * repo) makes the BIGINT sum THROW rather than wrap, and a long
+    * always fits decimal(20,0), so the failure is loud, never a
+    * silently-wrapped weight. */
   def scoreAgainst(docs: DataFrame, idCol: String, textCol: String,
       model: DsirModel, spread: Boolean = true): DataFrame = {
     val spark = docs.sparkSession

@@ -45,6 +45,11 @@ class DsirSpec extends SparkSpec {
     val b = Dsir.Buckets
     val lam = math.floor((mlog(2 + 1) - mlog(3 + b) -
       mlog(1 + 1) + mlog(1 + b)) * (1L << Dsir.FracBits)).toLong
+    // pin the value as a LITERAL too (hand arithmetic: 1.5 −
+    // (13 + 3/8192) − 1 + (13 + 1/8192) = 1/2 − 1/4096, × 2^30 =
+    // 536870912 − 262144), so a wrong mitchellLog2 can't vouch for
+    // itself through the local mlog copy
+    assert(lam === 536608768L)
     assert(out(0).getLong(2) === lam)               // logw_scaled: 1 gram
     assert(out(0).getLong(1) === 1L)                // n_grams
     assert(out(0).getDouble(3) ===
@@ -86,6 +91,27 @@ class DsirSpec extends SparkSpec {
       assert(r.getLong(1) === 0L && r.getLong(2) === 0L &&
         r.getDouble(3) === 0.0 && !r.getBoolean(4))
     }
+  }
+
+  test("frozen model scores grams the training snapshot never saw") {
+    // train on {alpha}/{beta}; score a doc whose grams hash to
+    // buckets with ct = cq = 0 — the λ table is total, so those
+    // grams must be COUNTED and weighted by the pure Laplace prior,
+    // not silently dropped by the scoring join (round-13 review
+    // finding: a cq-keyed table zeroed exactly the
+    // target-characteristic vocabulary DSIR exists to reward)
+    val model = Dsir.train(
+      Seq((1L, "alpha")).toDF("doc_id", "text"),
+      Seq((2L, "beta")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(model.lam.length === Dsir.Buckets)
+    val out = Dsir.scoreAgainst(
+      Seq((3L, "gamma delta")).toDF("doc_id", "text"),
+      "doc_id", "text", model).collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(1) === 3L, "unseen grams must be counted")
+    // pure-prior λ = ⌊(lg̃(1) − lg̃(1+B) − lg̃(1) + lg̃(1+B))·2^30⌋ = 0
+    // for ct=cq=0 cells when Tt = Tq (both snapshots are 1 gram)
+    assert(out(0).getLong(2) === 0L)
   }
 
   test("model table round-trip: exact through DECIMAL, malformed fails loudly") {
