@@ -724,10 +724,31 @@ object CurationQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Per-domain frequency cap ([[graft.ext.text.DomainCap]]): keep
+    * the 10 lowest-id docs per `source` — bounded-heap top-k per
+    * group, no window, no join; the oracle replays the equivalent
+    * rank-window spelling, which is exactly the naive form the
+    * operator's ObjectHashAggregate plan replaces. */
+  private def qDomainCap(s: SparkSession, dir: String): DataFrame =
+    graft.ext.text.DomainCap.cap(Tables(s, dir, "documents"),
+      "doc_id", "source", maxPerDomain = 10)
+      .orderBy(col("doc_id"))
+
+  private val qDomainCapSql =
+    """WITH d AS (SELECT doc_id, source FROM documents),
+      |n AS (SELECT source, COUNT(*) AS n_domain FROM d GROUP BY source),
+      |k AS (SELECT doc_id, source FROM d
+      |      QUALIFY row_number() OVER (PARTITION BY source
+      |        ORDER BY doc_id) <= 10)
+      |SELECT k.doc_id, k.source, n.n_domain
+      |FROM k JOIN n USING (source)
+      |ORDER BY k.doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_semantic_dedup" -> (qSemanticDedup _),
     "emb_semantic_decontaminate" -> (qSemanticDecontaminate _),
     "docs_dsir_weights"  -> (qDsirWeights _),
+    "docs_domain_cap"    -> (qDomainCap _),
     "docs_decontaminate" -> (qDecontaminate _),
     "docs_decontaminate_cross" -> (qDecontaminateCross _),
     "docs_pack_shards"   -> (qPackShards _),
@@ -743,6 +764,7 @@ object CurationQueries {
     "emb_semantic_dedup" -> qSemanticDedupSql,
     "emb_semantic_decontaminate" -> qSemanticDecontaminateSql,
     "docs_dsir_weights"  -> qDsirWeightsSql,
+    "docs_domain_cap"    -> qDomainCapSql,
     "docs_decontaminate" -> qDecontaminateSql,
     // the cross (non-broadcast, hashed) path is output-identical by
     // construction — the shared oracle text is the cross-check

@@ -27,6 +27,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *                                    "source = 'src0'")
   *   SELECT * FROM graft_dsir_score('documents', 'dsir_model',
   *                                  'doc_id', 'text')
+  *   SELECT * FROM graft_domain_cap('documents', 'doc_id', 'source', 10)
   *   SELECT * FROM graft_knn_exact('embeddings', 'vec_id', 'embedding',
   *                                 'vec_id < 5', 3)
   *   SELECT * FROM graft_lm_score('documents', 'lm_model', 'doc_id', 'text')
@@ -163,6 +164,19 @@ object GraftTableFunctions {
         strArg(args(3), "graft_dsir_score", "textCol"),
         graft.ext.text.Dsir.modelFromTable(
           tableArg(args(1), "graft_dsir_score")))
+    },
+    tvf("graft_domain_cap",
+      "graft_domain_cap(table, idCol, domainCol, maxPerDomain) - keep " +
+        "the N lowest-id documents per domain (DomainCap.cap: " +
+        "bounded-heap top-k per group, no window, no per-domain " +
+        "sort)") { args =>
+      requireArgs(args, 4, "graft_domain_cap")
+      graft.ext.text.DomainCap.cap(
+        tableArg(args(0), "graft_domain_cap"),
+        strArg(args(1), "graft_domain_cap", "idCol"),
+        strArg(args(2), "graft_domain_cap", "domainCol"),
+        maxPerDomain =
+          longArg(args(3), "graft_domain_cap", "maxPerDomain").toInt)
     },
     tvf("graft_knn_exact",
       "graft_knn_exact(table, idCol, vecCol, queryPredicate, k) - " +

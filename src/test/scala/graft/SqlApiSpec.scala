@@ -168,6 +168,16 @@ class SqlApiSpec extends SparkSpec {
     assert(e.getMessage.contains("missing total rows"), e.getMessage)
   }
 
+  test("TVF graft_domain_cap: plan-identical to DomainCap.cap") {
+    Tables.registerViews(spark, sf)
+    assertSamePlanAndRows(
+      spark.sql("SELECT * FROM graft_domain_cap(" +
+        "'documents', 'doc_id', 'source', 10)"),
+      graft.ext.text.DomainCap.cap(
+        spark.table("documents"), "doc_id", "source", 10),
+      Seq("doc_id"))
+  }
+
   test("TVF graft_knn_exact: plan-identical to CosineKNN.bruteForceTopK") {
     Tables.registerViews(spark, sf)
     val emb = spark.table("embeddings")
@@ -343,7 +353,8 @@ class SqlApiSpec extends SparkSpec {
         .getOrCreate()
       Seq("graft_dedup_ngrams_hashed", "graft_pack_shards",
           "graft_count_sum", "graft_decontaminate",
-          "graft_decontaminate_cross", "graft_dsir_weights",
+          "graft_decontaminate_cross", "graft_domain_cap",
+          "graft_dsir_weights",
           "graft_dsir_score", "graft_knn_exact",
           "graft_lm_score", "graft_minhash_pairs",
           "graft_semantic_dedup").foreach { f =>
