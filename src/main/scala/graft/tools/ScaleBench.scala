@@ -72,6 +72,7 @@ object ScaleBench {
     // collects) + one broadcast-λ scoring pass — the decontaminate
     // cost class with a fixed-width reduce
     "docs_dsir_weights",     // DSIR hashed-ngram importance weights
+    "docs_domain_cap",       // bounded-heap per-domain cap (no window)
     "docs_bpe_tokenize",     // BPE: one corpus agg + vocab-sized merge loop
     "emb_semantic_dedup",    // map-only assign + one cluster shuffle
     "emb_semantic_decontaminate", // eval-anchored codebook, cross-split cluster join
