@@ -118,34 +118,6 @@ object SemanticDedup {
     math.min(nEval, math.max(minK.toLong, nTrain / targetClusterSize)).toInt
   }
 
-  /** Embedding-based cross-corpus decontamination — the semantic twin
-    * of the gram-hash [[graft.ext.text.Decontaminate.crossOverlaps]]:
-    * gram overlap catches exact/near-verbatim benchmark leakage, this
-    * catches PARAPHRASED leakage a token-level match misses. Shape is
-    * the SemDeDup machinery pointed across corpora:
-    *
-    *  1. the codebook is anchored on the EVAL (benchmark) side — the
-    *     ⌈√K⌉ coarse centroids and the K fine centroids are the K
-    *     lowest-id eval vectors ([[IvfKNN.fineCodebookTableRanked]]:
-    *     eval ids are a sparse split, so cids are id-RANKS), because
-    *     contamination neighborhoods are defined by where the
-    *     benchmark lives in embedding space;
-    *  2. BOTH corpora assign through the same two-level quantizer
-    *     ([[IvfKNN.assignListsJoined]] — train never sees more than
-    *     ~probes·K/√K candidate centroids per row);
-    *  3. one shuffle-by-cluster join pairs each train vector with the
-    *     eval vectors of ITS cluster only — per-cluster work is
-    *     |train ∩ cluster| × |eval ∩ cluster|, never train × eval —
-    *     and a train vector is CONTAMINATED when any such eval
-    *     neighbor has cosine ≥ `threshold`.
-    *
-    * Output: one row per train vector — (idCol, list_id, n_eval_hits,
-    * contaminated). Cosines round to 9 dp, so the whole approximate
-    * pipeline (codebook, probes, assignment, pair verdicts) replays
-    * hash-exactly in the DuckDB oracle, the [[verdicts]] convention.
-    * Recall caveat (same class as SemDeDup's): a contaminated pair is
-    * missed iff the two sides argmax into different clusters; the
-    * registry row's planted-pair recall is sampled per ladder rung. */
   /** Quantizer assignment in the (vid, v, n, list_id) shape every
     * SemDeDup kernel consumes — shared by the batch operators and the
     * streaming twins (the stream assigns each micro-batch against the
@@ -182,6 +154,34 @@ object SemanticDedup {
         (coalesce(col("__h"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Embedding-based cross-corpus decontamination — the semantic twin
+    * of the gram-hash [[graft.ext.text.Decontaminate.crossOverlaps]]:
+    * gram overlap catches exact/near-verbatim benchmark leakage, this
+    * catches PARAPHRASED leakage a token-level match misses. Shape is
+    * the SemDeDup machinery pointed across corpora:
+    *
+    *  1. the codebook is anchored on the EVAL (benchmark) side — the
+    *     ⌈√K⌉ coarse centroids and the K fine centroids are the K
+    *     lowest-id eval vectors ([[IvfKNN.fineCodebookTableRanked]]:
+    *     eval ids are a sparse split, so cids are id-RANKS), because
+    *     contamination neighborhoods are defined by where the
+    *     benchmark lives in embedding space;
+    *  2. BOTH corpora assign through the same two-level quantizer
+    *     ([[IvfKNN.assignListsJoined]] — train never sees more than
+    *     ~probes·K/√K candidate centroids per row);
+    *  3. one shuffle-by-cluster join pairs each train vector with the
+    *     eval vectors of ITS cluster only — per-cluster work is
+    *     |train ∩ cluster| × |eval ∩ cluster|, never train × eval —
+    *     and a train vector is CONTAMINATED when any such eval
+    *     neighbor has cosine ≥ `threshold`.
+    *
+    * Output: one row per train vector — (idCol, list_id, n_eval_hits,
+    * contaminated). Cosines round to 9 dp, so the whole approximate
+    * pipeline (codebook, probes, assignment, pair verdicts) replays
+    * hash-exactly in the DuckDB oracle, the [[verdicts]] convention.
+    * Recall caveat (same class as SemDeDup's): a contaminated pair is
+    * missed iff the two sides argmax into different clusters; the
+    * registry row's planted-pair recall is sampled per ladder rung. */
   def decontaminate(
       train: DataFrame,
       eval: DataFrame,

@@ -447,14 +447,18 @@ object IvfKNN {
     * dense and coarse cells still own their own centroid (`cid < C` ⇒
     * `gid = cid`, because [[cachedSampledCentroids]] re-indexes the
     * same C lowest-id rows 0..C-1). The rank window runs over the
-    * already-`limit(k)`-ed frame — single-partition but bounded by K
-    * rows (index-sized, the same bound the codebook itself carries),
-    * never corpus-wide. */
+    * already-`limit(k)`-ed frame — bounded by K rows (index-sized, the
+    * same bound the codebook itself carries), never corpus-wide; it is
+    * partitioned by a non-foldable constant (`__oid * 0`, always one
+    * group — the `docs_term_rank` idiom) so the plan keeps the
+    * zero-"No Partition Defined" invariant with identical rank
+    * semantics. */
   def fineCodebookTableRanked(
       corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       coarse: Seq[Centroid]): DataFrame = {
     val c = coarse.length
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__oid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__oid") * 0).orderBy(col("__oid"))
     corpus.orderBy(col(idCol)).limit(k)
       .select(col(idCol).as("__oid"), col(vecCol).as("cv"))
       .withColumn("cid", (row_number().over(w) - 1).cast("long"))

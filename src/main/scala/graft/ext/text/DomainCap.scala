@@ -35,7 +35,15 @@ object DomainCap {
     * (idCol, domainCol, n_domain) where n_domain is the domain's
     * pre-cap total (the observability column curation reports want:
     * how hard was each domain cut). Domains under the cap keep all
-    * their rows. */
+    * their rows.
+    *
+    * Non-null-id contract, enforced loudly: the TopKByScore heap
+    * skips null scores, so a null-id row would silently shrink its
+    * domain's kept set below N while still counting in n_domain. The
+    * per-domain null count rides the SAME aggregate (no extra scan)
+    * and an `assert_true` filter over the ≤ N·|domains| survivor rows
+    * throws at execution — the [[graft.sinks.ParquetUpsertSink]]
+    * null-key posture. */
   def cap(docs: DataFrame, idCol: String, domainCol: String,
       maxPerDomain: Int): DataFrame =
     docs
@@ -43,8 +51,16 @@ object DomainCap {
       .agg(
         graft.functions.TopKByScore.topk(
           -col(idCol).cast("double"), col(idCol), maxPerDomain).as("top"),
-        count(lit(1)).as("n_domain"))
-      .select(col(domainCol), col("n_domain"),
-        explode(col("top")).as("t"))
+        count(lit(1)).as("n_domain"),
+        count(when(col(idCol).isNull, lit(1))).as("__null_ids"))
+      // explode_outer, not explode: an all-null-id domain has an
+      // EMPTY heap, and plain explode would drop its group row before
+      // the assert could see the null count
+      .select(col(domainCol), col("n_domain"), col("__null_ids"),
+        explode_outer(col("top")).as("t"))
+      .filter(assert_true(col("__null_ids") === 0,
+        lit(s"null values in domain-cap id column '$idCol' are " +
+          "unsupported (the bounded heap would silently under-fill " +
+          "the domain's kept set)")).isNull)
       .select(col("t.id").as(idCol), col(domainCol), col("n_domain"))
 }

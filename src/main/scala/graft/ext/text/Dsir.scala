@@ -213,12 +213,16 @@ object Dsir {
     * overflow, and missing/duplicate total rows all throw instead of
     * scoring with a silently-corrupt model. */
   def modelFromTable(df: DataFrame): DsirModel = {
+    // limit(Buckets+3): one extra row is enough to trip the oversize
+    // require below while bounding the driver fetch — a corpus passed
+    // by mistake must fail loudly, not OOM the driver first
     val rows = df
       .select(col("bucket").cast("long"), col("value").cast("decimal(38,0)"))
+      .limit(Buckets + 3)
       .collect()
     require(rows.length <= Buckets + 2,
-      s"DSIR model table too large: ${rows.length} rows " +
-        s"(max ${Buckets + 2} — is this a corpus, not a model?)")
+      s"DSIR model table too large: > ${Buckets + 2} rows " +
+        "(is this a corpus, not a model?)")
     var sTot: Option[BigInt] = None
     var nTot: Option[BigInt] = None
     val seen = scala.collection.mutable.HashSet.empty[Long]

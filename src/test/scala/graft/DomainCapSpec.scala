@@ -36,6 +36,23 @@ class DomainCapSpec extends SparkSpec {
     assert(out.count(_.getString(1) == "cold") === 1)
   }
 
+  test("null ids fail loudly instead of silently under-filling the domain") {
+    val mixed = Seq((Some(1L), "a"), (None, "a"), (Some(3L), "a"))
+      .toDF("doc_id", "source")
+    val e1 = intercept[Exception] {
+      DomainCap.cap(mixed, "doc_id", "source", 2).collect()
+    }
+    assert(e1.getMessage.contains("domain-cap id column"), e1.getMessage)
+    // all-null domain: empty heap — the explode_outer path must still
+    // surface the violation, not drop the group row
+    val allNull = Seq((Option.empty[Long], "a"), (Option.empty[Long], "a"))
+      .toDF("doc_id", "source")
+    val e2 = intercept[Exception] {
+      DomainCap.cap(allNull, "doc_id", "source", 2).collect()
+    }
+    assert(e2.getMessage.contains("domain-cap id column"), e2.getMessage)
+  }
+
   test("plan: bounded-heap aggregate, no Window, no Sort operator") {
     val d = Tables(spark, "/root/testdata/sf0.001", "documents")
     val plan = DomainCap.cap(d, "doc_id", "source", 10)
