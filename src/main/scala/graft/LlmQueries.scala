@@ -296,6 +296,55 @@ object LlmQueries {
       numChunks = 5)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Perceptual-hash image near-dup pairs ([[MediaNearDup]]): real
+    * BMP/PNG encode → ImageIO decode → 63-bit dHash → the SAME
+    * pigeonhole hamming miner as docs_simhash_pairs. The oracle
+    * replays the full pipeline from the pixel formula — geometry,
+    * xor-shift mixer, brightness clamp, noise cells, grid sample,
+    * dHash pack — then brute-forces the hamming ball (complete by
+    * pigeonhole at oracle scale, where the skew caps cannot bind), so
+    * a hash match proves the bytes round-tripped through real codecs
+    * AND the miner lost nothing. */
+  private def qPhashPairs(s: SparkSession, dir: String): DataFrame =
+    graft.ext.multimodal.MediaNearDup.phashPairs(docs(s, dir), maxHamming = 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val qPhashPairsSql =
+    """WITH seed AS (
+      |  SELECT doc_id,
+      |    (doc_id // 4 % 1073741789) * 48271 % 1073741789 AS m1
+      |  FROM documents),
+      |dims AS (
+      |  SELECT doc_id, m1, 16 + m1 % 17 AS w, 16 + m1 % 13 AS h FROM seed),
+      |grid AS (
+      |  SELECT doc_id, m1, r.r, c.c, (r.r * h // 8) * w + (c.c * w // 9) AS cell
+      |  FROM dims, (SELECT unnest(range(0, 8)) AS r) r,
+      |             (SELECT unnest(range(0, 9)) AS c) c),
+      |mix1 AS (SELECT doc_id, r, c, cell,
+      |  (m1 + cell * 104729) % 1073741789 * 69621 % 1073741789 AS x1 FROM grid),
+      |mix2 AS (SELECT doc_id, r, c, cell,
+      |  xor(x1, x1 >> 10) * 48271 % 1073741789 AS x3 FROM mix1),
+      |gry AS (SELECT doc_id, r, c,
+      |  CASE WHEN ((doc_id % 1073741789) * 65537 + cell * 8191)
+      |            % 1073741789 % 257 = 0
+      |       THEN (LEAST(255, xor(x3, x3 >> 15) % 256 + doc_id % 4) + 128) % 256
+      |       ELSE LEAST(255, xor(x3, x3 >> 15) % 256 + doc_id % 4) END AS g
+      |  FROM mix2),
+      |bits AS (
+      |  SELECT a.doc_id, a.r, a.c, CASE WHEN a.g < b.g THEN 1 ELSE 0 END AS bit
+      |  FROM gry a JOIN gry b ON a.doc_id = b.doc_id AND a.r = b.r
+      |    AND b.c = a.c + 1
+      |  WHERE a.c < 8 AND a.r * 8 + a.c < 63),
+      |ph AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(bit * (CAST(1 AS BIGINT) << (r * 8 + c))) AS BIGINT) AS sim
+      |  FROM bits GROUP BY doc_id)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+      |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   private lazy val qSimhashSql =
     s"""WITH th AS (
        |  SELECT doc_id,
@@ -2125,6 +2174,7 @@ object LlmQueries {
     "multimodal_decode"   -> (qMultimodalDecode _),
     "multimodal_audio_decode" -> (qMultimodalAudioDecode _),
     "multimodal_video_decode" -> (qMultimodalVideoDecode _),
+    "multimodal_phash_pairs" -> (qPhashPairs _),
     "docs_embed"          -> (qDocsEmbed _),
     "docs_embed_knn"      -> (qDocsEmbedKnn _),
     "docs_quality_clf"    -> (qQualityClf _),
@@ -2175,6 +2225,7 @@ object LlmQueries {
     "multimodal_decode"  -> qMultimodalDecodeSql,
     "multimodal_audio_decode" -> qMultimodalAudioDecodeSql,
     "multimodal_video_decode" -> qMultimodalVideoDecodeSql,
+    "multimodal_phash_pairs" -> qPhashPairsSql,
     "docs_embed"         -> qDocsEmbedSql,
     "docs_embed_knn"     -> qDocsEmbedKnnSql,
     "docs_quality_clf"   -> qQualityClfSql,

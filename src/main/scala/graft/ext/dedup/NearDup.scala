@@ -68,7 +68,7 @@ object NearDup {
   /** Materialize the pair output, compute [[MineStats]] from the
     * bucket-size frame (one extra aggregation over the cached
     * signatures — no re-mining), release the caches. */
-  private def materializeWithStats(
+  private[graft] def materializeWithStats(
       out: DataFrame, tag: String, caches: Seq[DataFrame],
       bucketSizes: DataFrame, cap: Int): (DataFrame, MineStats) = {
     val spark = out.sparkSession
@@ -430,23 +430,43 @@ object NearDup {
       maxHamming: Int,
       maxBucketSize: Int,
       numChunks: Int): (DataFrame, Seq[DataFrame], DataFrame) = {
+    val withSim = withSimhash(
+        docs.select(col(idCol).as("doc"), col(textCol)), textCol)
+      .select(col("doc"), col("sim"))
+    hammingPairsPlanFull(withSim, docs.count(), maxHamming, maxBucketSize,
+      numChunks)
+  }
+
+  /** The generic 64-bit hamming miner behind [[simhashPairs]] — and,
+    * through [[graft.ext.multimodal.MediaNearDup]], the perceptual
+    * image-hash near-dup operator: any (doc, sim) frame whose `sim`
+    * is a 64-bit signature where "near-duplicate" means small hamming
+    * distance buckets through the same chunk-combination pigeonhole
+    * scheme, skew cap, verify-BEFORE-dedup join, and pair dedup. `n`
+    * is evaluated only when `numChunks = 0` (the adaptive scheme's
+    * corpus-size input — a metadata-only count for parquet-backed
+    * frames; callers that already know the size pass it by value). */
+  private[graft] def hammingPairsPlanFull(
+      withHash: DataFrame,
+      n: => Long,
+      maxHamming: Int,
+      maxBucketSize: Int,
+      numChunks: Int): (DataFrame, Seq[DataFrame], DataFrame) = {
     // adaptive scheme: a metadata-only count picks b from the corpus
     // size (deterministic, so the same corpus always buckets the same
     // way); an explicit numChunks pins it (oracle-mirrored queries)
     val chunks =
       if (numChunks > 0) numChunks
-      else simhashSchemeFor(docs.count(), maxHamming)
+      else simhashSchemeFor(n, maxHamming)
     require(chunks > maxHamming,
       s"numChunks $chunks must exceed maxHamming $maxHamming (pigeonhole)")
     val ws = chunkWidths(chunks)
     val offs = ws.scanLeft(0)(_ + _)
     val m = chunks - maxHamming
     val combos = chunkCombos(chunks, m)
-    // barrier after sim: the chunk explode would otherwise re-evaluate
-    // the 64-bit majority-vote expression once per combination
-    val withSim = withSimhash(docs.select(col(idCol).as("doc"), col(textCol)), textCol)
-      .select(col("doc"), col("sim"))
-      .cache()
+    // barrier after the hash: the chunk explode would otherwise
+    // re-evaluate the signature expression once per combination
+    val withSim = withHash.cache()
     // bucket key k = (combo index, member chunks' bits packed
     // side-by-side): `piece = fold(acc << w_i | chunk_i)` — disjoint
     // bits, so + ≡ | and the packing replays in SQL as ·2^w + piece

@@ -97,6 +97,117 @@ object MediaCodecs {
     ImageStats(img.getWidth, img.getHeight, sr, sg, sb)
   }
 
+  // ------------------------------------------ perceptual-hash corpus
+
+  /** Planted near-dup image corpus for the perceptual-hash miner.
+    *
+    * Every 4 consecutive doc_ids form one FAMILY sharing a base
+    * grayscale image (seeded from `doc_id / 4`); members differ by a
+    * small brightness offset (`doc_id % 4`, saturating at 255 — the
+    * "same picture re-exported slightly brighter" case) plus sparse
+    * per-doc pixel noise (~1 in [[PhashNoiseMod]] cells gets +128 mod
+    * 256 — the re-encode-artifact stand-in that gives family pairs a
+    * genuine small-but-nonzero hamming distance instead of collapsing
+    * to exact hash equality). Pair mass is therefore LINEAR in the
+    * corpus (≤ 6 pairs per family) at every scale, unlike a corpus
+    * keyed on raw (doc_id, i) formulas whose structural collisions
+    * grow pair mass quadratically (measured: 2.1 M pairs at 80 k docs
+    * before this design).
+    *
+    * The base-pixel mixer interleaves modular multiplies (mod
+    * [[PhashP]], products < 2⁴⁷ — safe in BIGINT on both engines)
+    * with xor-shifts: a pure multiply-mod LCG leaves piecewise-linear
+    * structure across seeds (measured: 137 k accidental cross-family
+    * hamming-≤3 pairs at 40 k docs; with the xor rounds: ZERO).
+    * Geometry is ≥ 16×16 so all 72 dHash grid samples hit DISTINCT
+    * cells — at the old 4..16-px widths adjacent grid columns
+    * collapse onto the same pixel and force constant hash bits. */
+  val PhashP = 1073741789L // PolyHash.P — largest prime below 2^30
+  val PhashNoiseMod = 257L
+  def phashSeed(docId: Long): Long = (docId / 4 % PhashP) * 48271 % PhashP
+  def phashWidth(m1: Long): Int = (16 + m1 % 17).toInt // 16..32
+  def phashHeight(m1: Long): Int = (16 + m1 % 13).toInt // 16..28
+  def phashBase(m1: Long, cell: Long): Int = {
+    var x = (m1 + cell * 104729L) % PhashP
+    x = x * 69621L % PhashP
+    x ^= x >> 10
+    x = x * 48271L % PhashP
+    x ^= x >> 15
+    (x % 256L).toInt
+  }
+  def phashGray(docId: Long, m1: Long, cell: Long): Int = {
+    val g = math.min(255, phashBase(m1, cell) + (docId % 4L).toInt)
+    if (((docId % PhashP) * 65537L + cell * 8191L) % PhashP % PhashNoiseMod == 0L)
+      (g + 128) % 256
+    else g
+  }
+
+  /** Encode the planted-family grayscale image for `docId` as real
+    * BMP (even ids) or PNG (odd) bytes — r = g = b = gray, so the
+    * integer luma `(299r + 587g + 114b) / 1000` recovers the gray
+    * value EXACTLY and the oracle replays [[phashGray]] alone. */
+  def encodePhashImage(docId: Long): Array[Byte] = {
+    val m1 = phashSeed(docId)
+    val w = phashWidth(m1); val h = phashHeight(m1)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = phashGray(docId, m1, y.toLong * w + x)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    require(ImageIO.write(img, imgFormat(docId), out),
+      s"no ${imgFormat(docId)} writer in this JVM")
+    out.toByteArray
+  }
+
+  /** 64-bit difference hash (dHash) from DECODED pixels: nearest-
+    * neighbor-sample an 8-row × 9-column grid of integer-luma grays
+    * (`sy = r·H/8`, `sx = c·W/9` — exact integer downsampling, so the
+    * oracle replays it without any resampling library; W ≥ 9, H ≥ 8
+    * keeps the samples distinct) and set bit `r·8+c` when the left
+    * gray is strictly darker than its right neighbor. Brightness
+    * shifts preserve every comparison (the perceptual property the
+    * hash exists for); localized pixel noise flips only the few bits
+    * whose sampled cells it touches. Bit 63 (r=7, c=7) is always 0 —
+    * a 63-comparison hash, because the DuckDB oracle cannot shift
+    * into the BIGINT sign bit (the same reason the token SimHash
+    * keeps bits 60-63 clear); hamming distances are unaffected.
+    * Format is sniffed from the bytes by ImageIO, not trusted
+    * metadata — same contract as [[decodeImage]]. */
+  def dhash64(media: Array[Byte]): Long = {
+    val img = ImageIO.read(new ByteArrayInputStream(media))
+    require(img != null, "undecodable image blob")
+    val w = img.getWidth; val h = img.getHeight
+    require(w >= 9 && h >= 8,
+      s"dhash64 needs >= 9x8 pixels for distinct grid samples, got ${w}x$h")
+    def grayAt(sy: Int, sx: Int): Int = {
+      val rgb = img.getRGB(sx, sy)
+      (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+        114 * (rgb & 0xFF)) / 1000
+    }
+    var bits = 0L
+    var r = 0
+    while (r < 8) {
+      val sy = r * h / 8
+      var c = 0
+      var prev = grayAt(sy, 0)
+      while (c < 8) {
+        val next = grayAt(sy, (c + 1) * w / 9)
+        if (prev < next && r * 8 + c < 63) bits |= 1L << (r * 8 + c)
+        prev = next
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
   // -------------------------------------------------------------- audio
 
   val SampleRate = 8000f

@@ -179,6 +179,35 @@ object Multimodal {
     })
   }
 
+  /** Synthesize the planted-near-dup image corpus for the perceptual
+    * hash miner (see [[MediaCodecs.encodePhashImage]]: 4-doc families
+    * sharing a base image, brightness-offset + sparse-noise members;
+    * BMP for even ids, PNG for odd). The docs frame is spread first —
+    * encode is the heavy per-row work and a single-file scan would
+    * otherwise run it on one task (the
+    * [[graft.ext.dedup.NearDup.withSimhash]] rationale). */
+  def phashCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    docs.select(col("doc_id")).repartition(par).as[Long].map { id =>
+      val bytes = MediaCodecs.encodePhashImage(id)
+      val m1 = MediaCodecs.phashSeed(id)
+      MediaRecord(id, bytes,
+        MediaMeta("image", MediaCodecs.imgFormat(id),
+          MediaCodecs.phashWidth(m1), MediaCodecs.phashHeight(m1), 0L))
+    }
+  }
+
+  /** REAL perceptual hashing as a partition-preserving batch map:
+    * every signature comes from pixels ImageIO parsed out of the
+    * binary column ([[MediaCodecs.dhash64]]). Output is the (doc,
+    * sim) shape [[graft.ext.dedup.NearDup]]'s hamming miner consumes. */
+  def dhashImages(records: Dataset[MediaRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.map(r => (r.id, MediaCodecs.dhash64(r.media))))
+      .toDF("doc", "sim")
+  }
+
   /** Feature extraction as a partition-preserving batch map — the
     * `mapInPandas` analogue: one decoder init per partition, rows
     * streamed through it. */

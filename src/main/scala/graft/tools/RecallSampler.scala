@@ -152,4 +152,18 @@ object RecallSampler {
       truth.join(flags.filter(col("contaminated")), Seq("vec_id"), "left_semi").count())
     finally truth.unpersist()
   }
+
+  /** Recall of the perceptual-hash miner against the corpus's OWN
+    * planted families (the phash corpus plants its near-dups by
+    * construction — doc_id/4 families — so no SynthGen pair table is
+    * involved): truth is every within-family pair at exact hamming
+    * ≤ 3, scheme- and cap-independent. */
+  def phashRecall(spark: SparkSession, dir: String, pairs: DataFrame): Recall = {
+    val truth = graft.ext.multimodal.MediaNearDup
+      .plantedTruth(graft.Tables(spark, dir, "documents"), maxHamming = 3)
+      .cache()
+    try Recall(truth.count(),
+      truth.join(pairs, Seq("doc_a", "doc_b"), "left_semi").count())
+    finally truth.unpersist()
+  }
 }

@@ -97,6 +97,10 @@ object ScaleBench {
     // round-9 additions (round-8 verdict task 5): each new component
     // gets its decade measured in the same artifact as the rest
     "multimodal_decode",     // real ImageIO decode over synthesized blobs
+    // round-14 new operator: real encode → ImageIO decode → 63-bit
+    // dHash → the docs_simhash_pairs pigeonhole miner; pair mass is
+    // linear by the planted-family corpus design
+    "multimodal_phash_pairs", // perceptual-hash image near-dup mining
     "docs_embed_knn",        // text→hashed-idf vector→JL→exact cosine KNN
     "docs_quality_clf",      // iterated-agg trained classifier + corpus score
     "docs_quality_clf_ref",  // scoring vs the fixed at-rest model (flat training)
@@ -240,6 +244,10 @@ object ScaleBench {
           graft.Tables(spark, dir, "documents"), "doc_id", "text",
           maxHamming = 3, numChunks = 5)
         (Some(st), Some(RecallSampler.simhashRecall(spark, dir, sf, pairs)))
+      case "multimodal_phash_pairs" =>
+        val (pairs, st) = graft.ext.multimodal.MediaNearDup.phashPairsWithStats(
+          graft.Tables(spark, dir, "documents"), maxHamming = 3)
+        (Some(st), Some(RecallSampler.phashRecall(spark, dir, pairs)))
       case "emb_semantic_dedup" =>
         val verdicts = graft.SparkEntry.queries(name)(spark, dir)
         (None, Some(RecallSampler.semdedupRecall(spark, sf, verdicts, dir)))
