@@ -442,6 +442,107 @@ object StreamingEtl {
       }
       .start()
 
+  /** Streaming per-domain frequency caps — the cross-batch twin of
+    * [[graft.ext.text.DomainCap.cap]]: keep at most `maxPerDomain`
+    * documents per domain across the WHOLE stream, first-N in arrival
+    * order. State is at-rest per-batch deltas under `stateDir` —
+    * `(domainCol, kept_n, max_kept_id, seen_n, __batch_id)`, one row
+    * per domain touched by the batch — read back as an aggregate
+    * (sum/max), the [[ngramDedupStream]] posture: built-in stateful
+    * operators can't express "admit until a per-key budget is spent"
+    * without buffering per-key rows, and the at-rest table is
+    * domain-cardinality-sized, never corpus-sized.
+    *
+    * Per batch: the batch is first capped by the bounded-heap batch
+    * operator (≤ N candidate rows per domain leave the map side — a
+    * hot domain's firehose never reaches the state join), then the
+    * ≤ N survivors rank against the domain's remaining budget (a
+    * window BOUNDED at N rows per domain). Exactly-once follows
+    * [[ngramDedupStream]]: both writes land under `__batch_id` with
+    * dynamic partition overwrite, state reads pin `__batch_id <
+    * batchId`, state delta writes first.
+    *
+    * Contract — ids unique and per-domain monotone across batches
+    * (the arrival-order corpus convention): equality with the batch
+    * operator's kept SET then holds because each domain's first N
+    * arrivals are its N lowest ids. Enforced loudly where it can
+    * change the result: a batch id at or below a FULL domain's
+    * `max_kept_id` would have displaced an already-emitted row, and
+    * throws instead of silently diverging (an under-budget late id
+    * merely reorders arrivals within the same kept set, so it is
+    * legal). Output rows carry `n_domain_so_far` — the domain's
+    * cumulative pre-cap total as of the emitting batch (a streaming
+    * append can't know future totals; the batch operator's `n_domain`
+    * is the final-batch value of this running count). */
+  def domainCapStream(
+      docStream: DataFrame,
+      idCol: String,
+      domainCol: String,
+      maxPerDomain: Int,
+      outDir: String,
+      stateDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val prior = committedState(s, stateDir).map(
+          _.filter(col("__batch_id") < batchId)
+            .groupBy(col(domainCol))
+            .agg(sum(col("kept_n")).as("__kept0"),
+              max(col("max_kept_id")).as("__maxid"),
+              sum(col("seen_n")).as("__seen0")))
+        val capped = graft.ext.text.DomainCap.cap(
+          batch.select(col(idCol), col(domainCol)), idCol, domainCol,
+          maxPerDomain)
+        val joined = prior match {
+          case Some(st) => capped.join(st, Seq(domainCol), "left")
+          case None => capped
+            .withColumn("__kept0", lit(null).cast("long"))
+            .withColumn("__maxid", lit(null).cast("long"))
+            .withColumn("__seen0", lit(null).cast("long"))
+        }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(domainCol)).orderBy(col(idCol))
+        // materialize: the ranked frame feeds the state delta AND the
+        // output (foreachBatch re-executes upstream per branch)
+        val ranked = joined
+          .withColumn("__kept", coalesce(col("__kept0"), lit(0L)))
+          .filter(assert_true(
+            col("__kept") < maxPerDomain ||
+              col(idCol) > coalesce(col("__maxid"), lit(Long.MinValue)),
+            lit(s"non-monotone '$idCol' for a full domain: a late id at " +
+              "or below the domain's max kept id would displace an " +
+              "already-emitted row (domain-cap stream contract)")).isNull)
+          .withColumn("__rn", row_number().over(w))
+          .withColumn("__keptFlag",
+            (col("__rn") <= lit(maxPerDomain.toLong) - col("__kept"))
+              .cast("long"))
+          .localCheckpoint()
+        // state delta FIRST (the replay-idempotence ordering)
+        ranked.groupBy(col(domainCol))
+          .agg(sum(col("__keptFlag")).as("kept_n"),
+            max(when(col("__keptFlag") === 1L, col(idCol))).as("max_kept_id"),
+            max(col("n_domain")).as("seen_n"))
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id")
+          .parquet(stateDir)
+        ranked.filter(col("__keptFlag") === 1L)
+          .select(col(idCol), col(domainCol),
+            (col("n_domain") + coalesce(col("__seen0"), lit(0L)))
+              .as("n_domain_so_far"))
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id")
+          .parquet(outDir)
+        ()
+      }
+      .start()
+
   /** Streaming semantic dedup (the last major curation operator
     * without a twin): each micro-batch of embedding rows is assigned
     * against a FROZEN at-rest codebook (`coarse` literals + the

@@ -241,6 +241,20 @@ object StreamBench {
             .option("checkpointLocation", tmp + "/ck")
             .outputMode("update").start()
         }
+      }, {
+        // domain caps: id-monotone slices (no dup resend — the cap's
+        // arrival-order contract), state at rest per batch
+        val domainSlices = graft.Tables(spark, sfDir, "documents")
+          .select(col("doc_id").cast("long"), col("source"))
+          .orderBy(col("doc_id"))
+          .as[(Long, String)].collect().toSeq
+          .grouped(per).take(numBatches).toSeq
+        run("domain_cap", domainSlices) { (input, tmp) =>
+          StreamingEtl.domainCapStream(
+            input.toDS().toDF("doc_id", "source"), "doc_id", "source",
+            maxPerDomain = 100,
+            tmp + "/out", tmp + "/state", tmp + "/ck")
+        }
       }) ++ semanticPaths(spark, sfDir)
   }
 

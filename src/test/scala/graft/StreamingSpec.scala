@@ -489,6 +489,59 @@ class StreamingSpec extends SparkSpec {
       s"b1=$seenB1 b2=$seenB2")
   }
 
+  test("cross-batch domain cap: stream kept set equals the batch operator over the concatenated corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("domcapstream")
+    val N = 2
+    // id-monotone across batches; domain "a" fills in batch 1 (cap 2
+    // of 3), "b" fills ACROSS batches (1+1), "c" stays under cap
+    val b1 = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"))
+    val b2 = Seq((5L, "b"), (6L, "b"), (7L, "c"), (8L, "a"))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingEtl.domainCapStream(
+      input.toDS().toDF("doc_id", "source"), "doc_id", "source",
+      maxPerDomain = N, s"$root/out", s"$root/state", s"$root/ckpt")
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$root/out")
+    // kept SET parity with the batch operator over the union
+    val batch = graft.ext.text.DomainCap.cap(
+      (b1 ++ b2).toDF("doc_id", "source"), "doc_id", "source", N)
+    assert(
+      streamed.select($"doc_id", $"source").orderBy($"doc_id").collect().toSeq ===
+        batch.select($"doc_id", $"source").orderBy($"doc_id").collect().toSeq)
+    // cross-batch budget enforced: batch 2 admitted exactly one "b"
+    // (5) and zero "a" (already full), and n_domain_so_far is the
+    // running pre-cap total at emit time
+    val byId = streamed.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(byId.keySet === Set(1L, 2L, 4L, 5L, 7L))
+    assert(byId(4L) === ("b", 1L)) // emitted in batch 1: 1 "b" seen so far
+    assert(byId(5L) === ("b", 3L)) // emitted in batch 2: 1 + 2 seen
+    // state is domain-sized per batch, not corpus-sized
+    val st = spark.read.parquet(s"$root/state")
+    assert(st.filter($"__batch_id" === 0L).count() === 2) // a, b
+    assert(st.filter($"__batch_id" === 1L).count() === 3) // a, b, c
+    // full-domain late id fails loudly instead of silently diverging
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = StreamingEtl.domainCapStream(
+      input2.toDS().toDF("doc_id", "source"), "doc_id", "source",
+      maxPerDomain = 1, s"$root/out2", s"$root/state2", s"$root/ckpt2")
+    input2.addData((10L, "z"), (11L, "z"))
+    q2.processAllAvailable()
+    input2.addData((9L, "z")) // below max_kept_id=10 of the full domain
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    assert(e.getMessage.contains("non-monotone") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-monotone")),
+      e.getMessage)
+  }
+
   test("streaming semantic dedup: verdicts equal the batch operator over the concatenated corpus") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ext.dedup.SemanticDedup
