@@ -567,6 +567,149 @@ object CurationQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** The round-13-operator curation pipeline — the pass a curator
+    * actually runs today, chaining the newest selection operators
+    * end-to-end (round-13 verdict: neither docs_domain_cap nor
+    * docs_dsir_weights participated in any composed row, so the
+    * stage-interaction seams were unexercised):
+    *
+    *  1. per-host cap ([[graft.ext.text.DomainCap]]): host = the
+    *     doc's first bigram — Zipf-skewed with Heaps-growing
+    *     cardinality (357 hosts at 500 docs → 894 at 5 k), the real
+    *     crawl-host shape the synthetic corpus lacks a column for;
+    *     survivors SEMI-JOIN back to full rows (the seam no other
+    *     row covers — the cap emits ids only, by design);
+    *  2. exact dedup: first occurrence per normalized fingerprint
+    *     (the docs_curation_pipeline idiom);
+    *  3. decontamination: drop any doc sharing a 3-gram with the
+    *     eval split (doc_id % 97 — the docs_decontaminate_cross
+    *     corpus-vs-corpus hash join), as an ANTI join;
+    *  4. DSIR selection ([[graft.ext.text.Dsir]]): λ trained on the
+    *     POST-decontamination corpus (target = src0), keep docs
+    *     scoring above the corpus mean;
+    *  5. shard packing ([[graft.ext.text.ShardPacker]]): the final
+    *     token-budget artifact.
+    *
+    * Scale shape: the cap's heap aggregate is the only stage that
+    * sees the full corpus; every later exchange carries survivors
+    * only — cap-first ordering is precisely why production pipelines
+    * put the cheap bounded cut in front. The cap's id frame is
+    * host-cardinality-sized (grows sub-linearly, NOT structurally
+    * bounded), so the semi-join takes no broadcast/SHJ hint — AQE
+    * demotes it after checking sizes (the join-strategy discipline).
+    * The oracle replays all five stages in one WITH chain, reusing
+    * the EXACT [[dsirSelectionCtes]] fragment the standalone row
+    * pins. */
+  private def qCurationPipelineV2(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.text.TextFunctions
+    val d = graft.operators.Spread.wide(
+      Tables(s, dir, "documents"), col("doc_id"))
+      .select(col("doc_id"), col("source"), col("text"))
+    val eval = d.filter(col("doc_id") % 97 === 0)
+    val train = d.filter(col("doc_id") % 97 =!= 0)
+    // 1. per-host cap + semi-join back to full rows
+    val capIds = graft.ext.text.DomainCap.cap(
+      train.select(col("doc_id"),
+        array_join(slice(TextFunctions.tokens(col("text")), 1, 2), " ")
+          .as("__host")),
+      "doc_id", "__host", maxPerDomain = 3).select(col("doc_id"))
+    val d1 = train.join(capIds, Seq("doc_id"), "left_semi")
+    // 2. exact dedup (first occurrence per fingerprint); cached — it
+    // feeds the contamination probe AND the anti-join spine
+    val d2 = d1
+      .groupBy(TextFunctions.fingerprint(col("text")).as("__fp"))
+      .agg(min_by(struct(col("doc_id"), col("source"), col("text")),
+        col("doc_id")).as("__r"))
+      .select(col("__r.*"))
+      .cache()
+    // 3. decontamination: anti-join against the gram-hash overlap set
+    val contaminated = Decontaminate.crossOverlaps(
+      d2, eval, "doc_id", "text", n = 3)
+    val d3 = d2.join(contaminated.select(col("doc_id")),
+      Seq("doc_id"), "left_anti").cache()
+    // 4. DSIR selection over the post-decontamination corpus
+    val selIds = Dsir.weights(d3, "doc_id", "text",
+      isTarget = col("source") === "src0")
+      .filter(col("selected")).select(col("doc_id"))
+    val d4 = d3.join(selIds, Seq("doc_id"), "left_semi")
+    // 5. pack the survivors
+    val out = ShardPacker.packShards(d4, "doc_id", "text", budget = 2000L)
+      .orderBy(col("doc_id"))
+    NearDup.materializeAndRelease(out, "curation_v2", d2, d3)
+  }
+
+  private val qCurationPipelineV2Sql =
+    s"""WITH evals AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+       |train AS (
+       |  SELECT doc_id, source, text FROM documents WHERE doc_id % 97 <> 0),
+       |ht AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_slice(
+       |      CASE WHEN len(trim(text)) = 0 THEN []
+       |           ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END,
+       |      1, 2), ' ') AS host
+       |  FROM train),
+       |cap AS (
+       |  SELECT doc_id FROM ht
+       |  QUALIFY row_number() OVER (PARTITION BY host ORDER BY doc_id) <= 3),
+       |d1 AS (SELECT tr.doc_id, tr.source, tr.text
+       |       FROM train tr JOIN cap USING (doc_id)),
+       |f AS (
+       |  SELECT doc_id, source, text,
+       |    substr(sha256(regexp_replace(regexp_replace(lower(trim(text)),
+       |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), 1, 16) AS fp
+       |  FROM d1),
+       |d2 AS (
+       |  SELECT doc_id, source, text FROM f
+       |  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+       |t2 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(trim(text)) = 0 THEN []
+       |         ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks
+       |  FROM d2),
+       |tev AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(trim(text)) = 0 THEN []
+       |         ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks
+       |  FROM evals),
+       |shd AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS g2
+       |  FROM t2),
+       |shev AS (
+       |  SELECT DISTINCT unnest(list_distinct(list_transform(
+       |    range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS g2
+       |  FROM tev),
+       |contaminated AS (
+       |  SELECT DISTINCT s.doc_id FROM shd s JOIN shev USING (g2)),
+       |d3 AS (
+       |  SELECT d2.doc_id, d2.source, d2.text FROM d2
+       |  ANTI JOIN contaminated USING (doc_id)),
+       |${dsirSelectionCtes("d3")},
+       |sel AS (
+       |  SELECT d.doc_id
+       |  FROM (SELECT doc_id FROM d3 WHERE source <> 'src0') d
+       |  LEFT JOIN sums s USING (doc_id), tot
+       |  WHERE $dsirSelectedPredicate),
+       |d4 AS (SELECT d3.doc_id, d3.text FROM d3 JOIN sel USING (doc_id)),
+       |pt AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+       |         ELSE CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+       |              AS BIGINT)
+       |    END AS n_tokens
+       |  FROM d4),
+       |pc AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens
+       |  FROM pt)
+       |SELECT doc_id, n_tokens, cum_tokens,
+       |  CAST(FLOOR((cum_tokens - n_tokens) / 2000.0) AS BIGINT) AS shard_id
+       |FROM pc ORDER BY doc_id""".stripMargin
+
   /** Temperature-based source mixing (α = 0.5): per-source sampling
     * rates ∝ n_s^α — the standard flatten-the-distribution mix
     * (multilingual/multi-corpus training recipes since GPT-3 /
@@ -668,7 +811,13 @@ object CurationQueries {
       isTarget = col("source") === "src0")
       .orderBy(col("doc_id"))
 
-  private val qDsirWeightsSql = {
+  /** The DSIR λ-training + scoring CTE chain over an arbitrary base
+    * relation `(doc_id, source, text)` — shared verbatim by the
+    * standalone docs_dsir_weights oracle (base = `documents`) and the
+    * composed pipeline-v2 oracle (base = the post-decontamination
+    * stage), so the two rows pin the SAME arithmetic. Emits CTEs
+    * `t, g, b, ct, cq, tt, tq, lam, sums, tot` (no WITH keyword). */
+  private def dsirSelectionCtes(base: String): String = {
     val B = Dsir.Buckets
     val scale = (1L << Dsir.FracBits).toDouble
     val ph = graft.functions.PolyHash.duckdbSql("gram", 31)
@@ -678,11 +827,11 @@ object CurationQueries {
       s"((length(bin($e))-1) + CAST(($e) - (CAST(1 AS BIGINT) " +
         s"<< (length(bin($e))-1)) AS DOUBLE) " +
         s"/ CAST(CAST(1 AS BIGINT) << (length(bin($e))-1) AS DOUBLE))"
-    s"""WITH t AS (
+    s"""t AS (
        |  SELECT doc_id, source,
        |    CASE WHEN len(trim(text)) = 0 THEN []
        |         ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks
-       |  FROM documents),
+       |  FROM $base),
        |g AS (
        |  SELECT doc_id, source, unnest(toks) AS gram FROM t
        |  UNION ALL
@@ -712,13 +861,23 @@ object CurationQueries {
        |tot AS (
        |  SELECT CAST(COALESCE(SUM(logw_scaled), 0) AS HUGEINT) AS s_tot,
        |    CAST(COALESCE(SUM(n_grams), 0) AS HUGEINT) AS n_tot
-       |  FROM sums)
+       |  FROM sums)""".stripMargin
+  }
+
+  /** The mean-relative selection predicate over the [[dsirSelectionCtes]]
+    * frames (`s` = sums row or NULL, `tot` in scope). */
+  private def dsirSelectedPredicate: String =
+    """CAST(COALESCE(s.logw_scaled, 0) AS HUGEINT) * tot.n_tot
+      |    > tot.s_tot * CAST(COALESCE(s.n_grams, 0) AS HUGEINT)""".stripMargin
+
+  private val qDsirWeightsSql = {
+    val scale = (1L << Dsir.FracBits).toDouble
+    s"""WITH ${dsirSelectionCtes("documents")}
        |SELECT d.doc_id,
        |  COALESCE(s.n_grams, 0) AS n_grams,
        |  COALESCE(s.logw_scaled, 0) AS logw_scaled,
        |  CAST(COALESCE(s.logw_scaled, 0) AS DOUBLE) / $scale AS logw,
-       |  CAST(COALESCE(s.logw_scaled, 0) AS HUGEINT) * tot.n_tot
-       |    > tot.s_tot * CAST(COALESCE(s.n_grams, 0) AS HUGEINT) AS selected
+       |  $dsirSelectedPredicate AS selected
        |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
        |LEFT JOIN sums s USING (doc_id), tot
        |ORDER BY d.doc_id""".stripMargin
@@ -758,6 +917,7 @@ object CurationQueries {
     "docs_ngram_dedup"   -> (qNgramDedup _),
     "docs_ngram_dedup_hashed" -> (qNgramDedupHashed _),
     "docs_curation_pipeline" -> (qCurationPipeline _),
+    "docs_curation_pipeline_v2" -> (qCurationPipelineV2 _),
     "emb_dup_groups"     -> (qEmbDupGroups _))
 
   val oracles: Map[String, String] = Map(
@@ -776,5 +936,6 @@ object CurationQueries {
     "docs_ngram_dedup"   -> qNgramDedupSql,
     "docs_ngram_dedup_hashed" -> qNgramDedupSql,
     "docs_curation_pipeline" -> qCurationPipelineSql,
+    "docs_curation_pipeline_v2" -> qCurationPipelineV2Sql,
     "emb_dup_groups"     -> qEmbDupGroupsSql)
 }

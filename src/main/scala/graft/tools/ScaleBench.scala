@@ -68,6 +68,9 @@ object ScaleBench {
     "docs_block_dedup",      // corpus-wide first-occurrence + reassembly
     "docs_pack_shards",      // two-level distributed prefix sum
     "docs_curation_pipeline",// fused multi-stage curation plan
+    // round-14: the cap→dedup→decontaminate→DSIR→pack composition —
+    // cap-first means only the heap aggregate sees the full corpus
+    "docs_curation_pipeline_v2", // round-13-operator composed pipeline
     // round-13 new operator: two 8192-cell gram aggregates (bounded
     // collects) + one broadcast-λ scoring pass — the decontaminate
     // cost class with a fixed-width reduce

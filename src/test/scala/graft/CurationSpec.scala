@@ -270,6 +270,44 @@ class CurationSpec extends SparkSpec {
     assert(shards.distinct.sorted.sameElements(0L to shards.max))
   }
 
+  test("curation pipeline v2: every stage's contract holds on its output") {
+    import graft.ext.text.{DomainCap, Dsir}
+    val out = SparkEntry.queries("docs_curation_pipeline_v2")(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out.nonEmpty, "degenerate composition: empty survivor set")
+    val d = Tables(spark, sf, "documents")
+      .select($"doc_id", $"source", $"text").cache()
+    try {
+      // stage contracts, each checked INDEPENDENTLY of the pipeline's
+      // own wiring (the oracle pins values; this pins semantics):
+      // 1. no eval-split docs survive
+      assert(out.forall(_ % 97 != 0))
+      // 2. survivors respect the per-host cap (host = first bigram)
+      val hosts = d
+        .select($"doc_id",
+          array_join(slice(TextFunctions.tokens($"text"), 1, 2), " ")
+            .as("host"))
+        .as[(Long, String)].collect().toMap
+      val perHost = out.groupBy(hosts).view.mapValues(_.size)
+      assert(perHost.forall(_._2 <= 3),
+        perHost.filter(_._2 > 3).take(3).toString)
+      // 3. no two survivors share a fingerprint
+      val fps = d.filter($"doc_id".isin(out.toSeq: _*))
+        .select(TextFunctions.fingerprint($"text")).as[String].collect()
+      assert(fps.length === fps.distinct.length)
+      // 4. no survivor shares a trigram with the eval split
+      val overlaps = graft.ext.text.Decontaminate.crossOverlaps(
+          d.filter($"doc_id".isin(out.toSeq: _*)),
+          d.filter($"doc_id" % 97 === 0), "doc_id", "text", n = 3)
+        .count()
+      assert(overlaps === 0L)
+      // 5. no DSIR-target (src0) docs in the training output
+      val srcs = d.filter($"doc_id".isin(out.toSeq: _*))
+        .select($"source").distinct().as[String].collect()
+      assert(!srcs.contains("src0"), srcs.mkString(","))
+    } finally d.unpersist()
+  }
+
   test("shard packing: adaptive width bounds the bucket frame on a huge sparse id range") {
     // ids spread over ~5×10^12: a fixed width=100 would make the
     // second-level (unpartitioned) window sort 5×10^10 bucket rows —
