@@ -726,47 +726,17 @@ object CurationQueries {
     * keep decision compares INTEGERS (hash < floor(rate·P)), so no
     * boundary can flip on the last ulp. */
   private def qSourceMix(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     // the synthetic corpus's `source` labels are uniform, which makes
     // every rate identical; derive a 70/20/10-skewed domain so the
-    // flattening is visible (head downsampled, tail kept near-whole)
+    // flattening is visible (head downsampled, tail kept near-whole).
+    // The mix itself is the reusable operator (also the
+    // graft_source_mix TVF) — metadata-collect + driver-folded
+    // scalars + broadcast rates + map-only hash filter.
     val d = Tables(s, dir, "documents").withColumn("domain",
       when(col("doc_id") % 10 < 7, lit("head"))
         .when(col("doc_id") % 10 < 9, lit("mid"))
         .otherwise(lit("tail")))
-    // the per-domain counts are mix METADATA (3 rows) — run the
-    // corpus aggregate once and rebuild the stats as a literal frame,
-    // instead of embedding the aggregate's lineage in both the wsum
-    // subplan and the rates side (which would execute the full-corpus
-    // pass twice); all rate arithmetic stays in Spark expressions so
-    // the rounding semantics match the already-verified oracle chain
-    import s.implicits._
-    val stLocal = d.groupBy(col("domain")).agg(count(lit(1)).as("n_docs"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    // wsum / n_total are scalars over the 3 collected metadata rows —
-    // fold them driver-side (exact decimal sum of the same 6-dp
-    // values Spark's round(sqrt, 6) produces, so the arithmetic chain
-    // is unchanged) instead of crossJoin-ing a one-row aggregate
-    // frame, which planned as a (harmless but gate-tripping)
-    // BroadcastNestedLoopJoin
-    val wsum = stLocal.map { case (_, n) =>
-      java.math.BigDecimal.valueOf(math.sqrt(n.toDouble))
-        .setScale(6, java.math.RoundingMode.HALF_UP)
-    }.foldLeft(java.math.BigDecimal.ZERO)(_ add _).doubleValue
-    val nTotal = stLocal.map(_._2).sum
-    val st = stLocal.toDF("domain", "n_docs")
-      .withColumn("w", round(sqrt(col("n_docs")), 6))
-    val rates = st
-      .withColumn("wsum", lit(wsum))
-      .withColumn("n_total", lit(nTotal))
-      .withColumn("rate",
-        round(least(lit(1.0),
-          col("w") / col("wsum") * lit(0.5) * col("n_total") / col("n_docs")), 9))
-      .select(col("domain"), col("rate"),
-        floor(col("rate") * lit(graft.functions.PolyHash.P)).cast("long").as("__cut"))
-    d.join(broadcast(rates), "domain")
-      .filter(graft.functions.PolyHash.polyhash(col("text"), 31) < col("__cut"))
-      .select(col("doc_id"), col("domain"), col("rate"))
+    graft.ext.text.SourceMix.sample(d, "doc_id", "text", "domain")
       .orderBy(col("doc_id"))
   }
 

@@ -33,6 +33,9 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *   SELECT * FROM graft_lm_score('documents', 'lm_model', 'doc_id', 'text')
   *   SELECT * FROM graft_minhash_pairs('documents', 'doc_id', 'text',
   *                                     2, 16, 4, 0.5, 1000)
+  *   SELECT * FROM graft_simhash_pairs('documents', 'doc_id', 'text', 3, 1000)
+  *   SELECT * FROM graft_source_mix('documents', 'doc_id', 'text',
+  *                                  'source', 0.5, 0.5)
   *   SELECT * FROM graft_semantic_dedup('embeddings', 'vec_id', 'embedding',
   *                                      32, 0.3, 2)
   *   SELECT * FROM graft_semantic_decontaminate('embeddings', 'vec_id',
@@ -310,6 +313,45 @@ object GraftTableFunctions {
         strArg(args(3), "graft_quality_score", "textCol"),
         w = graft.ext.text.QualityClassifier.weightsFromTable(
           tableArg(args(1), "graft_quality_score")))
+    },
+    tvf("graft_simhash_pairs",
+      "graft_simhash_pairs(table, idCol, textCol, maxHamming, " +
+        "maxBucketSize) - SimHash near-dup pair mining with the " +
+        "SCALE-ADAPTIVE pigeonhole scheme (NearDup.simhashPairs, " +
+        "numChunks auto-selected from the corpus size - the miner a " +
+        "production corpus actually runs; chunk-combination buckets, " +
+        "skew cap, verify-before-dedup xor+popcount; EAGER - the " +
+        "mining runs at analysis time and the plan scans its " +
+        "materialized output, the operator's own cache-release " +
+        "contract. Every RE-analysis of the same plan text (EXPLAIN, " +
+        "view expansion, retried resolution) re-runs the full mining " +
+        "job and materializes another scratch output - bind the " +
+        "result once via CREATE TABLE AS / cache, don't re-expand " +
+        "it)") { args =>
+      requireArgs(args, 5, "graft_simhash_pairs")
+      graft.ext.dedup.NearDup.simhashPairs(
+        tableArg(args(0), "graft_simhash_pairs"),
+        strArg(args(1), "graft_simhash_pairs", "idCol"),
+        strArg(args(2), "graft_simhash_pairs", "textCol"),
+        maxHamming = longArg(args(3), "graft_simhash_pairs", "maxHamming").toInt,
+        maxBucketSize =
+          longArg(args(4), "graft_simhash_pairs", "maxBucketSize").toInt)
+    },
+    tvf("graft_source_mix",
+      "graft_source_mix(table, idCol, textCol, domainCol, alpha, " +
+        "targetFrac) - temperature-based source mixing (SourceMix." +
+        "sample: per-domain rates ~ n^alpha, deterministic " +
+        "hash-threshold sampling; one metadata aggregate collected at " +
+        "analysis time - the eager contract - then a broadcast rate " +
+        "table and a map-only filter; the corpus never shuffles)") { args =>
+      requireArgs(args, 6, "graft_source_mix")
+      graft.ext.text.SourceMix.sample(
+        tableArg(args(0), "graft_source_mix"),
+        strArg(args(1), "graft_source_mix", "idCol"),
+        strArg(args(2), "graft_source_mix", "textCol"),
+        strArg(args(3), "graft_source_mix", "domainCol"),
+        alpha = doubleArg(args(4), "graft_source_mix", "alpha"),
+        targetFrac = doubleArg(args(5), "graft_source_mix", "targetFrac"))
     },
     tvf("graft_lm_score",
       "graft_lm_score(corpusTable, modelTable, idCol, textCol) - " +

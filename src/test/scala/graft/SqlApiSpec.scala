@@ -245,6 +245,35 @@ class SqlApiSpec extends SparkSpec {
       Seq("doc_a", "doc_b"))
   }
 
+  test("TVF graft_simhash_pairs: same auto-scheme mining path and rows as NearDup") {
+    Tables.registerViews(spark, sf)
+    assertSameEagerResult(
+      spark.sql("SELECT * FROM graft_simhash_pairs(" +
+        "'documents', 'doc_id', 'text', 3, 1000)"),
+      graft.ext.dedup.NearDup.simhashPairs(
+        spark.table("documents"), "doc_id", "text",
+        maxHamming = 3, maxBucketSize = 1000),
+      Seq("doc_a", "doc_b"))
+  }
+
+  test("TVF graft_source_mix: same plan as SourceMix.sample (broadcast rates, map-only filter)") {
+    Tables.registerViews(spark, sf)
+    val viaSql = spark.sql("SELECT * FROM graft_source_mix(" +
+      "'documents', 'doc_id', 'text', 'source', 0.5, 0.5)")
+    val viaScala = graft.ext.text.SourceMix.sample(
+      spark.table("documents"), "doc_id", "text", "source")
+    assert(viaSql.schema == viaScala.schema)
+    // not eager-materializing: the metadata aggregate is collected at
+    // build time but the OUTPUT plan is lazy — plan identity holds
+    assert(viaSql.queryExecution.optimizedPlan.canonicalized ==
+      viaScala.queryExecution.optimizedPlan.canonicalized,
+      s"plans differ:\n${viaSql.queryExecution.optimizedPlan}\n" +
+        s"${viaScala.queryExecution.optimizedPlan}")
+    val a = viaSql.orderBy("doc_id").collect()
+    val b = viaScala.orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+  }
+
   test("TVF graft_semantic_dedup: same clustering path and rows as SemanticDedup") {
     Tables.registerViews(spark, sf)
     assertSameEagerResult(
@@ -357,6 +386,7 @@ class SqlApiSpec extends SparkSpec {
           "graft_dsir_weights",
           "graft_dsir_score", "graft_knn_exact",
           "graft_lm_score", "graft_minhash_pairs",
+          "graft_simhash_pairs", "graft_source_mix",
           "graft_semantic_dedup").foreach { f =>
         assert(s2.sessionState.tableFunctionRegistry
           .functionExists(FunctionIdentifier(f)), s"missing TVF $f")
