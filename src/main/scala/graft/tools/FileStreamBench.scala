@@ -199,6 +199,12 @@ object FileStreamBench {
           }
         }
         spark.streams.addListener(listener)
+        // baseline snapshot: without it the first batch's delta would
+        // absorb every byte shuffled since JVM start — static-side
+        // builds, the previous path's post-run state read — and the
+        // batch-0 cell would be contaminated (measured: 11 GB
+        // attributed to a 424 MB batch before this fix)
+        val base = probe.snap()
         val src =
           try {
             val t = System.nanoTime()
@@ -211,7 +217,7 @@ object FileStreamBench {
             desc
           } finally spark.streams.removeListener(listener)
         val snapshot = marks.synchronized(marks.toSeq).sortBy(_._1)
-        val prev = (0L, 0L, 0L, 0L) +: snapshot.map(_._5)
+        val prev = base +: snapshot.map(_._5)
         val batches = snapshot.zip(prev).collect {
           // drop the no-data final trigger progress rows
           case ((bid, rows, sec, st, cur), pv) if rows > 0 =>
