@@ -30,11 +30,13 @@ run_rung() {
   rm -rf "$RUNG_TMP"
 }
 
+# Quiet cell first: the watch-row attribution needs load <~2 at start,
+# and the host is quietest before the decade rungs run.
+echo "=== etl_upsert quiet cell sf100 ($(date -u +%H:%M:%S)) load: $(cat /proc/loadavg) ==="
+run_rung 100.0 "etl_upsert" "EXP_UPSERT_QUIET_SF100.json" 2
+
 for SF in 10.0 31.6 100.0; do
   echo "=== r14 new-row rung sf$SF ($(date -u +%H:%M:%S)) ==="
   run_rung "$SF" "multimodal_phash_pairs,docs_curation_pipeline_v2" \
     "EXP_R14_SF${SF}.json"
 done
-
-echo "=== etl_upsert quiet cell sf100 ($(date -u +%H:%M:%S)) load: $(cat /proc/loadavg) ==="
-run_rung 100.0 "etl_upsert" "EXP_UPSERT_QUIET_SF100.json" 2

@@ -48,9 +48,30 @@ object MediaNearDup {
       maxHamming: Int = 3,
       maxBucketSize: Int = 1000,
       numChunks: Int = 0): (DataFrame, NearDup.MineStats) = {
-    val (out, caches, sizes) =
-      phashPairsPlanFull(docs, maxHamming, maxBucketSize, numChunks)
-    NearDup.materializeWithStats(out, "phash", caches, sizes, maxBucketSize)
+    val (pairs, st, hashes) =
+      phashPairsWithStatsAndHashes(docs, maxHamming, maxBucketSize, numChunks)
+    hashes.unpersist()
+    (pairs, st)
+  }
+
+  /** [[phashPairsWithStats]] that additionally hands back the CACHED
+    * `(doc, sim)` hash frame, so the untimed ScaleBench stats+recall
+    * pass can derive [[plantedTruthFromHashes]] without re-running
+    * the dominant encode→decode→dHash pass a second time over the
+    * whole corpus. The caller owns the cache: `unpersist()` it. */
+  def phashPairsWithStatsAndHashes(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000,
+      numChunks: Int = 0): (DataFrame, NearDup.MineStats, DataFrame) = {
+    val spark = docs.sparkSession
+    val hashes =
+      Multimodal.dhashImages(Multimodal.phashCorpus(spark, docs)).cache()
+    val (out, caches, sizes) = NearDup.hammingPairsPlanFull(
+      hashes, docs.count(), maxHamming, maxBucketSize, numChunks)
+    val (pairs, st) =
+      NearDup.materializeWithStats(out, "phash", caches, sizes, maxBucketSize)
+    (pairs, st, hashes)
   }
 
   private def phashPairsPlanFull(
@@ -69,9 +90,14 @@ object MediaNearDup {
     * `maxHamming` (truth is scheme- and cap-independent — exactly
     * what the miner can lose to skew caps or, at hamming > h·scheme
     * bounds, never sees). Linear in the corpus: ≤ 6 pairs/family. */
-  def plantedTruth(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val hashes =
-      Multimodal.dhashImages(Multimodal.phashCorpus(docs.sparkSession, docs))
+  def plantedTruth(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    plantedTruthFromHashes(
+      Multimodal.dhashImages(Multimodal.phashCorpus(docs.sparkSession, docs)),
+      maxHamming)
+
+  /** [[plantedTruth]] over an already-computed `(doc, sim)` hash
+    * frame — the share point for callers that just ran the miner. */
+  def plantedTruthFromHashes(hashes: DataFrame, maxHamming: Int): DataFrame = {
     val fam = hashes.select(col("doc"), col("sim"),
       (col("doc") / 4).cast("long").as("__fam"))
     val a = fam.select(col("__fam"), col("doc").as("doc_a"), col("sim").as("sim_a"))

@@ -465,12 +465,20 @@ object StreamingEtl {
     * Contract — ids unique and per-domain monotone across batches
     * (the arrival-order corpus convention): equality with the batch
     * operator's kept SET then holds because each domain's first N
-    * arrivals are its N lowest ids. Enforced loudly where it can
-    * change the result: a batch id at or below a FULL domain's
-    * `max_kept_id` would have displaced an already-emitted row, and
-    * throws instead of silently diverging (an under-budget late id
-    * merely reorders arrivals within the same kept set, so it is
-    * legal). Output rows carry `n_domain_so_far` — the domain's
+    * arrivals are its N lowest ids. Enforced loudly EXACTLY where it
+    * can change the result: a late id (at or below the domain's
+    * `max_kept_id`) throws whenever the domain's cumulative pre-cap
+    * arrival total exceeds the budget — in that case the batch
+    * operator over the concatenated corpus would have kept a
+    * different set (kept = min(seen, N) always, so this subsumes the
+    * full-domain case AND the not-yet-full domain that overflows in
+    * the same batch the late id arrives). A late id while the
+    * domain's total is still within budget merely reorders arrivals
+    * inside an identical kept set, so it is legal. Null domains are
+    * one capped group, exactly as the batch operator's `groupBy`
+    * treats them: the state join is null-safe (`<=>`), so a null
+    * domain's budget persists across batches instead of resetting.
+    * Output rows carry `n_domain_so_far` — the domain's
     * cumulative pre-cap total as of the emitting batch (a streaming
     * append can't know future totals; the batch operator's `n_domain`
     * is the final-batch value of this running count). */
@@ -497,7 +505,14 @@ object StreamingEtl {
           batch.select(col(idCol), col(domainCol)), idCol, domainCol,
           maxPerDomain)
         val joined = prior match {
-          case Some(st) => capped.join(st, Seq(domainCol), "left")
+          // null-safe: a null domain is one capped group (the batch
+          // operator's groupBy semantics) — Seq(domainCol) equi-join
+          // would never match the null state key, resetting a null
+          // domain's budget every batch
+          case Some(st) =>
+            val stR = st.withColumnRenamed(domainCol, "__st_dom")
+            capped.join(stR, col(domainCol) <=> col("__st_dom"), "left")
+              .drop("__st_dom")
           case None => capped
             .withColumn("__kept0", lit(null).cast("long"))
             .withColumn("__maxid", lit(null).cast("long"))
@@ -509,12 +524,20 @@ object StreamingEtl {
         // output (foreachBatch re-executes upstream per branch)
         val ranked = joined
           .withColumn("__kept", coalesce(col("__kept0"), lit(0L)))
+          // divergence condition, exactly: a late id changes the kept
+          // set iff the domain's cumulative pre-cap total exceeds the
+          // budget (kept = min(seen, N), so "full domain" is the
+          // special case seen_prev >= N; an overflowing not-yet-full
+          // domain diverges the same way and must throw too)
           .filter(assert_true(
-            col("__kept") < maxPerDomain ||
-              col(idCol) > coalesce(col("__maxid"), lit(Long.MinValue)),
-            lit(s"non-monotone '$idCol' for a full domain: a late id at " +
-              "or below the domain's max kept id would displace an " +
-              "already-emitted row (domain-cap stream contract)")).isNull)
+            col(idCol) > coalesce(col("__maxid"), lit(Long.MinValue)) ||
+              coalesce(col("__seen0"), lit(0L)) + col("n_domain")
+                <= lit(maxPerDomain.toLong),
+            lit(s"non-monotone '$idCol': a late id at or below the " +
+              "domain's max kept id arrived while the domain's " +
+              "cumulative arrivals exceed the budget — the kept set " +
+              "would diverge from the batch operator " +
+              "(domain-cap stream contract)")).isNull)
           .withColumn("__rn", row_number().over(w))
           .withColumn("__keptFlag",
             (col("__rn") <= lit(maxPerDomain.toLong) - col("__kept"))

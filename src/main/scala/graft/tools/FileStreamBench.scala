@@ -138,7 +138,18 @@ object FileStreamBench {
       // rather than smaller ones
       val embBatches = math.max(2L, nEmb / math.max(1L, perDoc)).toInt
       val perEmb = math.max(1L, nEmb / embBatches)
-      if (!new java.io.File(s"$streamRoot/_DONE").exists()) {
+      // cache key = the slicing parameters, not mere existence: a
+      // changed SPARK_GRAFT_STREAM_BATCHES or a regenerated rung
+      // corpus must re-slice, or the JSON would label stale slices
+      // with the new batch counts
+      val marker = new java.io.File(s"$streamRoot/_DONE")
+      val sig = s"docBatches=$docBatches nDocs=$nDocs nEmb=$nEmb"
+      val cachedSig =
+        if (marker.exists())
+          new String(java.nio.file.Files.readAllBytes(marker.toPath),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+        else ""
+      if (cachedSig != sig) {
         org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(streamRoot))
         // ids are dense 0..n-1 (SynthGen), so range slicing is exact
         // and id-monotone — the domain-cap/ngram arrival contract
@@ -155,7 +166,8 @@ object FileStreamBench {
             .filter(col("vec_id") >= k * perEmb && col("vec_id") < hi),
             embDir, k)
         }
-        new java.io.File(s"$streamRoot/_DONE").createNewFile()
+        java.nio.file.Files.write(marker.toPath,
+          sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
       (docBatches, embBatches)
     }

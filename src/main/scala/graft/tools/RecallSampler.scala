@@ -158,9 +158,19 @@ object RecallSampler {
     * construction — doc_id/4 families — so no SynthGen pair table is
     * involved): truth is every within-family pair at exact hamming
     * ≤ 3, scheme- and cap-independent. */
-  def phashRecall(spark: SparkSession, dir: String, pairs: DataFrame): Recall = {
+  def phashRecall(spark: SparkSession, dir: String, pairs: DataFrame): Recall =
+    phashRecallFromHashes(
+      graft.ext.multimodal.Multimodal.dhashImages(
+        graft.ext.multimodal.Multimodal.phashCorpus(
+          spark, graft.Tables(spark, dir, "documents"))),
+      pairs)
+
+  /** [[phashRecall]] over an already-computed hash frame (the miner
+    * just produced one — re-running the corpus-wide decode pass for
+    * truth would double the untimed stats pass at every rung). */
+  def phashRecallFromHashes(hashes: DataFrame, pairs: DataFrame): Recall = {
     val truth = graft.ext.multimodal.MediaNearDup
-      .plantedTruth(graft.Tables(spark, dir, "documents"), maxHamming = 3)
+      .plantedTruthFromHashes(hashes, maxHamming = 3)
       .cache()
     try Recall(truth.count(),
       truth.join(pairs, Seq("doc_a", "doc_b"), "left_semi").count())

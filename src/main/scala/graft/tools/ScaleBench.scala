@@ -248,9 +248,16 @@ object ScaleBench {
           maxHamming = 3, numChunks = 5)
         (Some(st), Some(RecallSampler.simhashRecall(spark, dir, sf, pairs)))
       case "multimodal_phash_pairs" =>
-        val (pairs, st) = graft.ext.multimodal.MediaNearDup.phashPairsWithStats(
-          graft.Tables(spark, dir, "documents"), maxHamming = 3)
-        (Some(st), Some(RecallSampler.phashRecall(spark, dir, pairs)))
+        // hashes are shared between the miner replay and the planted
+        // truth — the decode pass is the row's dominant cost and must
+        // not run twice per rung
+        val (pairs, st, hashes) =
+          graft.ext.multimodal.MediaNearDup.phashPairsWithStatsAndHashes(
+            graft.Tables(spark, dir, "documents"), maxHamming = 3)
+        val rec =
+          try RecallSampler.phashRecallFromHashes(hashes, pairs)
+          finally hashes.unpersist()
+        (Some(st), Some(rec))
       case "emb_semantic_dedup" =>
         val verdicts = graft.SparkEntry.queries(name)(spark, dir)
         (None, Some(RecallSampler.semdedupRecall(spark, sf, verdicts, dir)))

@@ -542,6 +542,63 @@ class StreamingSpec extends SparkSpec {
       e.getMessage)
   }
 
+  test("domain cap stream: null domains keep ONE cross-batch budget; an overflowing late id throws even under-budget; an in-budget late id is legal") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("domcapstream2")
+    // null domain = one capped group (the batch operator's groupBy
+    // semantics). Without the null-safe state join, the null group's
+    // budget resets every batch and id 4 is silently re-admitted.
+    val input = MemoryStream[(Long, Option[String])]
+    val q = StreamingEtl.domainCapStream(
+      input.toDS().toDF("doc_id", "source"), "doc_id", "source",
+      maxPerDomain = 2, s"$root/out", s"$root/state", s"$root/ckpt")
+    input.addData((1L, None), (2L, None), (3L, Some("a")))
+    q.processAllAvailable()
+    input.addData((4L, None), (5L, Some("a")))
+    q.processAllAvailable()
+    q.stop()
+    val streamedIds = spark.read.parquet(s"$root/out")
+      .select($"doc_id").orderBy($"doc_id").collect().map(_.getLong(0)).toSeq
+    val batchIds = graft.ext.text.DomainCap.cap(
+      Seq((1L, Option.empty[String]), (2L, None), (3L, Some("a")),
+        (4L, None), (5L, Some("a"))).toDF("doc_id", "source"),
+      "doc_id", "source", 2)
+      .select($"doc_id").orderBy($"doc_id").collect().map(_.getLong(0)).toSeq
+    assert(streamedIds === batchIds && !streamedIds.contains(4L),
+      s"stream=$streamedIds batch=$batchIds")
+    // a late id in a NOT-yet-full domain that overflows in the same
+    // batch diverges from the batch operator (it would keep {5,6},
+    // the stream can't displace the emitted 10) — must throw, not
+    // silently keep {5,10}
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = StreamingEtl.domainCapStream(
+      input2.toDS().toDF("doc_id", "source"), "doc_id", "source",
+      maxPerDomain = 2, s"$root/out2", s"$root/state2", s"$root/ckpt2")
+    input2.addData((10L, "z"))
+    q2.processAllAvailable()
+    input2.addData((5L, "z"), (6L, "z"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    assert(e.getMessage.contains("non-monotone") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-monotone")),
+      e.getMessage)
+    // an under-budget late id whose domain total stays within the
+    // budget is legal: both keep {5, 10}
+    val input3 = MemoryStream[(Long, String)]
+    val q3 = StreamingEtl.domainCapStream(
+      input3.toDS().toDF("doc_id", "source"), "doc_id", "source",
+      maxPerDomain = 2, s"$root/out3", s"$root/state3", s"$root/ckpt3")
+    input3.addData((10L, "z"))
+    q3.processAllAvailable()
+    input3.addData((5L, "z"))
+    q3.processAllAvailable()
+    q3.stop()
+    assert(spark.read.parquet(s"$root/out3")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet === Set(5L, 10L))
+  }
+
   test("streaming semantic dedup: verdicts equal the batch operator over the concatenated corpus") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ext.dedup.SemanticDedup
