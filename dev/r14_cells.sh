@@ -32,11 +32,17 @@ run_rung() {
 
 # Quiet cell first: the watch-row attribution needs load <~2 at start,
 # and the host is quietest before the decade rungs run.
-echo "=== etl_upsert quiet cell sf100 ($(date -u +%H:%M:%S)) load: $(cat /proc/loadavg) ==="
-run_rung 100.0 "etl_upsert" "EXP_UPSERT_QUIET_SF100.json" 2
+# (Already recorded this round: EXP_UPSERT_QUIET_SF100.json, plus the
+# EXP_UPSERT_PREFOLD_SF100.json A/B that attributed and reversed the
+# probe fold — skip unless re-measuring.)
+if [ ! -f EXP_UPSERT_QUIET_SF100.json ]; then
+  echo "=== etl_upsert quiet cell sf100 ($(date -u +%H:%M:%S)) load: $(cat /proc/loadavg) ==="
+  run_rung 100.0 "etl_upsert" "EXP_UPSERT_QUIET_SF100.json" 2
+fi
 
 for SF in 10.0 31.6 100.0; do
   echo "=== r14 new-row rung sf$SF ($(date -u +%H:%M:%S)) ==="
-  run_rung "$SF" "multimodal_phash_pairs,docs_curation_pipeline_v2" \
+  run_rung "$SF" \
+    "multimodal_phash_pairs,docs_curation_pipeline_v2,multimodal_audio_fp_pairs" \
     "EXP_R14_SF${SF}.json"
 done

@@ -345,6 +345,55 @@ object LlmQueries {
       |WHERE bit_count(xor(a.sim, b.sim)) <= 3
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Audio near-dup mining (the clip analogue of
+    * [[qPhashPairs]]): real RIFF/WAVE encode → JDK sound-stack decode
+    * → 63-bit frame-energy delta-sign fingerprint → the SAME
+    * pigeonhole hamming miner. The oracle replays the full pipeline
+    * from the sample formula — xor-shift mixer, integer gain, noise
+    * samples, frame energies, delta-sign pack — then brute-forces the
+    * hamming ball, so a hash match proves the bytes round-tripped
+    * through the real audio container AND the miner lost nothing. */
+  private def qAudioFpPairs(s: SparkSession, dir: String): DataFrame =
+    graft.ext.multimodal.MediaNearDup.audioFpPairs(docs(s, dir), maxHamming = 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val qAudioFpPairsSql =
+    """WITH seed AS (
+      |  SELECT doc_id,
+      |    (doc_id // 4 % 1073741789) * 69621 % 1073741789 AS m1
+      |  FROM documents),
+      |dims AS (
+      |  SELECT doc_id, m1, 24 + m1 % 17 AS spf FROM seed),
+      |ks AS (
+      |  SELECT doc_id, m1, spf, k.k
+      |  FROM dims, (SELECT unnest(range(0, 2560)) AS k) k
+      |  WHERE k.k < 64 * spf),
+      |mix1 AS (SELECT doc_id, spf, k,
+      |  (m1 + k * 92821) % 1073741789 * 48271 % 1073741789 AS x1 FROM ks),
+      |mix2 AS (SELECT doc_id, spf, k,
+      |  xor(x1, x1 >> 11) * 69621 % 1073741789 AS x2 FROM mix1),
+      |samp AS (SELECT doc_id, spf, k,
+      |  xor(x2, x2 >> 13) % 2501 * (8 + doc_id % 4) +
+      |  CASE WHEN ((doc_id % 1073741789) * 104729 + k * 65537)
+      |            % 1073741789 % 193 = 0
+      |       THEN 4096 ELSE 0 END AS x
+      |  FROM mix2),
+      |eng AS (
+      |  SELECT doc_id, k // spf AS f, SUM(x) AS e FROM samp GROUP BY 1, 2),
+      |bits AS (
+      |  SELECT a.doc_id, a.f, CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS bit
+      |  FROM eng a JOIN eng b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+      |  WHERE a.f < 63),
+      |fp AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(bit * (CAST(1 AS BIGINT) << f)) AS BIGINT) AS sim
+      |  FROM bits GROUP BY doc_id)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+      |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   private lazy val qSimhashSql =
     s"""WITH th AS (
        |  SELECT doc_id,
@@ -2175,6 +2224,7 @@ object LlmQueries {
     "multimodal_audio_decode" -> (qMultimodalAudioDecode _),
     "multimodal_video_decode" -> (qMultimodalVideoDecode _),
     "multimodal_phash_pairs" -> (qPhashPairs _),
+    "multimodal_audio_fp_pairs" -> (qAudioFpPairs _),
     "docs_embed"          -> (qDocsEmbed _),
     "docs_embed_knn"      -> (qDocsEmbedKnn _),
     "docs_quality_clf"    -> (qQualityClf _),
@@ -2226,6 +2276,7 @@ object LlmQueries {
     "multimodal_audio_decode" -> qMultimodalAudioDecodeSql,
     "multimodal_video_decode" -> qMultimodalVideoDecodeSql,
     "multimodal_phash_pairs" -> qPhashPairsSql,
+    "multimodal_audio_fp_pairs" -> qAudioFpPairsSql,
     "docs_embed"         -> qDocsEmbedSql,
     "docs_embed_knn"     -> qDocsEmbedKnnSql,
     "docs_quality_clf"   -> qQualityClfSql,

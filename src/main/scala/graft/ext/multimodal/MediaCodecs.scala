@@ -269,6 +269,115 @@ object MediaCodecs {
     } finally ain.close()
   }
 
+  // ------------------------------------ audio-fingerprint corpus + hash
+
+  /** Planted near-dup AUDIO corpus for the fingerprint miner — the
+    * waveform analogue of [[encodePhashImage]]'s families: every 4
+    * consecutive doc_ids share a base waveform (seeded from
+    * `doc_id / 4`); members differ by an integer GAIN (`doc_id % 4`
+    * eighths above unity — the "same clip re-exported louder" case)
+    * plus sparse additive sample noise (~1 in [[AfpNoiseMod]]). Base
+    * samples are NON-NEGATIVE MULTIPLES OF 8 in [0, 20000], so a
+    * member's `base/8*gain` is exact integer arithmetic: frame-energy
+    * ORDER is preserved under gain exactly (the invariance [[afp64]]
+    * exists for) and the max sample 20000/8*11+4096 = 31596 stays
+    * inside signed 16-bit. The mixer interleaves modular multiplies
+    * (mod [[PhashP]]) with xor-shifts — same rationale as the image
+    * corpus (a pure LCG leaves cross-family linear structure). */
+  val AfpNoiseMod = 193L
+  val AfpFrames = 64
+  def afpSeed(docId: Long): Long = (docId / 4 % PhashP) * 69621 % PhashP
+  def afpSamplesPerFrame(m1: Long): Int = (24 + m1 % 17).toInt // 24..40
+  def afpBase(m1: Long, k: Long): Int = {
+    var x = (m1 + k * 92821L) % PhashP
+    x = x * 48271L % PhashP
+    x ^= x >> 11
+    x = x * 69621L % PhashP
+    x ^= x >> 13
+    ((x % 2501L) * 8L).toInt // 0, 8, ..., 20000
+  }
+  def afpSample(docId: Long, m1: Long, k: Long): Int = {
+    val s = afpBase(m1, k) / 8 * (8L + docId % 4L)
+    if (((docId % PhashP) * 104729L + k * 65537L) % PhashP % AfpNoiseMod == 0L)
+      (s + 4096L).toInt
+    else s.toInt
+  }
+
+  /** Encode the planted-family clip for `docId` as a real RIFF/WAVE
+    * container (16-bit mono PCM — the [[encodeWav]] path). Length is
+    * exactly [[AfpFrames]] × samples-per-frame, so the fingerprint's
+    * frames tile the clip with no partial tail. */
+  def encodeAfpWav(docId: Long): Array[Byte] = {
+    val m1 = afpSeed(docId)
+    val n = AfpFrames * afpSamplesPerFrame(m1)
+    val pcm = new Array[Byte](2 * n)
+    var k = 0
+    while (k < n) {
+      val s = afpSample(docId, m1, k.toLong)
+      pcm(2 * k) = (s & 0xFF).toByte
+      pcm(2 * k + 1) = ((s >> 8) & 0xFF).toByte
+      k += 1
+    }
+    val fmt = new AudioFormat(SampleRate, 16, 1, true, false)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** 64-bit audio fingerprint from DECODED PCM: split the clip into
+    * [[AfpFrames]] equal frames (any partial tail is dropped —
+    * deterministic for foreign clips; the planted corpus tiles
+    * exactly), reduce each frame to its absolute-amplitude energy,
+    * and set bit `f` when frame `f` is strictly quieter than frame
+    * `f+1` — the delta-sign signature (dHash's comparison idea in
+    * time). A uniform gain rescales every energy by the same positive
+    * factor and preserves every comparison (the perceptual property);
+    * localized noise flips only the bits whose frames it touches.
+    * Bit 63 is always 0 (63 comparisons — the BIGINT-sign-free
+    * convention shared with [[dhash64]] and the token SimHash), so
+    * the DuckDB oracle replays it without shifting into the sign
+    * bit. The container is parsed by the JDK sound stack, not
+    * trusted metadata — same contract as [[decodeWav]]. */
+  def afp64(media: Array[Byte]): Long = {
+    val ain = AudioSystem.getAudioInputStream(new ByteArrayInputStream(media))
+    val (bytes, bigEndian) =
+      try {
+        val fmt = ain.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"unexpected decoded format: $fmt")
+        (ain.readAllBytes(), fmt.isBigEndian)
+      } finally ain.close()
+    val n = bytes.length / 2
+    require(n >= AfpFrames,
+      s"afp64 needs >= $AfpFrames PCM frames for distinct energies, got $n")
+    val spf = n / AfpFrames
+    val e = new Array[Long](AfpFrames)
+    var f = 0
+    while (f < AfpFrames) {
+      var i = f * spf
+      val end = i + spf
+      var s = 0L
+      while (i < end) {
+        val x =
+          if (bigEndian) (bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xFF)
+          else (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF)
+        s += math.abs(x.toLong)
+        i += 1
+      }
+      e(f) = s
+      f += 1
+    }
+    var bits = 0L
+    var b = 0
+    while (b < 63) {
+      if (e(b) < e(b + 1)) bits |= 1L << b
+      b += 1
+    }
+    bits
+  }
+
   // -------------------------------------------------------------- video
 
   /** Deterministic synthetic video geometry/pixels for `doc_id` — the

@@ -85,6 +85,42 @@ object MediaNearDup {
       hashes, docs.count(), maxHamming, maxBucketSize, numChunks)
   }
 
+  /** Near-duplicate AUDIO pairs at `hamming <= maxHamming` over the
+    * planted-family clip corpus derived from `docs` (one RIFF/WAVE
+    * clip per doc_id). Same machinery as [[phashPairs]] with
+    * [[MediaCodecs.afp64]] as the signature: the decode+fingerprint
+    * stage is a shuffle-free per-partition map and the pigeonhole
+    * miner, skew cap, and verify-before-dedup ordering are inherited
+    * unchanged. Output: (doc_a, doc_b, hamming), doc_a < doc_b. */
+  def audioFpPairs(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000,
+      numChunks: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    val hashes = Multimodal.afpHashes(Multimodal.afpCorpus(spark, docs))
+    val (out, caches, _) = NearDup.hammingPairsPlanFull(
+      hashes, docs.count(), maxHamming, maxBucketSize, numChunks)
+    NearDup.materializeAndRelease(out, "afp", caches: _*)
+  }
+
+  /** [[audioFpPairs]] plus mine stats plus the CACHED hash frame (the
+    * [[phashPairsWithStatsAndHashes]] contract: caller unpersists). */
+  def audioFpPairsWithStatsAndHashes(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000,
+      numChunks: Int = 0): (DataFrame, NearDup.MineStats, DataFrame) = {
+    val spark = docs.sparkSession
+    val hashes =
+      Multimodal.afpHashes(Multimodal.afpCorpus(spark, docs)).cache()
+    val (out, caches, sizes) = NearDup.hammingPairsPlanFull(
+      hashes, docs.count(), maxHamming, maxBucketSize, numChunks)
+    val (pairs, st) =
+      NearDup.materializeWithStats(out, "afp", caches, sizes, maxBucketSize)
+    (pairs, st, hashes)
+  }
+
   /** The TRUE planted-pair frame for recall measurement: every
     * within-family pair whose formula-replayed hashes are within
     * `maxHamming` (truth is scheme- and cap-independent — exactly

@@ -208,6 +208,33 @@ object Multimodal {
       .toDF("doc", "sim")
   }
 
+  /** Synthesize the planted-near-dup AUDIO corpus for the fingerprint
+    * miner (see [[MediaCodecs.encodeAfpWav]]: 4-doc families sharing a
+    * base waveform, gain-shifted + sparse-noise members; real
+    * RIFF/WAVE blobs). Spread first, like [[phashCorpus]] — encode is
+    * the heavy per-row work. */
+  def afpCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    docs.select(col("doc_id")).repartition(par).as[Long].map { id =>
+      val m1 = MediaCodecs.afpSeed(id)
+      val n = MediaCodecs.AfpFrames * MediaCodecs.afpSamplesPerFrame(m1)
+      MediaRecord(id, MediaCodecs.encodeAfpWav(id),
+        MediaMeta("audio", "wav", 0, 0,
+          n.toLong * 1000 / MediaCodecs.SampleRate.toLong))
+    }
+  }
+
+  /** REAL audio fingerprinting as a partition-preserving batch map:
+    * every signature comes from PCM the JDK sound stack parsed out of
+    * the binary column ([[MediaCodecs.afp64]]). Output is the (doc,
+    * sim) shape [[graft.ext.dedup.NearDup]]'s hamming miner consumes. */
+  def afpHashes(records: Dataset[MediaRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.map(r => (r.id, MediaCodecs.afp64(r.media))))
+      .toDF("doc", "sim")
+  }
+
   /** Feature extraction as a partition-preserving batch map — the
     * `mapInPandas` analogue: one decoder init per partition, rows
     * streamed through it. */

@@ -182,14 +182,20 @@ object ParquetUpsertSink {
     * machinery (a full-row-hash argmax + an all-column distinct —
     * two more batch-wide exchanges) runs ONLY when the invariant
     * probe finds a duplicate `(key, orderCol)` pair anywhere in the
-    * batch. The probe is ONE column-pruned aggregate job that also
-    * enforces the null-key contract (round-12 fold: the former
-    * separate null scan + dup probe + merge derived the batch
-    * lineage three times; now probe + merge = two), so the
-    * documented-unique common case pays one pass of metadata-width
-    * scanning, never the extra wide shuffles (the sf100 upsert cells
-    * are the registry's heaviest rows — doubling their shuffle for a
-    * contract-violation path would regress the ladder for nothing). Every aggregation buffer
+    * batch. The probes are TWO deliberately separate short-circuit
+    * jobs — a no-shuffle null-key scan (`filter(isNull).isEmpty`) and
+    * a grouped dup probe behind a limit-1 — NOT one folded aggregate:
+    * the fold ("one probe job answers both invariants", tried after
+    * a round-12 job-count observation) was MEASURED 1.87× slower on
+    * the sf100 cell (331 s folded vs 177 s split, same host, fresh
+    * JVMs, min-of-2, byte-identical shuffle/spill/input — the eager
+    * nested two-level aggregate costs far more wall than the extra
+    * short-circuit pass it saves; `EXP_UPSERT_QUIET_SF100.json` vs
+    * `EXP_UPSERT_PREFOLD_SF100.json`). The documented-unique common
+    * case pays metadata-width scans only, never the extra wide
+    * shuffles (the sf100 upsert cells are the registry's heaviest
+    * rows — doubling their shuffle for a contract-violation path
+    * would regress the ladder for nothing). Every aggregation buffer
     * on either path is FIXED-WIDTH — `max(o)`, `count`, `max(__tb)`
     * (8-byte row hash), and the final all-column distinct (grouping
     * keys only, EMPTY buffer) — so nothing here ever falls back to
@@ -203,22 +209,12 @@ object ParquetUpsertSink {
     orderCol match {
       case Some(o) =>
         val cols = batch.columns.toIndexedSeq
-        // ONE column-pruned probe job answers BOTH pre-merge
-        // invariants (round-12 advice/verdict: the separate null-key
-        // scan and dup-pair probe each re-derived the batch lineage —
-        // three eager passes over a 100 M-row batch before the merge):
-        // from the (key, orderCol) group counts, max(count) > 1
-        // detects duplicate pairs (routes to the tie-break path) and
-        // counting null-key groups enforces the non-null-key contract.
-        // Both aggregation buffers are fixed-width; the pass reads
-        // only the two probe columns.
-        val probe = batch.groupBy(col(key), col(o))
-          .agg(count(lit(1)).as("__n"))
-          .agg(max(col("__n")).as("__maxn"),
-            count(when(col(key).isNull, lit(1))).as("__nullKeyGroups"))
-          .head()
-        require(probe.getLong(1) == 0L, nullKeyMessage(key))
-        val hasDupPairs = !probe.isNullAt(0) && probe.getLong(0) > 1L
+        // two SEPARATE short-circuit probes, deliberately not folded
+        // into one aggregate — the folded form measured 1.87× slower
+        // at sf100 with byte-identical IO (see the scaladoc above)
+        requireNonNullKeys(batch, key)
+        val hasDupPairs = !batch.groupBy(col(key), col(o)).count()
+          .filter(col("count") > lit(1L)).isEmpty
         // winners is narrow but corpus-LINEAR (one row per batch key),
         // so neither join carries a shuffle-hash hint: AQE's
         // local-map-threshold demotion converts the planned SMJ to a

@@ -104,6 +104,10 @@ object ScaleBench {
     // dHash → the docs_simhash_pairs pigeonhole miner; pair mass is
     // linear by the planted-family corpus design
     "multimodal_phash_pairs", // perceptual-hash image near-dup mining
+    // round-14 audio analogue: real RIFF/WAVE encode → JDK sound-stack
+    // decode → 63-bit frame-energy delta-sign fingerprint → the same
+    // pigeonhole miner; same planted-family linear pair mass
+    "multimodal_audio_fp_pairs", // audio-fingerprint near-dup mining
     "docs_embed_knn",        // text→hashed-idf vector→JL→exact cosine KNN
     "docs_quality_clf",      // iterated-agg trained classifier + corpus score
     "docs_quality_clf_ref",  // scoring vs the fixed at-rest model (flat training)
@@ -253,6 +257,15 @@ object ScaleBench {
         // not run twice per rung
         val (pairs, st, hashes) =
           graft.ext.multimodal.MediaNearDup.phashPairsWithStatsAndHashes(
+            graft.Tables(spark, dir, "documents"), maxHamming = 3)
+        val rec =
+          try RecallSampler.phashRecallFromHashes(hashes, pairs)
+          finally hashes.unpersist()
+        (Some(st), Some(rec))
+      case "multimodal_audio_fp_pairs" =>
+        // same shared-hash-frame discipline as the image row
+        val (pairs, st, hashes) =
+          graft.ext.multimodal.MediaNearDup.audioFpPairsWithStatsAndHashes(
             graft.Tables(spark, dir, "documents"), maxHamming = 3)
         val rec =
           try RecallSampler.phashRecallFromHashes(hashes, pairs)
