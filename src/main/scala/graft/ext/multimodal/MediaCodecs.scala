@@ -212,6 +212,60 @@ object MediaCodecs {
 
   val SampleRate = 8000f
 
+  /** The JDK's WAVE codec providers, resolved ONCE per JVM.
+    *
+    * `AudioSystem.getAudioInputStream`/`AudioSystem.write` re-run a
+    * provider lookup on EVERY call behind a process-global lock
+    * (`JDK13Services` is synchronized) — measured on the first
+    * `multimodal_audio_fp_pairs` rung: 32 decode tasks serialized onto
+    * ~one core (load 1.19 during a full 475 k-clip wave; thread dumps
+    * parked in `getAudioFileReaders`/`getAudioFileWriters`). The SPI
+    * instances themselves are stateless and thread-safe, so resolve
+    * the WAVE reader/writer once and call them directly; fall back to
+    * the `AudioSystem` path only if service loading finds none (a
+    * foreign JDK), keeping behavior identical. */
+  private lazy val wavReader: Option[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    // minimal hand-built RIFF/WAVE probe (44-byte header + one 16-bit
+    // sample) to pick the reader that actually parses WAVE
+    val bb = java.nio.ByteBuffer.allocate(46)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(38)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1); bb.putInt(8000); bb.putInt(16000)
+    bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(2); bb.putShort(0)
+    val probe = bb.array()
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .asScala.find { r =>
+        try { r.getAudioFileFormat(new ByteArrayInputStream(probe)); true }
+        catch { case _: Exception => false }
+      }
+  }
+  private lazy val wavWriter: Option[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .asScala.find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE))
+  }
+  /** Test pin: the once-per-JVM WAVE SPI fast path must be active on
+    * this JDK — silently falling back to the lock-serialized
+    * `AudioSystem` path would reintroduce the measured bottleneck. */
+  def wavSpiResolved: Boolean = wavReader.isDefined && wavWriter.isDefined
+
+  private def readWavStream(media: Array[Byte]): AudioInputStream =
+    wavReader match {
+      case Some(r) => r.getAudioInputStream(new ByteArrayInputStream(media))
+      case None => AudioSystem.getAudioInputStream(new ByteArrayInputStream(media))
+    }
+  private def writeWavStream(ais: AudioInputStream, out: ByteArrayOutputStream): Unit =
+    wavWriter match {
+      case Some(w) => w.write(ais, AudioFileFormat.Type.WAVE, out)
+      case None => AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    }
+
   /** Synthetic 16-bit PCM sample formula (signed, full range). */
   def audioFrames(docId: Long): Int = (16 + docId % 50).toInt // 16..65
   def sampleAt(docId: Long, k: Long): Int =
@@ -231,9 +285,8 @@ object MediaCodecs {
     }
     val fmt = new AudioFormat(SampleRate, 16, 1, true, false)
     val out = new ByteArrayOutputStream()
-    AudioSystem.write(
-      new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong),
-      AudioFileFormat.Type.WAVE, out)
+    writeWavStream(
+      new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong), out)
     out.toByteArray
   }
 
@@ -245,7 +298,7 @@ object MediaCodecs {
     * (header walk, format negotiation) and reduce the PCM frames to
     * exact integer stats. */
   def decodeWav(media: Array[Byte]): AudioStats = {
-    val ain = AudioSystem.getAudioInputStream(new ByteArrayInputStream(media))
+    val ain = readWavStream(media)
     try {
       val fmt = ain.getFormat
       require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
@@ -320,9 +373,8 @@ object MediaCodecs {
     }
     val fmt = new AudioFormat(SampleRate, 16, 1, true, false)
     val out = new ByteArrayOutputStream()
-    AudioSystem.write(
-      new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong),
-      AudioFileFormat.Type.WAVE, out)
+    writeWavStream(
+      new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong), out)
     out.toByteArray
   }
 
@@ -341,7 +393,7 @@ object MediaCodecs {
     * bit. The container is parsed by the JDK sound stack, not
     * trusted metadata — same contract as [[decodeWav]]. */
   def afp64(media: Array[Byte]): Long = {
-    val ain = AudioSystem.getAudioInputStream(new ByteArrayInputStream(media))
+    val ain = readWavStream(media)
     val (bytes, bigEndian) =
       try {
         val fmt = ain.getFormat

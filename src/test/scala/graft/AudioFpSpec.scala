@@ -26,6 +26,12 @@ class AudioFpSpec extends SparkSpec {
     }
   }
 
+  test("the once-per-JVM WAVE SPI fast path is active (no per-call provider lookup)") {
+    assert(MediaCodecs.wavSpiResolved,
+      "ServiceLoader found no WAVE AudioFileReader/Writer — the codec " +
+        "fell back to the lock-serialized AudioSystem path")
+  }
+
   test("fingerprint of decoded WAV bytes equals the sample-formula replay") {
     (0L until 64L).foreach { id =>
       assert(MediaCodecs.afp64(MediaCodecs.encodeAfpWav(id)) ===
