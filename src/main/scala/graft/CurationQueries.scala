@@ -614,28 +614,56 @@ object CurationQueries {
           .as("__host")),
       "doc_id", "__host", maxPerDomain = 3).select(col("doc_id"))
     val d1 = train.join(capIds, Seq("doc_id"), "left_semi")
-    // 2. exact dedup (first occurrence per fingerprint); cached — it
-    // feeds the contamination probe AND the anti-join spine
-    val d2 = d1
-      .groupBy(TextFunctions.fingerprint(col("text")).as("__fp"))
-      .agg(min_by(struct(col("doc_id"), col("source"), col("text")),
-        col("doc_id")).as("__r"))
-      .select(col("__r.*"))
-      .cache()
+    // 2. exact dedup (first occurrence per fingerprint) as a NARROW
+    // argmin + semi-join back, NOT min_by(struct(.., text), ..): the
+    // struct form is a declarative aggregate whose non-atomic buffer
+    // forces SortAggregate over text-wide rows at near-full corpus
+    // width (v1 gets away with it only because its quality gate
+    // shrinks the input first). Measured at sf100: NOT this
+    // pipeline's spiller (the 13.3 GB stage is elsewhere — see the
+    // attribution cells), but the narrow form removes the sort
+    // entirely: the (fp, min doc_id) aggregate has a fixed-width
+    // buffer (true HashAggregate, 24-byte shuffle rows) and the
+    // semi-join keys on doc_id — the SAME key the cap semi-join just
+    // partitioned on. Cached — it feeds the contamination probe AND
+    // the anti-join spine.
+    val firstIds = d1
+      .select(TextFunctions.fingerprint(col("text")).as("__fp"), col("doc_id"))
+      .groupBy(col("__fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    // Survivor-ID spine: every stage below caches the NARROW id frame
+    // and re-derives full rows from the at-rest corpus per consumer,
+    // instead of caching corpus-wide text frames between stages. The
+    // first cut of this pipeline cached d2/d3 with text; at sf100 the
+    // two deserialized corpus caches squeezed the unified pool's
+    // execution side to its floor while the decon gram-distinct ran
+    // over an underestimate-spread 49-task explode (the cached frame's
+    // pre-materialization stats are the child ESTIMATE, not file
+    // bytes), spilling 13.3 GB mem + 2.1 GB disk in that one stage —
+    // the attribution cells' find. Ids cost ~8 bytes/doc to hold;
+    // re-reading text is one pushdown-pruned parquet scan per stage,
+    // and every explode consumer then sits on a file-backed plan with
+    // honest size stats (the same shape whose standalone rows measure
+    // zero-spill). At 100 TB "cache the corpus between stages" is not
+    // a plan — "carry the survivor ids, re-scan at rest" is.
+    val keep2 = firstIds.cache() // ids surviving cap + dedup
+    def rows(ids: DataFrame): DataFrame =
+      train.join(ids, Seq("doc_id"), "left_semi")
     // 3. decontamination: anti-join against the gram-hash overlap set
     val contaminated = Decontaminate.crossOverlaps(
-      d2, eval, "doc_id", "text", n = 3)
-    val d3 = d2.join(contaminated.select(col("doc_id")),
-      Seq("doc_id"), "left_anti").cache()
+      rows(keep2), eval, "doc_id", "text", n = 3)
+    val keep3 = keep2.join(contaminated.select(col("doc_id")),
+      Seq("doc_id"), "left_anti").cache() // ids surviving decontamination
     // 4. DSIR selection over the post-decontamination corpus
-    val selIds = Dsir.weights(d3, "doc_id", "text",
+    val selIds = Dsir.weights(rows(keep3), "doc_id", "text",
       isTarget = col("source") === "src0")
       .filter(col("selected")).select(col("doc_id"))
-    val d4 = d3.join(selIds, Seq("doc_id"), "left_semi")
     // 5. pack the survivors
-    val out = ShardPacker.packShards(d4, "doc_id", "text", budget = 2000L)
+    val out = ShardPacker.packShards(rows(selIds), "doc_id", "text",
+      budget = 2000L)
       .orderBy(col("doc_id"))
-    NearDup.materializeAndRelease(out, "curation_v2", d2, d3)
+    NearDup.materializeAndRelease(out, "curation_v2", keep2, keep3)
   }
 
   private val qCurationPipelineV2Sql =

@@ -88,8 +88,18 @@ object Decontaminate {
       idCol: String,
       textCol: String,
       n: Int): DataFrame = {
+    // 4 MB-of-input tasks, not the generic 16 MB: the explode fans
+    // each input byte into ~30× of (doc, h) DISTINCT hash-map state
+    // (≈600 grams × 48-64 B map entry per ~300 B doc), so a 16 MB
+    // task carries ~2 GB of partial-agg state against a ~450 MB fair
+    // share at 32 concurrent tasks — measured as the composed
+    // pipeline's ONLY spilling stage at sf100 (13.3 GB mem + 2.1 GB
+    // disk in the 49-task explode; eventlog attribution, round 14).
+    // Width must scale with the EXPLODED aggregate state, and input
+    // stats here are compressed-file estimates, so the target is the
+    // lever.
     def gramHashes(df: DataFrame) =
-      TextFunctions.spreadForExplode(df)
+      TextFunctions.spreadForExplode(df, targetBytesPerTask = 4L << 20)
         .select(col(idCol).as("doc"),
           explode(TextFunctions.shingles(col(textCol), n)).as("g"))
         .select(col("doc"), xxhash64(col("g")).as("h"))

@@ -337,6 +337,36 @@ object GraftTableFunctions {
         maxBucketSize =
           longArg(args(4), "graft_simhash_pairs", "maxBucketSize").toInt)
     },
+    tvf("graft_phash_pairs",
+      "graft_phash_pairs(docsTable, maxHamming, maxBucketSize) - " +
+        "perceptual-hash image near-dup mining over the planted-family " +
+        "corpus derived from docsTable's doc_id (MediaNearDup." +
+        "phashPairs: real BMP/PNG encode, ImageIO decode, 63-bit " +
+        "dHash, pigeonhole hamming miner with skew cap + " +
+        "verify-before-dedup; EAGER like graft_simhash_pairs - the " +
+        "mining runs at analysis time, bind the result once)") { args =>
+      requireArgs(args, 3, "graft_phash_pairs")
+      graft.ext.multimodal.MediaNearDup.phashPairs(
+        tableArg(args(0), "graft_phash_pairs"),
+        maxHamming = longArg(args(1), "graft_phash_pairs", "maxHamming").toInt,
+        maxBucketSize =
+          longArg(args(2), "graft_phash_pairs", "maxBucketSize").toInt)
+    },
+    tvf("graft_audio_fp_pairs",
+      "graft_audio_fp_pairs(docsTable, maxHamming, maxBucketSize) - " +
+        "audio-fingerprint near-dup mining over the planted-family " +
+        "clip corpus derived from docsTable's doc_id (MediaNearDup." +
+        "audioFpPairs: real RIFF/WAVE encode, JDK sound-stack decode, " +
+        "63-bit frame-energy delta-sign fingerprint, the same " +
+        "pigeonhole hamming miner; EAGER like graft_simhash_pairs - " +
+        "bind the result once)") { args =>
+      requireArgs(args, 3, "graft_audio_fp_pairs")
+      graft.ext.multimodal.MediaNearDup.audioFpPairs(
+        tableArg(args(0), "graft_audio_fp_pairs"),
+        maxHamming = longArg(args(1), "graft_audio_fp_pairs", "maxHamming").toInt,
+        maxBucketSize =
+          longArg(args(2), "graft_audio_fp_pairs", "maxBucketSize").toInt)
+    },
     tvf("graft_source_mix",
       "graft_source_mix(table, idCol, textCol, domainCol, alpha, " +
         "targetFrac) - temperature-based source mixing (SourceMix." +

@@ -167,9 +167,19 @@ object ScaleBench {
     override def onStageSubmitted(
         ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
       // the stage NAME under AQE is a thread-capture callsite; the RDD
-      // scope names carry the physical operators the stage executes
-      stageNames.put(ss.stageInfo.stageId,
-        ss.stageInfo.rddInfos.map(_.name).distinct.mkString(",").take(200))
+      // OPERATION SCOPES carry the physical operators the stage
+      // executes (Exchange/SortAggregate/...), and the stage details
+      // hold the user-code callsite — both are what spill attribution
+      // actually needs (RDD type names alone read as
+      // "MapPartitionsRDD,ShuffledRowRDD" for every stage)
+      stageNames.put(ss.stageInfo.stageId, {
+        val scopes = ss.stageInfo.rddInfos
+          .flatMap(i => Option(i.scope).flatten.map(_.name))
+          .distinct
+        val site = ss.stageInfo.details.linesIterator
+          .find(_.contains("graft.")).getOrElse("").trim
+        (scopes.mkString(",") + " @ " + site).take(300)
+      })
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
       if (m != null) {

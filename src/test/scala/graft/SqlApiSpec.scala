@@ -256,6 +256,24 @@ class SqlApiSpec extends SparkSpec {
       Seq("doc_a", "doc_b"))
   }
 
+  test("TVF graft_phash_pairs: same mining path and rows as MediaNearDup") {
+    Tables.registerViews(spark, sf)
+    assertSameEagerResult(
+      spark.sql("SELECT * FROM graft_phash_pairs('documents', 3, 1000)"),
+      graft.ext.multimodal.MediaNearDup.phashPairs(
+        spark.table("documents"), maxHamming = 3, maxBucketSize = 1000),
+      Seq("doc_a", "doc_b"))
+  }
+
+  test("TVF graft_audio_fp_pairs: same mining path and rows as MediaNearDup") {
+    Tables.registerViews(spark, sf)
+    assertSameEagerResult(
+      spark.sql("SELECT * FROM graft_audio_fp_pairs('documents', 3, 1000)"),
+      graft.ext.multimodal.MediaNearDup.audioFpPairs(
+        spark.table("documents"), maxHamming = 3, maxBucketSize = 1000),
+      Seq("doc_a", "doc_b"))
+  }
+
   test("TVF graft_source_mix: same plan as SourceMix.sample (broadcast rates, map-only filter)") {
     Tables.registerViews(spark, sf)
     val viaSql = spark.sql("SELECT * FROM graft_source_mix(" +
@@ -387,6 +405,7 @@ class SqlApiSpec extends SparkSpec {
           "graft_dsir_score", "graft_knn_exact",
           "graft_lm_score", "graft_minhash_pairs",
           "graft_simhash_pairs", "graft_source_mix",
+          "graft_phash_pairs", "graft_audio_fp_pairs",
           "graft_semantic_dedup").foreach { f =>
         assert(s2.sessionState.tableFunctionRegistry
           .functionExists(FunctionIdentifier(f)), s"missing TVF $f")
