@@ -246,9 +246,23 @@ object MediaCodecs {
   }
   private lazy val wavWriter: Option[javax.sound.sampled.spi.AudioFileWriter] = {
     import scala.jdk.CollectionConverters._
+    // probe with a REAL one-sample PCM_SIGNED stream, not just
+    // isFileTypeSupported(WAVE): the JDK also ships WaveFloatFileWriter,
+    // which claims WAVE but throws on integer PCM — a provider order
+    // that lists it first would otherwise break every encode while the
+    // wavSpiResolved pin stays green
+    def pcmProbe(w: javax.sound.sampled.spi.AudioFileWriter): Boolean =
+      try {
+        val fmt = new AudioFormat(SampleRate, 16, 1, true, false)
+        val ais = new AudioInputStream(
+          new ByteArrayInputStream(Array[Byte](0, 0)), fmt, 1L)
+        w.write(ais, AudioFileFormat.Type.WAVE, new ByteArrayOutputStream())
+        true
+      } catch { case _: Exception => false }
     java.util.ServiceLoader
       .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
-      .asScala.find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE))
+      .asScala
+      .find(w => w.isFileTypeSupported(AudioFileFormat.Type.WAVE) && pcmProbe(w))
   }
   /** Test pin: the once-per-JVM WAVE SPI fast path must be active on
     * this JDK — silently falling back to the lock-serialized

@@ -48,29 +48,47 @@ object MediaNearDup {
       maxHamming: Int = 3,
       maxBucketSize: Int = 1000,
       numChunks: Int = 0): (DataFrame, NearDup.MineStats) = {
-    val (pairs, st, hashes) =
+    val (pairs, st, _) =
       phashPairsWithStatsAndHashes(docs, maxHamming, maxBucketSize, numChunks)
-    hashes.unpersist()
     (pairs, st)
   }
 
-  /** [[phashPairsWithStats]] that additionally hands back the CACHED
-    * `(doc, sim)` hash frame, so the untimed ScaleBench stats+recall
-    * pass can derive [[plantedTruthFromHashes]] without re-running
-    * the dominant encode→decode→dHash pass a second time over the
-    * whole corpus. The caller owns the cache: `unpersist()` it. */
+  /** [[phashPairsWithStats]] that additionally hands back a
+    * FILE-BACKED `(doc, sim)` hash frame, so the untimed ScaleBench
+    * stats+recall pass can derive [[plantedTruthFromHashes]] without
+    * re-running the dominant encode→decode→dHash pass a second time
+    * over the whole corpus. File-backed, not cached: the miner caches
+    * its input internally and `materializeWithStats` releases those
+    * caches on exit (`Dataset.cache()` returns the SAME object, so a
+    * caller-held cache of the identical frame is released WITH them —
+    * the first cut of this method returned an already-unpersisted
+    * frame and the recall pass silently re-decoded the corpus). The
+    * one decode pass happens during the scratch write; everything
+    * downstream re-reads ~16 bytes/doc of parquet. */
   def phashPairsWithStatsAndHashes(
       docs: DataFrame,
       maxHamming: Int = 3,
       maxBucketSize: Int = 1000,
-      numChunks: Int = 0): (DataFrame, NearDup.MineStats, DataFrame) = {
+      numChunks: Int = 0): (DataFrame, NearDup.MineStats, DataFrame) =
+    minedWithStatsAndHashes(
+      Multimodal.dhashImages(Multimodal.phashCorpus(docs.sparkSession, docs)),
+      "phash", docs, maxHamming, maxBucketSize, numChunks)
+
+  private def minedWithStatsAndHashes(
+      hashed: DataFrame,
+      tag: String,
+      docs: DataFrame,
+      maxHamming: Int,
+      maxBucketSize: Int,
+      numChunks: Int): (DataFrame, NearDup.MineStats, DataFrame) = {
     val spark = docs.sparkSession
-    val hashes =
-      Multimodal.dhashImages(Multimodal.phashCorpus(spark, docs)).cache()
+    val dir = graft.tools.Scratch.dir(s"graft_${tag}_hashes") + "/hashes"
+    hashed.write.parquet(dir)
+    val hashes = spark.read.parquet(dir)
     val (out, caches, sizes) = NearDup.hammingPairsPlanFull(
       hashes, docs.count(), maxHamming, maxBucketSize, numChunks)
     val (pairs, st) =
-      NearDup.materializeWithStats(out, "phash", caches, sizes, maxBucketSize)
+      NearDup.materializeWithStats(out, tag, caches, sizes, maxBucketSize)
     (pairs, st, hashes)
   }
 
@@ -104,22 +122,16 @@ object MediaNearDup {
     NearDup.materializeAndRelease(out, "afp", caches: _*)
   }
 
-  /** [[audioFpPairs]] plus mine stats plus the CACHED hash frame (the
-    * [[phashPairsWithStatsAndHashes]] contract: caller unpersists). */
+  /** [[audioFpPairs]] plus mine stats plus the FILE-BACKED hash frame
+    * (the [[phashPairsWithStatsAndHashes]] contract). */
   def audioFpPairsWithStatsAndHashes(
       docs: DataFrame,
       maxHamming: Int = 3,
       maxBucketSize: Int = 1000,
-      numChunks: Int = 0): (DataFrame, NearDup.MineStats, DataFrame) = {
-    val spark = docs.sparkSession
-    val hashes =
-      Multimodal.afpHashes(Multimodal.afpCorpus(spark, docs)).cache()
-    val (out, caches, sizes) = NearDup.hammingPairsPlanFull(
-      hashes, docs.count(), maxHamming, maxBucketSize, numChunks)
-    val (pairs, st) =
-      NearDup.materializeWithStats(out, "afp", caches, sizes, maxBucketSize)
-    (pairs, st, hashes)
-  }
+      numChunks: Int = 0): (DataFrame, NearDup.MineStats, DataFrame) =
+    minedWithStatsAndHashes(
+      Multimodal.afpHashes(Multimodal.afpCorpus(docs.sparkSession, docs)),
+      "afp", docs, maxHamming, maxBucketSize, numChunks)
 
   /** The TRUE planted-pair frame for recall measurement: every
     * within-family pair whose formula-replayed hashes are within

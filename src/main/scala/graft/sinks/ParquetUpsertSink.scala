@@ -213,8 +213,11 @@ object ParquetUpsertSink {
         // into one aggregate — the folded form measured 1.87× slower
         // at sf100 with byte-identical IO (see the scaladoc above)
         requireNonNullKeys(batch, key)
-        val hasDupPairs = !batch.groupBy(col(key), col(o)).count()
-          .filter(col("count") > lit(1L)).isEmpty
+        // aliased aggregate, not .count(): the implicit "count" column
+        // would capture a key/orderCol literally named "count"
+        val hasDupPairs = !batch.groupBy(col(key), col(o))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > lit(1L)).isEmpty
         // winners is narrow but corpus-LINEAR (one row per batch key),
         // so neither join carries a shuffle-hash hint: AQE's
         // local-map-threshold demotion converts the planned SMJ to a

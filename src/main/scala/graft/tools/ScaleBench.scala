@@ -268,19 +268,13 @@ object ScaleBench {
         val (pairs, st, hashes) =
           graft.ext.multimodal.MediaNearDup.phashPairsWithStatsAndHashes(
             graft.Tables(spark, dir, "documents"), maxHamming = 3)
-        val rec =
-          try RecallSampler.phashRecallFromHashes(hashes, pairs)
-          finally hashes.unpersist()
-        (Some(st), Some(rec))
+        (Some(st), Some(RecallSampler.phashRecallFromHashes(hashes, pairs)))
       case "multimodal_audio_fp_pairs" =>
         // same shared-hash-frame discipline as the image row
         val (pairs, st, hashes) =
           graft.ext.multimodal.MediaNearDup.audioFpPairsWithStatsAndHashes(
             graft.Tables(spark, dir, "documents"), maxHamming = 3)
-        val rec =
-          try RecallSampler.phashRecallFromHashes(hashes, pairs)
-          finally hashes.unpersist()
-        (Some(st), Some(rec))
+        (Some(st), Some(RecallSampler.phashRecallFromHashes(hashes, pairs)))
       case "emb_semantic_dedup" =>
         val verdicts = graft.SparkEntry.queries(name)(spark, dir)
         (None, Some(RecallSampler.semdedupRecall(spark, sf, verdicts, dir)))

@@ -99,18 +99,16 @@ class AudioFpSpec extends SparkSpec {
     val docs = (0L until 400L).toDF("doc_id")
     val (pairs, st, hashes) =
       MediaNearDup.audioFpPairsWithStatsAndHashes(docs, maxHamming = 3)
-    try {
-      val truth = MediaNearDup.plantedTruthFromHashes(hashes, maxHamming = 3)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      truth.foreach { case (a, b) =>
-        assert(a < b && a / 4 === b / 4, s"($a,$b) not a canonical family pair")
-      }
-      val mined = pairs.select("doc_a", "doc_b")
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      // at spec scale no bucket cap binds: recall is exactly 1
-      assert(truth.subsetOf(mined))
-      assert(st.candidates > 0L)
-    } finally hashes.unpersist()
+    val truth = MediaNearDup.plantedTruthFromHashes(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    truth.foreach { case (a, b) =>
+      assert(a < b && a / 4 === b / 4, s"($a,$b) not a canonical family pair")
+    }
+    val mined = pairs.select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // at spec scale no bucket cap binds: recall is exactly 1
+    assert(truth.subsetOf(mined))
+    assert(st.candidates > 0L)
   }
 
   test("fingerprint rejects clips too short for distinct frames") {
