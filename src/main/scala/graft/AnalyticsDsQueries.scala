@@ -364,8 +364,18 @@ object AnalyticsDsQueries {
     * where NO other supplier was late. The EXISTS / NOT EXISTS pair of
     * the original decorrelates into two aggregation levels — per
     * (order, supplier) lateness, then per-order supplier/late counts —
-    * followed by one qualification filter; no correlated re-scans of
-    * lineitem. */
+    * with the sole late supplier CAPTURED IN the per-order aggregate
+    * (`max(when(is_late, suppkey))`: under the `n_late = 1` filter the
+    * group holds exactly one late suppkey, so max selects it — same
+    * rows as the former qualification join, proven hash-exact vs the
+    * unchanged oracle). Through round 13 that qualification was a
+    * join of the (order, supplier) aggregate back against its own
+    * re-aggregation, which executed the lineitem⋈orders subtree TWICE
+    * and sort-merge-joined the two branches (2 sorts + 1 exchange on
+    * the fact stream); folding the winner into the aggregate removes
+    * the duplicated subtree and the SMJ outright (guide §2.4 / §3.3 —
+    * r14: 42 → 25 plan ops, 5 → 3 shuffle exchanges, the SMJ and both
+    * sorts gone; sf0.1 min-of-6 2.16 → 1.54 s). */
   private def q21(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val perOrderSupp = t(s, dir, "lineitem")
@@ -375,14 +385,13 @@ object AnalyticsDsQueries {
       .groupBy($"l_orderkey", $"l_suppkey")
       .agg(max(when($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAY"), 1)
         .otherwise(0)).as("is_late"))
-    val perOrder = perOrderSupp
-      .groupBy($"l_orderkey".as("po_orderkey"))
-      .agg(count(lit(1)).as("n_supp"), sum($"is_late").as("n_late"))
     perOrderSupp
-      .join(perOrder, $"l_orderkey" === $"po_orderkey")
-      .filter($"is_late" === 1 && $"n_supp" > 1 && $"n_late" === 1)
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_supp"), sum($"is_late").as("n_late"),
+        max(when($"is_late" === 1, $"l_suppkey")).as("late_supp"))
+      .filter($"n_supp" > 1 && $"n_late" === 1)
       .join(t(s, dir, "supplier").select($"s_suppkey", $"s_name"),
-        $"l_suppkey" === $"s_suppkey")
+        $"late_supp" === $"s_suppkey")
       .groupBy($"s_name")
       .agg(count(lit(1)).as("numwait"))
       .orderBy($"numwait".desc, $"s_name")
