@@ -139,39 +139,50 @@ object QualityClassifier {
       .repartition(width, col(idCol)).cache()
     val lab = labels(docs, idCol, textCol)
       .repartition(width, col(idCol)).cache()
-    try {
-      var w = Array.fill(Dim + 1)(0L)
-      val pocket = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
-      var t = 1
-      while (t <= iters) {
-        val mis = misclassified(feats, lab, idCol, w).cache()
-        // one aggregate: per-bucket misclassified count-sums split by
-        // class, plus the two class sizes (partial-combined, tiny)
-        val agg = feats.join(mis, idCol)
-          .groupBy(col("bucket"))
-          .agg(sum(when(col("y") === 1, col("cnt")).otherwise(0L)).as("up"),
-            sum(when(col("y") === -1, col("cnt")).otherwise(0L)).as("un"))
-          .collect()
-        // class sizes ride the bias bucket (cnt=1 per doc)
-        val biasRow = agg.find(_.getLong(0) == Dim.toLong)
-        val np = biasRow.map(_.getLong(1)).getOrElse(0L)
-        val nn = biasRow.map(_.getLong(2)).getOrElse(0L)
-        pocket += ((np + nn) -> w.clone())
-        mis.unpersist()
-        // balanced decayed step: f(x) = x·Scale div (max(1,n_class)·t)
-        // — operands non-negative on both sides of the subtraction, so
-        // floor division agrees across engines
-        val upd = agg.map { r =>
-          r.getLong(0).toInt ->
-            (r.getLong(1) * Scale / (math.max(1L, np) * t) -
-              r.getLong(2) * Scale / (math.max(1L, nn) * t))
-        }.toMap
-        w = w.zipWithIndex.map { case (v, b) => v + upd.getOrElse(b, 0L) }
-        t += 1
-      }
-      pocket += (misclassified(feats, lab, idCol, w).count() -> w)
-      pocket.zipWithIndex.minBy { case ((err, _), i) => (err, i) }._1._2
-    } finally { feats.unpersist(); lab.unpersist() }
+    try trainOnCached(feats, lab, idCol, iters)
+    finally { feats.unpersist(); lab.unpersist() }
+  }
+
+  /** The pocket-training loop over ALREADY-CACHED, idCol-partitioned
+    * feature/label frames — split out (r14) so [[trainAndScore]] can
+    * reuse the SAME cached frames for its final scoring pass instead
+    * of re-deriving the corpus explode+aggregate a third time. */
+  private def trainOnCached(feats: DataFrame, lab: DataFrame,
+                            idCol: String, iters: Int): Array[Long] = {
+    var w = Array.fill(Dim + 1)(0L)
+    val pocket = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+    var t = 1
+    while (t <= iters) {
+      // mis feeds exactly ONE consumer (the per-bucket aggregate), so
+      // it rides the plan uncached — the .cache()/.unpersist() pair
+      // that used to wrap it materialized every iteration's
+      // misclassified set into block storage for a single read (r14)
+      val mis = misclassified(feats, lab, idCol, w)
+      // one aggregate: per-bucket misclassified count-sums split by
+      // class, plus the two class sizes (partial-combined, tiny)
+      val agg = feats.join(mis, idCol)
+        .groupBy(col("bucket"))
+        .agg(sum(when(col("y") === 1, col("cnt")).otherwise(0L)).as("up"),
+          sum(when(col("y") === -1, col("cnt")).otherwise(0L)).as("un"))
+        .collect()
+      // class sizes ride the bias bucket (cnt=1 per doc)
+      val biasRow = agg.find(_.getLong(0) == Dim.toLong)
+      val np = biasRow.map(_.getLong(1)).getOrElse(0L)
+      val nn = biasRow.map(_.getLong(2)).getOrElse(0L)
+      pocket += ((np + nn) -> w.clone())
+      // balanced decayed step: f(x) = x·Scale div (max(1,n_class)·t)
+      // — operands non-negative on both sides of the subtraction, so
+      // floor division agrees across engines
+      val upd = agg.map { r =>
+        r.getLong(0).toInt ->
+          (r.getLong(1) * Scale / (math.max(1L, np) * t) -
+            r.getLong(2) * Scale / (math.max(1L, nn) * t))
+      }.toMap
+      w = w.zipWithIndex.map { case (v, b) => v + upd.getOrElse(b, 0L) }
+      t += 1
+    }
+    pocket += (misclassified(feats, lab, idCol, w).count() -> w)
+    pocket.zipWithIndex.minBy { case ((err, _), i) => (err, i) }._1._2
   }
 
   private val refModelMemo =
@@ -251,10 +262,28 @@ object QualityClassifier {
     w
   }
 
-  /** Train-then-score in one call (the registry query). */
+  /** Train-then-score in one call (the registry query). The scoring
+    * pass reuses the training loop's cached feature/label frames (one
+    * corpus explode+aggregate derivation total, r14 — `score(train())`
+    * re-derived both a second time), then materializes the scored
+    * output and releases the caches so no block storage outlives the
+    * call (the tfidfPairs release rule). Margins on the cached,
+    * idCol-partitioned feats are exchange-free, same values. */
   def trainAndScore(docs: DataFrame, idCol: String, textCol: String,
-                    iters: Int): DataFrame =
-    score(docs, idCol, textCol, train(docs, idCol, textCol, iters))
+                    iters: Int): DataFrame = {
+    val width = TextFunctions.spreadWidth(docs)
+    val feats = features(docs, idCol, textCol)
+      .repartition(width, col(idCol)).cache()
+    val lab = labels(docs, idCol, textCol)
+      .repartition(width, col(idCol)).cache()
+    val w = trainOnCached(feats, lab, idCol, iters)
+    val out = margins(feats, idCol, w)
+      .join(lab, idCol)
+      .select(col(idCol), col("y").as("label"), col("margin"),
+        when(col("margin") > 0, lit(1)).otherwise(lit(-1)).as("pred"))
+    graft.ext.dedup.NearDup.materializeAndRelease(
+      out, "quality_clf", feats, lab)
+  }
 
   /** Scoring as a PURE MAP — no shuffle, no per-doc aggregate, so it
     * runs STATELESS on a stream (the round-10 verdict task-5 twin):

@@ -37,10 +37,14 @@ object PlanDump {
         val df = fn(spark, dir)
         val initial = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
-        graft.tools.Force.rows(fn(spark, dir))
+        // execute THIS DataFrame's physical plan (all partitions, all
+        // columns — noop-sink-equivalent, guide §1.4) so the adaptive
+        // plan reaches its final form; Force.rows / df.write would
+        // wrap the query in a NEW plan and leave this one unexecuted
         val df2 = fn(spark, dir)
-        graft.tools.Force.rows(df2)
-        val fin = df2.queryExecution.executedPlan.toString
+        val plan2 = df2.queryExecution.executedPlan
+        plan2.execute().foreach(_ => ())
+        val fin = plan2.toString
         Files.writeString(Paths.get(s"$out/${name}_$suffix.txt"),
           s"== $name ($suffix, $dir) ==\n\n--- explain(formatted), initial ---\n" +
             initial + "\n--- FINAL adaptive plan (after execution) ---\n" + fin)
