@@ -152,7 +152,37 @@ object Dsir {
       isTarget: Column): DataFrame = {
     val raw = docs.filter(!isTarget)
     scoreAgainst(raw, idCol, textCol,
-      train(docs.filter(isTarget), raw, idCol, textCol))
+      trainSplit(docs, idCol, textCol, isTarget))
+  }
+
+  /** [[train]] specialized to the common case where target and raw
+    * are COMPLEMENTARY SPLITS of one frame: both bucket-count tables
+    * fold out of a SINGLE gram-explode pass and one bounded collect
+    * (≤ 2·[[Buckets]] cells) instead of two full corpus passes (r14,
+    * guide §1.2 — don't run the same explode twice to split a count).
+    * Rows where `isTarget` is NULL land in neither split, exactly as
+    * the two-filter form drops them. Counts — and therefore the model
+    * — are identical to `train(docs.filter(isTarget),
+    * docs.filter(!isTarget), ...)` (DsirSpec pins the equivalence). */
+  def trainSplit(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column): DsirModel = {
+    val flagged = TextFunctions.spreadForExplode(
+      docs.select(col(idCol), col(textCol), isTarget.as("__t")))
+    val counts = flagged
+      .select(col("__t"),
+        explode(unibigrams(TextFunctions.tokens(col(textCol)))).as("g"))
+      .select(col("__t"),
+        (graft.functions.PolyHash.polyhash(col("g"), 31) % Buckets)
+          .as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(when(col("__t") === true, 1)).as("ct"),
+        count(when(col("__t") === false, 1)).as("cq"))
+      .collect()
+    modelFromCounts(
+      counts.iterator.map(r => r.getLong(0) -> r.getLong(1))
+        .filter(_._2 > 0L).toMap,
+      counts.iterator.map(r => r.getLong(0) -> r.getLong(2))
+        .filter(_._2 > 0L).toMap)
   }
 
   /** Train the frozen DSIR model: λ table + the raw-corpus totals
@@ -162,9 +192,13 @@ object Dsir {
     * (the `cachedRefTrain`/`scoreStream` posture) and any batch or
     * stream scores against it. */
   def train(target: DataFrame, raw: DataFrame, idCol: String,
-      textCol: String): DsirModel = {
-    val ct = bucketCounts(target, idCol, textCol)
-    val cq = bucketCounts(raw, idCol, textCol)
+      textCol: String): DsirModel =
+    modelFromCounts(bucketCounts(target, idCol, textCol),
+      bucketCounts(raw, idCol, textCol))
+
+  /** Driver-side model fold shared by [[train]] and [[trainSplit]]. */
+  private def modelFromCounts(
+      ct: Map[Long, Long], cq: Map[Long, Long]): DsirModel = {
     val tt = ct.values.sum + Buckets
     val tq = cq.values.sum + Buckets
     // λ is TOTAL over the fixed feature space — every bucket gets a

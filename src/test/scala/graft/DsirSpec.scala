@@ -141,6 +141,21 @@ class DsirSpec extends SparkSpec {
     }
   }
 
+  test("trainSplit: model identical to the two-filter train, nulls in neither split") {
+    // r14 optimization: weights() folds both bucket-count tables out
+    // of ONE gram pass (trainSplit) instead of two filtered passes —
+    // pin model equality, including the null-predicate row landing in
+    // NEITHER split (filter(p) and filter(!p) both drop null)
+    val d = Seq((1L, "alpha beta alpha", "src0"),
+      (2L, "alpha gamma", "web"), (3L, "zork quux", "web"),
+      (4L, "null source row", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "source")
+    val p = col("source") === "src0"
+    val viaSplit = Dsir.trainSplit(d, "doc_id", "text", p)
+    val viaFilters = Dsir.train(d.filter(p), d.filter(!p), "doc_id", "text")
+    assert(viaSplit === viaFilters)
+  }
+
   test("plan: λ scoring join broadcasts; no sort operator anywhere") {
     val d = Tables(spark, "/root/testdata/sf0.001", "documents")
     val plan = Dsir.weights(d, "doc_id", "text",
