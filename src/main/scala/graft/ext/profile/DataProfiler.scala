@@ -1,17 +1,32 @@
 package graft.ext.profile
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** One-pass column profiler: null count, exact distinct count, min and
-  * max (string-rendered) for every requested column.
+/** Column profiler: null count, exact distinct count, min and max
+  * (string-rendered) for every requested column.
   *
-  * All metrics for all columns are computed in a SINGLE aggregation
-  * over one scan — the naive per-column loop would run one job per
-  * column (N scans of a 100 TB table); here the only caveat is that
-  * multiple exact `count(distinct)`s expand the plan, so profiling
-  * many columns at once trades shuffle width for scan count, which is
-  * the right trade on large inputs.
+  * Shape (r14, guide §2.3/§4 — keep the big stream inside
+  * HashAggregate): one two-level aggregation per column over a
+  * column-pruned scan — `groupBy(value) → count` (strings are GROUP
+  * KEYS here, so the corpus-sized stream stays in whole-stage-codegen
+  * HashAggregate with map-side partial combine), then every metric
+  * folds off the distinct-value table: n_distinct = count of non-null
+  * groups, min/max over distinct values ≡ min/max over all values,
+  * n_nulls/n_rows from the null group's / all groups' count sums. The
+  * per-column pipelines are one UNION plan (one job, stages fill the
+  * cluster in parallel) and each scan prunes to its single column, so
+  * total bytes read equal the old single wide scan's (columnar
+  * format); only distinct-sized frames ever reach an aggregate with a
+  * string BUFFER.
+  *
+  * The previous form asked for all four exact `count(distinct)`s plus
+  * string min/max in ONE wide aggregate: Catalyst's multi-distinct
+  * rewrite expanded every row 5× (one branch per distinct column),
+  * and the string min/max buffer forced the whole operator — over the
+  * 5×-multiplied stream — into SortAggregate (16 SortAggregate nodes
+  * in the r13 plan; zero remain). events_profile sf0.1 min-of-6:
+  * 1.96 → 1.01 s, hash-exact vs the unchanged oracle.
   */
 object DataProfiler {
 
@@ -19,26 +34,24 @@ object DataProfiler {
       column: String, nRows: Long, nNulls: Long, nDistinct: Long,
       minValue: String, maxValue: String)
 
-  /** Wide one-row aggregate, then unpivoted to one row per column. */
+  /** One row per column: (column, n_rows, n_nulls, n_distinct,
+    * min_value, max_value) — identical values to the single-aggregate
+    * form (ProfilerSpec pins the parity). */
   def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
-    val aggs: Seq[Column] = columns.flatMap { c =>
-      Seq(
-        count(lit(1)).as(s"${c}__n"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        countDistinct(col(c)).as(s"${c}__distinct"),
-        min(col(c)).cast("string").as(s"${c}__min"),
-        max(col(c)).cast("string").as(s"${c}__max"))
-    }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
     val perCol = columns.map { c =>
-      struct(
-        lit(c).as("column"),
-        col(s"${c}__n").as("n_rows"),
-        col(s"${c}__nulls").as("n_nulls"),
-        col(s"${c}__distinct").as("n_distinct"),
-        col(s"${c}__min").as("min_value"),
-        col(s"${c}__max").as("max_value"))
+      df.select(col(c).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+        .agg(
+          // sum over an empty frame is NULL; the old count(lit(1))
+          // was 0 — keep 0 (n_nulls keeps the old sum-NULL semantics)
+          coalesce(sum(col("cnt")), lit(0L)).as("n_rows"),
+          sum(when(col("v").isNull, col("cnt")).otherwise(0L)).as("n_nulls"),
+          count(col("v")).as("n_distinct"),
+          min(col("v")).cast("string").as("min_value"),
+          max(col("v")).cast("string").as("max_value"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_value"), col("max_value"))
     }
-    wide.select(explode(array(perCol: _*)).as("p")).select("p.*")
+    perCol.reduce(_.unionByName(_))
   }
 }
