@@ -124,6 +124,24 @@ object InvertedIndex {
   def tfidfPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, maxDf: Long, threshold: Double,
       hashTerms: Boolean = true): DataFrame = {
+    val (out, w) = tfidfPairsPlan(docs, idCol, textCol, shingleN, maxDf,
+      threshold, hashTerms)
+    // Eagerly materialize the (small, threshold-filtered) pair output
+    // and release the corpus-sized weighted-term cache: without this
+    // the MEMORY_AND_DISK blocks outlive the query for the rest of the
+    // session (ENOSPC-prone at sf100), and CacheManager's plan match
+    // would let bench rep 2+ time only the pair join (round-7 ADVICE).
+    graft.ext.dedup.NearDup.materializeAndRelease(out, "tfidf", w)
+  }
+
+  /** The lazy plan behind [[tfidfPairs]] plus its cache handle — the
+    * minhashPairsPlan idiom, so plan-shape tests and the r14 plan
+    * dumps can inspect the MINING plan (the public method returns a
+    * scan of the materialized output). */
+  private[graft] def tfidfPairsPlan(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, maxDf: Long, threshold: Double,
+      hashTerms: Boolean): (DataFrame, DataFrame) = {
     val nDocs = docs.count() // corpus size: one scalar of index metadata
     // data-scaled spread before the shingle explode: Spread.wide only
     // rescued NARROW scans (≤32 tasks), so a many-file sf100 scan kept
@@ -140,10 +158,19 @@ object InvertedIndex {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nrm = w.groupBy(col("doc"))
       .agg(sum(col("w") * col("w")).as("nn"))
+    // One exchange serves the pair aggregate AND the first norm join
+    // (r14, guide §2.4): hash the candidate stream by doc_a — the
+    // aggregate's required clustering (doc_a, doc_b) is satisfied by
+    // the doc_a subset, and so is the doc_a norm join's, so the pair
+    // stream crosses the network ONCE instead of three times
+    // (term-join output → agg exchange → join-a exchange). Bonus: all
+    // of a pair's shared terms now co-locate, so the partial combine
+    // actually reduces multi-term pairs before the wire.
     val dots = w.select(col("term"), col("doc").as("doc_a"), col("w").as("wa"))
       .join(w.select(col("term"), col("doc").as("doc_b"), col("w").as("wb")),
         Seq("term"))
       .filter(col("doc_a") < col("doc_b"))
+      .repartition(col("doc_a"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(sum(col("wa") * col("wb")).as("dot"))
     // norms are one narrow row per doc vs the candidate-mass dots
@@ -159,11 +186,6 @@ object InvertedIndex {
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 9))
       .filter(col("cosine") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("cosine"))
-    // Eagerly materialize the (small, threshold-filtered) pair output
-    // and release the corpus-sized weighted-term cache: without this
-    // the MEMORY_AND_DISK blocks outlive the query for the rest of the
-    // session (ENOSPC-prone at sf100), and CacheManager's plan match
-    // would let bench rep 2+ time only the pair join (round-7 ADVICE).
-    graft.ext.dedup.NearDup.materializeAndRelease(out, "tfidf", w)
+    (out, w)
   }
 }
