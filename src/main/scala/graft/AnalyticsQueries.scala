@@ -214,12 +214,25 @@ object AnalyticsQueries {
 
   // ---------------------------------------------------------------- rollup
 
-  /** ROLLUP with grouping() marker — exercises grouping sets. */
+  /** ROLLUP with grouping() marker — exercises grouping sets.
+    *
+    * Two-level form (r14, guide §2.3 "aggregate before you shuffle"):
+    * Catalyst plans rollup/cube as Expand-then-aggregate, so the
+    * single-level spelling pushed 3× (rollup) / 4× (cube) of EVERY
+    * lineitem row — decimal casts included — through the Expand and
+    * the partial aggregate. Pre-aggregating at the finest grain first
+    * collapses the corpus to the ~|flag×status| group table, then the
+    * rollup expands only that tiny aggregate. Decimal sums re-sum
+    * exactly (associative, Decimal(28,6) partials into (38,6)) and
+    * counts sum, so the result is bit-identical to the direct form —
+    * the unchanged oracle still does the one-level GROUP BY ROLLUP. */
   private def qRollup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    t(s, dir, "lineitem")
-      .rollup($"l_returnflag", $"l_linestatus")
-      .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+    val base = t(s, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(sum($"l_quantity".cast(dec)).as("q"), count(lit(1)).as("cn"))
+    base.rollup($"l_returnflag", $"l_linestatus")
+      .agg(sum($"q").cast("double").as("sum_qty"), sum($"cn").as("n"))
       .select(
         coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
         coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
@@ -241,9 +254,13 @@ object AnalyticsQueries {
     * Expand + hash aggregate, so it is still one shuffle). */
   private def qCube(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    t(s, dir, "lineitem")
-      .cube($"l_returnflag", $"l_linestatus")
-      .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+    // two-level like qRollup (r14): pre-aggregate at the finest grain,
+    // cube-expand only the tiny group table — bit-identical decimals
+    val base = t(s, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(sum($"l_quantity".cast(dec)).as("q"), count(lit(1)).as("cn"))
+    base.cube($"l_returnflag", $"l_linestatus")
+      .agg(sum($"q").cast("double").as("sum_qty"), sum($"cn").as("n"))
       .select(
         coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
         coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
