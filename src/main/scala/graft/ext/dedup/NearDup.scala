@@ -234,10 +234,19 @@ object NearDup {
     val capped = buckets.join(
       bucketSizes.filter(col("c") <= maxBucketSize).select(col("band"), col("sig")),
       Seq("band", "sig"))
+    // one exchange serves the pair dedup AND the doc_a verify join
+    // (r14, guide §2.4, the tfidfPairs trick): hash the candidate
+    // stream by doc_a — dropDuplicates' required clustering (a, b) is
+    // satisfied by the doc_a subset and so is the first shingle
+    // join's, so the candidate stream crosses the network once less.
+    // (A (a,b)-keyed exchange bought nothing extra anyway: a pair's
+    // duplicates come from DIFFERENT bands, i.e. different input
+    // partitions, so map-side partial dedup never fired.)
     val candidates = capped.as("l")
       .join(capped.as("r"), Seq("band", "sig"))
       .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
+      .repartition(col("doc_a"))
       .dropDuplicates("doc_a", "doc_b")
     val withSets = candidates
       .join(withSh.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
