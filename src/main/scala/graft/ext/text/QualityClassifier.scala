@@ -262,28 +262,17 @@ object QualityClassifier {
     w
   }
 
-  /** Train-then-score in one call (the registry query). The scoring
-    * pass reuses the training loop's cached feature/label frames (one
-    * corpus explode+aggregate derivation total, r14 — `score(train())`
-    * re-derived both a second time), then materializes the scored
-    * output and releases the caches so no block storage outlives the
-    * call (the tfidfPairs release rule). Margins on the cached,
-    * idCol-partitioned feats are exchange-free, same values. */
+  /** Train-then-score in one call (the registry query). Scoring
+    * re-derives features from the at-rest corpus AFTER train() has
+    * released its caches — an r14 variant scored over the still-held
+    * training caches with a scratch materialization to release them,
+    * which won at sf0.1 but measured 16.1 → 20.2 s at the sf10 rung
+    * (the corpus-sized scored output paid a scratch write + read-back
+    * while both caches were still pinned); the fresh-derivation
+    * scoring pass is the scale-correct shape. */
   def trainAndScore(docs: DataFrame, idCol: String, textCol: String,
-                    iters: Int): DataFrame = {
-    val width = TextFunctions.spreadWidth(docs)
-    val feats = features(docs, idCol, textCol)
-      .repartition(width, col(idCol)).cache()
-    val lab = labels(docs, idCol, textCol)
-      .repartition(width, col(idCol)).cache()
-    val w = trainOnCached(feats, lab, idCol, iters)
-    val out = margins(feats, idCol, w)
-      .join(lab, idCol)
-      .select(col(idCol), col("y").as("label"), col("margin"),
-        when(col("margin") > 0, lit(1)).otherwise(lit(-1)).as("pred"))
-    graft.ext.dedup.NearDup.materializeAndRelease(
-      out, "quality_clf", feats, lab)
-  }
+                    iters: Int): DataFrame =
+    score(docs, idCol, textCol, train(docs, idCol, textCol, iters))
 
   /** Scoring as a PURE MAP — no shuffle, no per-doc aggregate, so it
     * runs STATELESS on a stream (the round-10 verdict task-5 twin):
