@@ -375,7 +375,8 @@ object AnalyticsDsQueries {
     * the fact stream); folding the winner into the aggregate removes
     * the duplicated subtree and the SMJ outright (guide §2.4 / §3.3 —
     * r14: 42 → 25 plan ops, 5 → 3 shuffle exchanges, the SMJ and both
-    * sorts gone; sf0.1 min-of-6 2.16 → 1.54 s). */
+    * sorts gone; sf0.1 min-of-6 2.16 → 1.54 s, sf10 rung min-of-2
+    * 38.1 → 24.5 s). */
   private def q21(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val perOrderSupp = t(s, dir, "lineitem")

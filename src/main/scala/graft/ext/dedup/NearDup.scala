@@ -239,6 +239,7 @@ object NearDup {
     // stream by doc_a — dropDuplicates' required clustering (a, b) is
     // satisfied by the doc_a subset and so is the first shingle
     // join's, so the candidate stream crosses the network once less.
+    // Measured sf10 rung min-of-2: 34.1 → 27.3 s; sf0.1 a wash.
     // (A (a,b)-keyed exchange bought nothing extra anyway: a pair's
     // duplicates come from DIFFERENT bands, i.e. different input
     // partitions, so map-side partial dedup never fired.)

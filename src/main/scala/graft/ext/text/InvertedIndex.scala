@@ -165,7 +165,8 @@ object InvertedIndex {
     // stream crosses the network ONCE instead of three times
     // (term-join output → agg exchange → join-a exchange). Bonus: all
     // of a pair's shared terms now co-locate, so the partial combine
-    // actually reduces multi-term pairs before the wire.
+    // actually reduces multi-term pairs before the wire. Measured
+    // sf10 rung min-of-2: 42.8 → 15.1 s (2.8×); sf0.1 3.26 → 3.11 s.
     val dots = w.select(col("term"), col("doc").as("doc_a"), col("w").as("wa"))
       .join(w.select(col("term"), col("doc").as("doc_b"), col("w").as("wb")),
         Seq("term"))
