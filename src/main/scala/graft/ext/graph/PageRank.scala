@@ -50,10 +50,18 @@ object PageRank {
       iters: Int,
       scale: Long = 1000000000L): DataFrame = {
     require(iters >= 1, "need at least one iteration")
+    // checkpoint the edge list FIRST (r14): ew and nodes are separate
+    // eager jobs, and each used to re-derive the caller's whole edge-
+    // construction plan (for the registry query: the lineitem⋈orders
+    // join + aggregate) because exchange reuse never spans actions —
+    // the upstream plan ran TWICE. One edge checkpoint runs it once;
+    // ew/nodes then derive from the materialized 24-byte-row edges,
+    // and the edge blocks are freed as soon as both exist.
     val e = edges.select(
       col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"),
       col(wCol).cast("long").as("w"))
+      .localCheckpoint(true)
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
     // the weighted edge list and vertex set are consumed once PER
     // ITERATION: materialize them once (the GraphX cache-the-graph
@@ -63,6 +71,7 @@ object PageRank {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
+    freeCheckpoint(e)
     val teleport = 15L * scale / 100L
 
     var ranks = nodes.select(col("node"), lit(scale).as("rank"))
