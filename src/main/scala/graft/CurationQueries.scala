@@ -655,15 +655,23 @@ object CurationQueries {
       rows(keep2), eval, "doc_id", "text", n = 3)
     val keep3 = keep2.join(contaminated.select(col("doc_id")),
       Seq("doc_id"), "left_anti").cache() // ids surviving decontamination
-    // 4. DSIR selection over the post-decontamination corpus
+    // 4. DSIR selection over the post-decontamination corpus. The
+    // selected-id frame is CACHED like keep2/keep3 (r15): it is the
+    // survivor-ID spine of stage 5, and ShardPacker's eager metadata
+    // contract consumes its input THREE times (adaptive-width min/max,
+    // bucket-totals collect, final pass) — uncached, each consumer
+    // re-ran the whole DSIR scoring pass (gram explode + λ join +
+    // per-doc aggregate) on top of its semi-join corpus scan.
+    // Ids cost ~8 bytes/doc to hold; the re-scans stay (the
+    // survivor-spine design), only the re-SCORING goes.
     val selIds = Dsir.weights(rows(keep3), "doc_id", "text",
       isTarget = col("source") === "src0")
-      .filter(col("selected")).select(col("doc_id"))
+      .filter(col("selected")).select(col("doc_id")).cache()
     // 5. pack the survivors
     val out = ShardPacker.packShards(rows(selIds), "doc_id", "text",
       budget = 2000L)
       .orderBy(col("doc_id"))
-    NearDup.materializeAndRelease(out, "curation_v2", keep2, keep3)
+    NearDup.materializeAndRelease(out, "curation_v2", keep2, keep3, selIds)
   }
 
   private val qCurationPipelineV2Sql =

@@ -1249,7 +1249,9 @@ object LlmQueries {
     val k = 8
     val e = emb(s, dir)
     val book = IvfKNN.lloydTrainTable(e, "vec_id", "embedding", k, iterations = 1)
-    val counts = IvfKNN.assignExactJoined(e, "vec_id", "embedding", book, stable = true)
+    // counts consume only list_id — the bare argmax assignment, no
+    // vector re-attach join (r15; see IvfKNN.assignExactIds)
+    val counts = IvfKNN.assignExactIds(e, "vec_id", "embedding", book, stable = true)
       .groupBy(col("list_id")).agg(count(lit(1)).as("cnt"))
     book.select(col("cid").as("list_id"), round(col("cnorm"), 9).as("tnorm9"))
       .join(counts, Seq("list_id"), "left")
@@ -1874,7 +1876,13 @@ object LlmQueries {
     val w = graft.ext.text.QualityClassifier.cachedRefTrain(
       d, "doc_id", "text", maxRefId = LmRefSnapshotMaxId,
       iters = clfIters, source = dir)
-    graft.ext.text.QualityClassifier.score(d, "doc_id", "text", w)
+    // scoring via the PURE-MAP form (r15): one shuffle-free pass —
+    // margin as a token-array fold — instead of the explode →
+    // (id,bucket) hash agg → per-id agg → label join chain; pinned
+    // margin-identical to score() in QualityClassifierSpec. score()
+    // stays the TVF surface (SqlApiSpec plan-identity) and the
+    // documented batch aggregate path.
+    graft.ext.text.QualityClassifier.scoreMap(d, "doc_id", "text", w)
       .orderBy(col("doc_id"))
   }
 

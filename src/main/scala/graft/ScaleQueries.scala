@@ -574,7 +574,12 @@ object ScaleQueries {
       .groupBy($"c", $"s").agg(count(lit(1)).as("w"))
     val edges = base.select($"c".as("src"), $"s".as("dst"), $"w")
       .unionByName(base.select($"s".as("src"), $"c".as("dst"), $"w"))
-    graft.ext.graph.PageRank.ranks(edges, "src", "dst", "w", iters = 4)
+    // symmetricEdges: `edges` is base ∪ base.reverse by construction
+    // (both directions of every traded pair), so {src} = {dst} = the
+    // vertex set — PageRank skips the nodes frame and the per-round
+    // teleport left-join (r15; see PageRank.ranks).
+    graft.ext.graph.PageRank.ranks(edges, "src", "dst", "w", iters = 4,
+      symmetricEdges = true)
       .select(
         when(pmod($"node", lit(2)) === 1, "supplier").otherwise("customer").as("kind"),
         expr("node div 2").as("entity_id"), $"rank")

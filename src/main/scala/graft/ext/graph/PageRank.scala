@@ -43,12 +43,34 @@ object PageRank {
 
   /** Ranks after `iters` rounds over `edges(srcCol, dstCol, wCol)`.
     * Vertices = every id appearing as src or dst. Output:
-    * `(node, rank)` with rank the fixed-point integer (BIGINT). */
+    * `(node, rank)` with rank the fixed-point integer (BIGINT).
+    *
+    * `symmetricEdges = true` is a CALLER ASSERTION that the edge list
+    * contains both directions of every edge (the registry query
+    * constructs exactly that: `base ∪ base.reverse`). Under it,
+    * {src} = {dst} = the vertex set, so (r15, guide §2.4):
+    *  - the `nodes` frame (union + distinct over 2·|E| rows, one
+    *    eager checkpoint job) is never built — every per-iteration
+    *    aggregate is already keyed by the full vertex set;
+    *  - the per-iteration `nodes LEFT JOIN contrib` disappears: every
+    *    vertex has in-edges whose sources all carry a rank, so
+    *    `contrib` covers every node and the coalesce never fired —
+    *    rank = teleport + inflow directly (4 joins removed at
+    *    iters = 4, plan-equivalence pinned in PageRankSpec).
+    * Asymmetric graphs keep the original shape (dst-only vertices
+    * exist only there).
+    *
+    * Iteration 1 folds its rank join away in BOTH modes (r15): ranks
+    * start UNIFORM at `scale`, so contrib₁ = Σ (scale·85·w) div
+    * (100·wout) needs no (node, rank) side at all — the join against
+    * a constant column is arithmetic, not a join. (Every edge src
+    * carries a rank at init, so the fold drops no edges.) */
   def ranks(
       edges: DataFrame,
       srcCol: String, dstCol: String, wCol: String,
       iters: Int,
-      scale: Long = 1000000000L): DataFrame = {
+      scale: Long = 1000000000L,
+      symmetricEdges: Boolean = false): DataFrame = {
     require(iters >= 1, "need at least one iteration")
     // checkpoint the edge list FIRST (r14): ew and nodes are separate
     // eager jobs, and each used to re-derive the caller's whole edge-
@@ -66,17 +88,38 @@ object PageRank {
     // the weighted edge list and vertex set are consumed once PER
     // ITERATION: materialize them once (the GraphX cache-the-graph
     // idiom) or every round re-derives them from the upstream plan —
-    // measured 4× the whole edge-construction join at iters = 4
+    // measured 4× the whole edge-construction join at iters = 4.
+    // Under the symmetric assertion the vertex set is {src}, already
+    // keyed through every aggregate — no nodes frame at all.
     val ew = e.join(outW, Seq("src")).localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+    val nodes: Option[DataFrame] =
+      if (symmetricEdges) None
+      else Some(e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .localCheckpoint(true))
     freeCheckpoint(e)
     val teleport = 15L * scale / 100L
 
-    var ranks = nodes.select(col("node"), lit(scale).as("rank"))
-    var prev: Option[DataFrame] = None
-    (1 to iters).foreach { _ =>
+    def withTeleport(contrib: DataFrame): DataFrame = nodes match {
+      // left join keeps rank-receiving-nothing vertices at teleport;
+      // both sides are per-node narrow — hash-build the inflow side
+      case Some(n) => n
+        .join(contrib.hint("shuffle_hash"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) + coalesce(col("inflow"), lit(0L))).as("rank"))
+      case None => contrib
+        .select(col("node"), (lit(teleport) + col("inflow")).as("rank"))
+    }
+
+    // iteration 1: uniform ranks fold into the edge expression
+    var ranks = withTeleport(ew
+      .select(col("dst").as("node"),
+        expr(s"(CAST($scale AS BIGINT) * 85 * w) div (100 * wout)").as("c"))
+      .groupBy(col("node"))
+      .agg(sum(col("c")).as("inflow")))
+      .localCheckpoint(true)
+    var prev: Option[DataFrame] = Some(ranks)
+    (2 to iters).foreach { _ =>
       // hash-build the (node, rank) side: two longs per vertex, while
       // the edge list is corpus-scaled — a sort-merge join re-sorts
       // the edges EVERY iteration just to meet the join ordering
@@ -87,13 +130,7 @@ object PageRank {
           expr("(rank * 85 * w) div (100 * wout)").as("c"))
         .groupBy(col("node"))
         .agg(sum(col("c")).as("inflow"))
-      // left join keeps rank-receiving-nothing vertices at teleport;
-      // both sides are per-node narrow — hash-build the inflow side
-      val next = nodes
-        .join(contrib.hint("shuffle_hash"), Seq("node"), "left")
-        .select(col("node"),
-          (lit(teleport) + coalesce(col("inflow"), lit(0L))).as("rank"))
-        .localCheckpoint(true)
+      val next = withTeleport(contrib).localCheckpoint(true)
       prev.foreach(freeCheckpoint)
       prev = Some(next)
       ranks = next
@@ -106,7 +143,7 @@ object PageRank {
       ranks, "pagerank")
     prev.foreach(freeCheckpoint)
     freeCheckpoint(ew)
-    freeCheckpoint(nodes)
+    nodes.foreach(freeCheckpoint)
     out
   }
 

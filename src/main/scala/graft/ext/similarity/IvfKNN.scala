@@ -628,6 +628,23 @@ object IvfKNN {
     * but must not be plan literals. */
   def assignExactJoined(
       corpus: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, stable: Boolean): DataFrame =
+    assignExactIds(corpus, idCol, vecCol, codebook, stable) match {
+      case best => corpus.select(col(idCol), col(vecCol))
+        .join(best.hint("shuffle_hash"), Seq(idCol))
+    }
+
+  /** [[assignExactJoined]] WITHOUT the vector re-attach: the bare
+    * `(idCol, list_id)` assignment straight off the packed argmax.
+    * Consumers that never touch the vector again (per-list COUNTS —
+    * the emb_ivf_lloyd_table reporting aggregate) get the assignment
+    * with zero corpus-width exchanges: the re-attach join was a
+    * full-vector corpus shuffle paid for columns the count dropped
+    * (r15, guide §2.3 "project before the exchange"). Counts over
+    * this frame ≡ counts over the joined frame — the join was 1:1 on
+    * the unique id. */
+  def assignExactIds(
+      corpus: DataFrame, idCol: String, vecCol: String,
       codebook: DataFrame, stable: Boolean): DataFrame = {
     val cb = broadcast(
       codebook.select(col("cid"),
@@ -662,11 +679,9 @@ object IvfKNN {
     // partitioning — nothing like the upsert's removed full-width
     // blind hint). Runs once per Lloyd iteration; the sf100
     // emb_ivf_lloyd_table cell measures exactly this join.
-    val best = scored.groupBy(col(idCol))
+    scored.groupBy(col(idCol))
       .agg(max(packArgmax(col("__s"), col("cid"))).as("__best"))
       .select(col(idCol), unpackArgmaxCid(col("__best")).as("list_id"))
-    corpus.select(col(idCol), col(vecCol))
-      .join(best.hint("shuffle_hash"), Seq(idCol))
   }
 
   /** ONE exact Lloyd step with the codebook as a DataFrame end to end

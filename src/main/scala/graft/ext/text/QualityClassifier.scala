@@ -263,28 +263,37 @@ object QualityClassifier {
   }
 
   /** Train-then-score in one call (the registry query). Scoring
-    * re-derives features from the at-rest corpus AFTER train() has
-    * released its caches — an r14 variant scored over the still-held
-    * training caches with a scratch materialization to release them,
-    * which won at sf0.1 but measured 16.1 → 20.2 s at the sf10 rung
-    * (the corpus-sized scored output paid a scratch write + read-back
-    * while both caches were still pinned); the fresh-derivation
-    * scoring pass is the scale-correct shape. */
+    * re-derives from the at-rest corpus AFTER train() has released
+    * its caches — an r14 variant scored over the still-held training
+    * caches with a scratch materialization to release them, which won
+    * at sf0.1 but measured 16.1 → 20.2 s at the sf10 rung (the
+    * corpus-sized scored output paid a scratch write + read-back
+    * while both caches were still pinned); fresh derivation is the
+    * scale-correct shape. Since r15 the scoring pass is [[scoreMap]]
+    * (margin-identical, spec-pinned): one shuffle-free map pass
+    * instead of the explode → (id,bucket) agg → per-id agg → label
+    * join chain — measured 9.0 → 4.5 s at sf0.1 and 15.9 → 15.0 s at
+    * the sf10 rung (training dominates there); the pure-scoring twin
+    * (docs_quality_clf_ref) measured 7.3 → 1.2 s at sf10. */
   def trainAndScore(docs: DataFrame, idCol: String, textCol: String,
                     iters: Int): DataFrame =
-    score(docs, idCol, textCol, train(docs, idCol, textCol, iters))
+    scoreMap(docs, idCol, textCol, train(docs, idCol, textCol, iters))
 
   /** Scoring as a PURE MAP — no shuffle, no per-doc aggregate, so it
-    * runs STATELESS on a stream (the round-10 verdict task-5 twin):
-    * the per-doc margin Σ_buckets cnt·w[bucket] + w[Dim] is
-    * identically a fold over the token array of w[bucket(tok)]
-    * (cnt just counts tokens per bucket), seeded with the bias
-    * weight. Same output columns as [[score]] and pinned
-    * margin-identical to it in QualityClassifierSpec — [[score]]'s
-    * aggregate form stays the BATCH path (its partial-combined
-    * per-doc aggregate beats a per-row HOF fold at corpus scale;
-    * this form exists because stateless maps are the only thing a
-    * stream can run without watermark state). */
+    * runs STATELESS on a stream (the round-10 verdict task-5 twin)
+    * AND is the fastest batch form: the per-doc margin
+    * Σ_buckets cnt·w[bucket] + w[Dim] is identically a fold over the
+    * token array of w[bucket(tok)] (cnt just counts tokens per
+    * bucket), seeded with the bias weight. Same output columns as
+    * [[score]] and pinned margin-identical to it in
+    * QualityClassifierSpec. r15 measured the fold BEATING the
+    * explode-aggregate chain at every scale (sf0.1 ONLY-cells 1.16 →
+    * 0.41 s, sf10 rung 7.3 → 1.2 s — the r14 "partial-combined agg
+    * wins at corpus scale" assumption was never measured and is
+    * wrong: the agg pays explode rows + two hash aggs + a label join
+    * for values one array pass computes), so the registry queries
+    * score through THIS form; [[score]] remains the TVF surface
+    * (SqlApiSpec plan-identity) and the at-rest-model batch API. */
   def scoreMap(docs: DataFrame, idCol: String, textCol: String,
                w: Array[Long]): DataFrame = {
     require(w.length == Dim + 1, s"weight vector must be ${Dim + 1} longs")

@@ -67,6 +67,29 @@ class PageRankSpec extends SparkSpec {
     assert((1L to 9L).map(got).distinct.size == 1)
   }
 
+  test("symmetricEdges fast path is bit-identical to the general form AND the reference") {
+    // random graph, symmetrized: both directions of every drawn edge,
+    // weights tied to the unordered pair so the two directions agree
+    val rnd = new scala.util.Random(17)
+    val base = (0 until 150).map { _ =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong, (rnd.nextInt(5) + 1).toLong)
+    }.filter(e => e._1 != e._2).map { case (a, b, w) =>
+      (math.min(a, b), math.max(a, b), w)
+    }.distinct
+    val edges = (base ++ base.map(e => (e._2, e._1, e._3)))
+      .toDF("src", "dst", "w")
+    val fast = PageRank.ranks(edges, "src", "dst", "w", iters = 4,
+        symmetricEdges = true)
+      .as[(Long, Long)].collect().toMap
+    val general = PageRank.ranks(edges, "src", "dst", "w", iters = 4)
+      .as[(Long, Long)].collect().toMap
+    val expect = refRanks(
+      (base ++ base.map(e => (e._2, e._1, e._3))), iters = 4,
+      scale = 1000000000L)
+    assert(fast == general)
+    assert(fast == expect)
+  }
+
   test("registry query: kinds partition the node space and ranks are positive") {
     val df = SparkEntry.queries("q_pagerank")(spark, "/root/testdata/sf0.001")
     val rows = df.as[(String, Long, Long)].collect()
