@@ -1136,7 +1136,9 @@ object LlmQueries {
     val e = emb(s, dir)
     val seed = IvfKNN.cachedSampledCentroids(e, "vec_id", "embedding", k, dir)
     val trained = IvfKNN.cachedLloydCodebook(e, "vec_id", "embedding", k, 64, dir)
-    val cells = e.select(
+    // spread before the two fused argmax projections (r15): a
+    // single-file scan ran both quantizers on one task
+    val cells = graft.operators.Spread.wide(e, col("vec_id")).select(
         IvfKNN.nearestCentroid(col("embedding"), seed).as("list0"),
         IvfKNN.nearestCentroidStable(col("embedding"), trained).as("list1"))
       .groupBy(col("list0"), col("list1")).agg(count(lit(1)).as("n"))
@@ -1280,7 +1282,9 @@ object LlmQueries {
     val e = emb(s, dir)
     val t1 = IvfKNN.cachedLloydTrain(e, "vec_id", "embedding", k, 64, dir, iterations = 1)
     val t2 = IvfKNN.cachedLloydTrain(e, "vec_id", "embedding", k, 64, dir, iterations = 2)
-    val cells = e.select(
+    // spread before the two fused argmax projections (r15; see
+    // qIvfLloyd)
+    val cells = graft.operators.Spread.wide(e, col("vec_id")).select(
         IvfKNN.nearestCentroidStable(col("embedding"), t1).as("l1"),
         IvfKNN.nearestCentroidStable(col("embedding"), t2).as("l2"))
       .groupBy(col("l1"), col("l2")).agg(count(lit(1)).as("n"))

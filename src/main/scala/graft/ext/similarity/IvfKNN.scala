@@ -175,7 +175,12 @@ object IvfKNN {
     // ABOVE the Generate, re-evaluating the quantizer once per element
     // (dim×, not 1×, per vector) — the shape that made exact training
     // ~64× slower than the arithmetic itself
-    val sums = corpus
+    // parallelism barrier BEFORE the quantizer (r15): a single-file
+    // corpus scans as one task and the K·dim decimal argmax fuses into
+    // that scan stage — the whole assignment ran serially while 31
+    // cores idled (the Spread.wide class; a many-file corpus passes
+    // through untouched)
+    val sums = graft.operators.Spread.wide(corpus, col(vecCol))
       .select(col(vecCol).as("__v"), nearestCentroid(col(vecCol), seed).as("list_id"))
       .select(col("list_id"), posexplode(col("__v")))
       .groupBy(col("list_id"), col("pos"))
@@ -200,7 +205,7 @@ object IvfKNN {
     * values). */
   def lloydStepExact(
       corpus: DataFrame, vecCol: String, cents: Seq[DCentroid], dim: Int): Seq[DCentroid] = {
-    val sums = corpus
+    val sums = graft.operators.Spread.wide(corpus, col(vecCol)) // see lloydOnceExact (r15)
       .select(col(vecCol).as("__v"), nearestCentroidStable(col(vecCol), cents).as("list_id"))
       .select(col("list_id"), posexplode(col("__v"))) // see lloydOnceExact: keep
       .groupBy(col("list_id"), col("pos"))            // the quantizer below Generate
@@ -649,12 +654,17 @@ object IvfKNN {
     val cb = broadcast(
       codebook.select(col("cid"),
         (if (stable) col("cm") else col("cv")).as("__cv"), col("cnorm")))
+    // parallelism barrier BEFORE the n·K scoring loop-join (r15): a
+    // single-file corpus fuses the whole decimal scoring + partial
+    // argmax into its one scan task (the Spread.wide class; no-op on
+    // a many-file corpus)
+    val wide = graft.operators.Spread.wide(corpus, col(idCol))
     val scored =
       if (stable)
-        corpus.select(col(idCol), col(vecCol)).crossJoin(cb)
+        wide.select(col(idCol), col(vecCol)).crossJoin(cb)
           .withColumn("__s", round(dotStableCol(col(vecCol), col("__cv")) / col("cnorm"), 9))
       else
-        corpus.select(col(idCol), col(vecCol),
+        wide.select(col(idCol), col(vecCol),
             CosineKNN.norm(col(vecCol)).as("__vn")).crossJoin(cb)
           .withColumn("__s",
             round(CosineKNN.dot(col(vecCol), col("__cv")) / (col("__vn") * col("cnorm")), 9))
