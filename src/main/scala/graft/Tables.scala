@@ -28,7 +28,24 @@ object Tables {
     graft.plans.GraftTableFunctions.register(spark)
   }
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  /** Per-(session, dir, table) DataFrame memo (r15): `spark.read
+    * .parquet` builds a fresh relation per call — file listing +
+    * footer schema read, a driver-side job before every query even
+    * touches data, paid 125×2 times per bench run for the same ten
+    * immutable files. A catalog table reads its metadata once per
+    * session; this memo is that posture for the path-based corpus
+    * (the DataFrame handle is reused — every EXECUTION still scans
+    * the parquet files, nothing result-shaped is cached). Corpus dirs
+    * are immutable within a session (generators write before any
+    * read; upsert scratch never goes through Tables), and the memo
+    * keys on the session so a restarted session re-lists. */
+  private val frameMemo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    frameMemo.getOrElseUpdate((spark, sfDir, name), build(spark, sfDir, name))
+
+  private def build(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name != "events")
       return spark.read.parquet(s"$sfDir/$name.parquet")
     // events.ts has shipped in two physical shapes: TIMESTAMP(NANOS)

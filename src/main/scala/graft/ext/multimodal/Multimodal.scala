@@ -74,6 +74,10 @@ object Multimodal {
     * binary ingest. */
   def syntheticCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
+    // no spread here (r15): the payload is a cheap byte copy and the
+    // consumers (meta/stages/knn) are sub-second — the exchange
+    // measured as a net loss (0.35 → 0.52 s multimodal_meta), unlike
+    // the real-codec corpora below
     docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
       val bytes = text.getBytes("UTF-8")
       val mediaType = Seq("image", "audio", "video")((id % 3).toInt)
@@ -91,7 +95,10 @@ object Multimodal {
     * decoded stats without any image library. */
   def imageCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].map { id =>
+    val par = spark.sparkContext.defaultParallelism
+    // spread first (r15; the phashCorpus rule — encode + the fused
+    // downstream decode otherwise run on a single scan task)
+    docs.select(col("doc_id")).repartition(par).as[Long].map { id =>
       val bytes = MediaCodecs.encodeImage(id)
       MediaRecord(id, bytes,
         MediaMeta("image", MediaCodecs.imgFormat(id),
@@ -121,6 +128,9 @@ object Multimodal {
     * samples from [[MediaCodecs]]' pure formula of (doc_id, frame). */
   def audioCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
+    // no spread (r15): PCM encode/decode is cheap enough that the
+    // exchange measured as a net loss (0.34 → 0.42 s) — see
+    // syntheticCorpus
     docs.select(col("doc_id")).as[Long].map { id =>
       val bytes = MediaCodecs.encodeWav(id)
       MediaRecord(id, bytes,
@@ -151,7 +161,9 @@ object Multimodal {
     * a SQL oracle can replay the decoded stats without any codec. */
   def videoCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].map { id =>
+    val par = spark.sparkContext.defaultParallelism
+    // spread first (r15; the phashCorpus rule)
+    docs.select(col("doc_id")).repartition(par).as[Long].map { id =>
       val bytes = MediaCodecs.encodeAvi(id)
       MediaRecord(id, bytes,
         MediaMeta("video", "avi",
