@@ -298,14 +298,24 @@ object QualityClassifier {
                w: Array[Long]): DataFrame = {
     require(w.length == Dim + 1, s"weight vector must be ${Dim + 1} longs")
     val wLit = array(w.toIndexedSeq.map(lit): _*)
-    val toks = TextFunctions.tokens(col(textCol))
+    // STAGED projections, deliberately (r15): a flat select would
+    // reference the token array three times (margin fold, label size,
+    // label hits) and the margin fold twice (margin + pred) — each
+    // reference re-evaluates the full expression per row (tokenize
+    // ×3, the 257-literal fold ×2) AND doubles the λ-array literal in
+    // the analyzed plan past RegistryPlanGateSpec's 4 KB budget.
+    // Multi-referenced non-cheap aliases block CollapseProject, so
+    // each layer evaluates once.
+    val toks = col("__toks")
     val margin = aggregate(toks, lit(w(Dim)),
       (acc, t) => acc + element_at(wLit,
         pmod(PolyHash.polyhash(t, 31), lit(Dim.toLong)).cast("int") + 1))
     val hits = TextFunctions.vocabHits(toks, labelVocab)
     val y = when(size(toks) > 0 && hits * 25 >= size(toks) * 2, lit(1))
       .otherwise(lit(-1))
-    docs.select(col(idCol), y.as("label"), margin.as("margin"),
-      when(margin > 0, lit(1)).otherwise(lit(-1)).as("pred"))
+    docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), y.as("label"), margin.as("margin"))
+      .select(col(idCol), col("label"), col("margin"),
+        when(col("margin") > 0, lit(1)).otherwise(lit(-1)).as("pred"))
   }
 }
