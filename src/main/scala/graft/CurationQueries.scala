@@ -489,12 +489,20 @@ object CurationQueries {
     // into the (one-task) scan stage — the round-1 re-eval pitfall —
     // so without this barrier the whole scoring chain evaluates
     // serially; the filter must sit ABOVE the cache point
+    // staged token projection (r15; the scoreMap staging rule):
+    // quality + langId each reference the token array per sub-term,
+    // so the flat select re-tokenized each row ~8× inside this
+    // cache's materialization
     val scored = graft.operators.Spread.wide(
-      Tables(s, dir, "documents"), col("doc_id")).select(
-      col("doc_id"), col("text"),
-      TextFunctions.qualityScore(col("text")).as("quality"),
-      TextFunctions.langId(col("text")).as("lang_pred"),
-      TextFunctions.fingerprint(col("text")).as("__fp"))
+      Tables(s, dir, "documents"), col("doc_id"))
+      .select(col("doc_id"), col("text"),
+        TextFunctions.tokens(col("text")).as("__toks"))
+      .select(
+        col("doc_id"), col("text"),
+        TextFunctions.qualityScoreFromTokens(col("text"), col("__toks"))
+          .as("quality"),
+        TextFunctions.langIdFromTokens(col("__toks")).as("lang_pred"),
+        TextFunctions.fingerprint(col("text")).as("__fp"))
       .cache()
     val out = scored
       .filter(col("quality") >= 0.55 && col("lang_pred") === "en")

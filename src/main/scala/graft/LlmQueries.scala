@@ -50,9 +50,11 @@ object LlmQueries {
   // ---------------------------------------------------------- language id
 
   private def qLangId(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(
-      col("doc_id"),
-      TextFunctions.langId(col("text")).as("lang_pred"))
+    // staged token projection (r15; see qQuality)
+    docs(s, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        TextFunctions.langIdFromTokens(col("__toks")).as("lang_pred"))
       .orderBy(col("doc_id"))
 
   private val qLangIdSql = {
@@ -81,9 +83,15 @@ object LlmQueries {
   // ------------------------------------------------------- quality scoring
 
   private def qQuality(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(
-      col("doc_id"),
-      TextFunctions.qualityScore(col("text")).as("quality"))
+    // staged token projection (r15; the scoreMap staging rule): the
+    // score references its token array per sub-term, so a flat select
+    // re-tokenized each row ~4×
+    docs(s, dir)
+      .select(col("doc_id"), col("text"),
+        TextFunctions.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        TextFunctions.qualityScoreFromTokens(col("text"), col("__toks"))
+          .as("quality"))
       .orderBy(col("doc_id"))
 
   private val qQualitySql = {

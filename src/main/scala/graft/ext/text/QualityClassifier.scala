@@ -92,11 +92,15 @@ object QualityClassifier {
   /** The integer label: +1 iff the doc has tokens and ≥8% of them
     * are stopwords (25·hits ≥ 2·n), else −1. */
   def labels(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = TextFunctions.tokens(col(textCol))
+    // staged token projection (r15; the scoreMap staging rule): the
+    // label predicate references the token array three times and a
+    // flat select re-tokenized per reference
+    val toks = col("__toks")
     val hits = TextFunctions.vocabHits(toks, labelVocab)
-    docs.select(col(idCol),
-      when(size(toks) > 0 && hits * 25 >= size(toks) * 2, lit(1))
-        .otherwise(lit(-1)).as("y"))
+    docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        when(size(toks) > 0 && hits * 25 >= size(toks) * 2, lit(1))
+          .otherwise(lit(-1)).as("y"))
   }
 
   /** Margin of every doc under a weight vector (inlined as a Dim+1

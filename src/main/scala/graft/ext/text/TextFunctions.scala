@@ -95,9 +95,20 @@ object TextFunctions {
 
   /** N-gram-frequency language ID: stopword-hit score per language,
     * argmax with a fixed priority order (en→de→es→fr) for ties,
-    * `und` when no stopword of any language occurs. */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+    * `und` when no stopword of any language occurs.
+    *
+    * PERFORMANCE: the argmax chain references each language's hit
+    * count up to 4× and every reference re-evaluates its whole
+    * subtree — including the tokenize — per row (Catalyst does not
+    * share non-cheap subtrees across references in one projection).
+    * Hot callers should stage: project the token array into a column
+    * first, then use [[langIdFromTokens]] over the attribute (the
+    * r15 scoreMap staging rule); this convenience form re-tokenizes
+    * per language and is fine for single-pass per-row use. */
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
+
+  /** [[langId]] over an already-projected token-array column. */
+  def langIdFromTokens(toks: Column): Column = {
     val scores = stopwords.map { case (lang, words) => lang -> vocabHits(toks, words) }
     val total = scores.map(_._2).reduce(_ + _)
     // fixed-priority argmax chain (deterministic, oracle-replicable)
@@ -120,9 +131,16 @@ object TextFunctions {
 
   /** Heuristic document quality score in [0,1]: length saturation,
     * stopword density, punctuation/digit penalties, mean token length
-    * sanity. Deterministic double arithmetic (oracle-replicable). */
-  def qualityScore(text: Column): Column = {
-    val toks = tokens(text)
+    * sanity. Deterministic double arithmetic (oracle-replicable).
+    * Same staging note as [[langId]]: this form re-tokenizes per
+    * sub-term; hot callers project the token array first and use
+    * [[qualityScoreFromTokens]]. */
+  def qualityScore(text: Column): Column =
+    qualityScoreFromTokens(text, tokens(text))
+
+  /** [[qualityScore]] over an already-projected token-array column
+    * (`text` is still needed for the character-class ratios). */
+  def qualityScoreFromTokens(text: Column, toks: Column): Column = {
     val nTok = size(toks).cast("double")
     val stopHits = vocabHits(toks, stopwords.flatMap(_._2)).cast("double")
     val stopRatio = when(nTok === 0, 0.0).otherwise(stopHits / nTok)
