@@ -497,12 +497,17 @@ object CurationQueries {
       Tables(s, dir, "documents"), col("doc_id"))
       .select(col("doc_id"), col("text"),
         TextFunctions.tokens(col("text")).as("__toks"))
-      .select(
-        col("doc_id"), col("text"),
+      .select(Seq(
+        col("doc_id"), col("text"), col("__toks"),
         TextFunctions.qualityScoreFromTokens(col("text"), col("__toks"))
           .as("quality"),
-        TextFunctions.langIdFromTokens(col("__toks")).as("lang_pred"),
-        TextFunctions.fingerprint(col("text")).as("__fp"))
+        TextFunctions.fingerprint(col("text")).as("__fp")) ++
+        TextFunctions.langIdHitCols(col("__toks")): _*)
+      .select(
+        col("doc_id"), col("text"), col("quality"),
+        TextFunctions.langIdFromHits(col("__en"), col("__de"),
+          col("__es"), col("__fr")).as("lang_pred"),
+        col("__fp"))
       .cache()
     val out = scored
       .filter(col("quality") >= 0.55 && col("lang_pred") === "en")

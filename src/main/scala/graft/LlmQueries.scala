@@ -50,11 +50,15 @@ object LlmQueries {
   // ---------------------------------------------------------- language id
 
   private def qLangId(s: SparkSession, dir: String): DataFrame =
-    // staged token projection (r15; see qQuality)
+    // two-layer staging (r15; see qQuality): tokens once, then the
+    // four per-language hit counts once each — the argmax chain's
+    // multi-references then hit attributes, not re-scanned arrays
     docs(s, dir)
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__toks"))
+      .select(col("doc_id") +: TextFunctions.langIdHitCols(col("__toks")): _*)
       .select(col("doc_id"),
-        TextFunctions.langIdFromTokens(col("__toks")).as("lang_pred"))
+        TextFunctions.langIdFromHits(col("__en"), col("__de"),
+          col("__es"), col("__fr")).as("lang_pred"))
       .orderBy(col("doc_id"))
 
   private val qLangIdSql = {
@@ -1047,9 +1051,14 @@ object LlmQueries {
     * engines, and content-keyed so exact duplicates always land in
     * the SAME split (no train/test leakage from dup content). */
   private def qSplit(s: SparkSession, dir: String): DataFrame = {
+    // staged hash projection (r15; the scoreMap staging rule): the
+    // bucket expression is referenced twice by the CASE chain and a
+    // flat select re-hashed the text per reference
     val h = graft.functions.PolyHash.polyhash(col("text"), 31) % 10
-    docs(s, dir).select(col("doc_id"),
-        when(h < 8, "train").when(h === 8, "val").otherwise("test").as("split"))
+    docs(s, dir).select(col("doc_id"), h.as("__h"))
+      .select(col("doc_id"),
+        when(col("__h") < 8, "train").when(col("__h") === 8, "val")
+          .otherwise("test").as("split"))
       .orderBy(col("doc_id"))
   }
 

@@ -107,18 +107,32 @@ object TextFunctions {
     * per language and is fine for single-pass per-row use. */
   def langId(text: Column): Column = langIdFromTokens(tokens(text))
 
-  /** [[langId]] over an already-projected token-array column. */
+  /** [[langId]] over an already-projected token-array column. Note
+    * the argmax chain still references each per-language hit count up
+    * to 4× — with `toks` an attribute each reference re-scans the
+    * array through its `filter(isin)`; the fully staged form projects
+    * the four hit counts first ([[langIdHitCols]] +
+    * [[langIdFromHits]]) so each array scan runs once. */
   def langIdFromTokens(toks: Column): Column = {
-    val scores = stopwords.map { case (lang, words) => lang -> vocabHits(toks, words) }
-    val total = scores.map(_._2).reduce(_ + _)
-    // fixed-priority argmax chain (deterministic, oracle-replicable)
-    val Seq(en, de, es, fr) = scores.map(_._2)
-    when(total === 0, lit("und"))
+    val Seq(en, de, es, fr) =
+      stopwords.map { case (_, words) => vocabHits(toks, words) }
+    langIdFromHits(en, de, es, fr)
+  }
+
+  /** The four per-language hit-count columns, in [[stopwords]] order
+    * (en, de, es, fr) — project these into named columns, then apply
+    * [[langIdFromHits]] over the attributes (the r15 staging rule). */
+  def langIdHitCols(toks: Column): Seq[Column] =
+    stopwords.map { case (lang, words) => vocabHits(toks, words).as(s"__$lang") }
+
+  /** The fixed-priority argmax chain (deterministic,
+    * oracle-replicable) over already-computed hit counts. */
+  def langIdFromHits(en: Column, de: Column, es: Column, fr: Column): Column =
+    when(en + de + es + fr === 0, lit("und"))
       .when(en >= de && en >= es && en >= fr, lit("en"))
       .when(de >= es && de >= fr, lit("de"))
       .when(es >= fr, lit("es"))
       .otherwise(lit("fr"))
-  }
 
   private val punctClass = "[.,;:!?]"
   private val digitClass = "[0-9]"
