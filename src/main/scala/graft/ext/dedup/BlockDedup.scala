@@ -31,20 +31,25 @@ object BlockDedup {
       idCol: String,
       textCol: String,
       blockTokens: Int = 20): DataFrame = {
-    val toks = TextFunctions.tokens(col(textCol))
+    // staged token projection (r15) — the lambda captures the token
+    // array per element; see stringGrams
+    val toks = col("__toks")
     // ceil(n/blockTokens) block slices; the final partial block keeps
     // its stragglers
     // empty docs produce zero blocks (sequence(0,-1) would throw, so
     // gate on token count); they are absent from the output like any
     // doc whose block list is empty
-    val blocks = docs.select(
-      col(idCol).as("doc"),
-      posexplode(
-        when(size(toks) === 0, array().cast("array<string>"))
-          .otherwise(transform(
-            sequence(lit(0),
-              (ceil(size(toks) / lit(blockTokens.toDouble)) - 1).cast("int")),
-            i => concat_ws(" ", slice(toks, i * blockTokens + 1, lit(blockTokens)))))))
+    val blocks = docs
+      .select(col(idCol).as("doc"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(
+        col("doc"),
+        posexplode(
+          when(size(toks) === 0, array().cast("array<string>"))
+            .otherwise(transform(
+              sequence(lit(0),
+                (ceil(size(toks) / lit(blockTokens.toDouble)) - 1).cast("int")),
+              i => concat_ws(" ", slice(toks, i * blockTokens + 1, lit(blockTokens)))))))
       .select(col("doc"), col("pos"), col("col").as("block"))
     val firstSeen = blocks.withColumn("rk",
       row_number().over(
@@ -162,17 +167,28 @@ object BlockDedup {
       idCol: String,
       textCol: String,
       w: Int): DataFrame = {
-    val toks = TextFunctions.tokens(col(textCol))
+    // STAGED token projection (r15; the scoreMap staging rule): the
+    // gram transform's lambda body references the token array per
+    // ELEMENT, and a lambda-captured non-trivial expression
+    // re-evaluates per element — with `toks = tokens(text)` inline,
+    // every doc re-TOKENIZED once per gram position (~n× per row; the
+    // shinglesFromTokens warning, hit here at W=20). Projecting the
+    // array first makes the per-element capture an attribute; the
+    // multi-referenced non-cheap alias blocks CollapseProject.
+    val toks = col("__toks")
     // data-scaled barrier before the W-gram explode — the heaviest
     // explode in the repo (~W× the token bytes; the sf100 spill-onset
     // class — see TextFunctions.spreadForExplode)
-    TextFunctions.spreadForExplode(docs).select(
-      col(idCol).as("doc"),
-      posexplode(
-        when(size(toks) < w, array().cast("array<string>"))
-          .otherwise(transform(
-            sequence(lit(0), size(toks) - w),
-            i => concat_ws(" ", slice(toks, i + 1, lit(w)))))))
+    TextFunctions.spreadForExplode(docs)
+      .select(col(idCol).as("doc"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(
+        col("doc"),
+        posexplode(
+          when(size(toks) < w, array().cast("array<string>"))
+            .otherwise(transform(
+              sequence(lit(0), size(toks) - w),
+              i => concat_ws(" ", slice(toks, i + 1, lit(w)))))))
       .select(col("doc"), col("pos"), col("col").as("gram"))
   }
 
