@@ -281,10 +281,18 @@ object NearDup {
     // share of docs_minhash_pairs' 40 GB sf100 memory spill. The
     // explicit count stops AQE coalescing this byte-small but
     // CPU-heavy shuffle back down to one partition.
+    // the token array is STAGED into its own projection (r15):
+    // shinglesFromTokens references its argument ~2n+3 times (the
+    // zip_with fold + size bounds) and zip_with is CodegenFallback,
+    // so a raw tokens(text) argument re-tokenized every row per
+    // reference. The multi-referenced non-cheap alias blocks
+    // CollapseProject, pinning ONE tokenize per row; at n=1 the
+    // single-ref array_distinct collapses back — same plan as before.
     val cached = graft.ext.text.TextFunctions.spreadForExplode(docs)
       .select(col(idCol).as("doc"),
-        TextFunctions.shinglesFromTokens(
-          TextFunctions.tokens(col(textCol)), shingleSize).as("sh"))
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("doc"),
+        TextFunctions.shinglesFromTokens(col("__toks"), shingleSize).as("sh"))
       // cache: the shingle frame is consumed by several downstream
       // subplans (signatures + both verification joins); without a
       // materialization point Catalyst collapses the projection into

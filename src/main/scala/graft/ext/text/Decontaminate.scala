@@ -40,10 +40,17 @@ object Decontaminate {
     // CPU-heavy shingle+explode+join+partial-agg chain would fuse
     // into a one-task scan stage on a single-file corpus — measured
     // 6.5s → 1.4s at sf0.1; a wide scan passes through untouched)
+    // token array staged into its own projection (r15): the shingle
+    // tree references its token argument ~2n+3× and zip_with is
+    // CodegenFallback — a raw tokens(text) argument re-tokenized the
+    // row per reference; the multi-referenced non-cheap alias blocks
+    // CollapseProject, pinning one tokenize per row
     def grams(df: DataFrame) =
       graft.operators.Spread.wide(df, col(idCol))
         .select(col(idCol).as("doc"),
-          explode(TextFunctions.shingles(col(textCol), n)).as("g"))
+          TextFunctions.tokens(col(textCol)).as("__toks"))
+        .select(col("doc"),
+          explode(TextFunctions.shinglesFromTokens(col("__toks"), n)).as("g"))
     // the eval filter pushes to the scan, so the shingle expression
     // only ever evaluates over the (tiny) benchmark split here
     val evalGrams = grams(docs.filter(isEval)).select(col("g")).distinct()
@@ -98,10 +105,14 @@ object Decontaminate {
     // Width must scale with the EXPLODED aggregate state, and input
     // stats here are compressed-file estimates, so the target is the
     // lever.
+    // token array staged before the shingle tree — same r15 staging
+    // rule as [[overlaps]] (one tokenize per row, not ~2n+3)
     def gramHashes(df: DataFrame) =
       TextFunctions.spreadForExplode(df, targetBytesPerTask = 4L << 20)
         .select(col(idCol).as("doc"),
-          explode(TextFunctions.shingles(col(textCol), n)).as("g"))
+          TextFunctions.tokens(col(textCol)).as("__toks"))
+        .select(col("doc"),
+          explode(TextFunctions.shinglesFromTokens(col("__toks"), n)).as("g"))
         .select(col("doc"), xxhash64(col("g")).as("h"))
     val refH = gramHashes(reference).select(col("h")).distinct()
     gramHashes(train)

@@ -99,8 +99,13 @@ object Dsir {
     * must not repartition on a planning-time size estimate. */
   private[graft] def gramBucketsNoSpread(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    docs.select(col(idCol),
-        explode(unibigrams(TextFunctions.tokens(col(textCol)))).as("g"))
+    // token array staged into its own projection (r15): unibigrams
+    // references its argument ~7× and zip_with is CodegenFallback, so
+    // a raw tokens(text) argument re-tokenized per reference; the
+    // multi-referenced non-cheap alias blocks CollapseProject,
+    // pinning one tokenize per row
+    docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(unibigrams(col("__toks"))).as("g"))
       .select(col(idCol),
         (graft.functions.PolyHash.polyhash(col("g"), 31) % Buckets)
           .as("bucket"))
@@ -172,8 +177,9 @@ object Dsir {
     val flagged = TextFunctions.spreadForExplode(
       docs.select(col(idCol), col(textCol), isTarget.as("__t")))
     val counts = flagged
-      .select(col("__t"),
-        explode(unibigrams(TextFunctions.tokens(col(textCol)))).as("g"))
+      // staged token projection — the gramBucketsNoSpread r15 rule
+      .select(col("__t"), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("__t"), explode(unibigrams(col("__toks"))).as("g"))
       .select(col("__t"),
         (graft.functions.PolyHash.polyhash(col("g"), 31) % Buckets)
           .as("bucket"))

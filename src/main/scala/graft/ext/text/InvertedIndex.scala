@@ -103,9 +103,18 @@ object InvertedIndex {
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, maxDf: Long, nDocs: Long,
       hashTerms: Boolean): DataFrame = {
+    // token array staged into its own projection (r15): the shingle
+    // tree references its token argument ~2n+3× and zip_with is
+    // CodegenFallback — raw tokens(text) re-tokenized the row per
+    // reference; the multi-referenced non-cheap alias blocks
+    // CollapseProject, pinning one tokenize per row (n=1 collapses
+    // back to the single-ref plan)
     val strGrams = TextFunctions.spreadForExplode(docs)
       .select(col(idCol).as("doc"),
-        explode(TextFunctions.shingles(col(textCol), shingleN)).as("term"))
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("doc"),
+        explode(TextFunctions.shinglesFromTokens(col("__toks"), shingleN))
+          .as("term"))
     val grams =
       if (hashTerms) strGrams.select(col("doc"), xxhash64(col("term")).as("term"))
       else strGrams

@@ -71,9 +71,17 @@ object NgramLm {
     // sorts into the model join's shuffle from row-group-wide scan
     // tasks otherwise — the map-side share of docs_lm_score's 53 GB
     // sf100 memory spill (the spreadForExplode class)
+    //
+    // The token array is STAGED into its own projection (r15): the
+    // bigrams() tree references its argument 5× (zip_with base, the
+    // shifted slice + its size bound, the emptiness guard, the tail
+    // slice), and zip_with is CodegenFallback, so a raw tokens(text)
+    // argument re-tokenized every row 5× — no CSE saves it. A
+    // multi-referenced non-cheap alias blocks CollapseProject, so the
+    // stage pins ONE tokenize per row (the scoreMap staging rule).
     TextFunctions.spreadForExplode(docs)
-      .select(col(idCol), explode(bigrams(TextFunctions.tokens(col(textCol))))
-        .as("bg"))
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(bigrams(col("__toks"))).as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
 
   /** Train the model on a corpus: (w1, w2, score_scaled) where

@@ -139,14 +139,22 @@ object StreamingEtl {
       textCol: String,
       n: Int): DataFrame = {
     import graft.ext.text.TextFunctions
+    // token arrays staged into their own projection (r15): the
+    // shingle tree references its token argument ~2n+3× and zip_with
+    // is CodegenFallback, so raw tokens(text) re-tokenized per
+    // reference; the multi-referenced non-cheap alias blocks
+    // CollapseProject, pinning one tokenize per row
     val evalGrams = evalDocs
-      .select(explode(TextFunctions.shingles(col(textCol), n)).as("g"))
+      .select(TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(explode(TextFunctions.shinglesFromTokens(col("__toks"), n)).as("g"))
       .distinct()
     // plain count, not count_distinct (unsupported on streams): the
     // shingle arrays are already per-doc distinct and a document is
     // one stream row, so the exploded (doc, gram) pairs are unique
     docStream
-      .select(col(idCol), explode(TextFunctions.shingles(col(textCol), n)).as("g"))
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        explode(TextFunctions.shinglesFromTokens(col("__toks"), n)).as("g"))
       .join(broadcast(evalGrams), Seq("g"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_overlap"))
@@ -183,8 +191,10 @@ object StreamingEtl {
       n: Int = 3,
       minQuality: Double = 0.3): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.ext.text.TextFunctions
+    // staged token projection — the decontaminateStream r15 rule
     val evalGrams = evalDocs
-      .select(explode(TextFunctions.shingles(col(textCol), n)).as("g"))
+      .select(TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(explode(TextFunctions.shinglesFromTokens(col("__toks"), n)).as("g"))
       .distinct()
     docStream
       .withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
@@ -201,14 +211,21 @@ object StreamingEtl {
         // localCheckpoint materializes the batch ONCE and hands both
         // branches the stored blocks: single state commit, half the work.
         val b = batch.localCheckpoint()
-        val good = b.filter(TextFunctions.qualityScore(col(textCol)) >= minQuality)
+        // quality gate over a staged token column (r15): the score
+        // references the token array ~6× (size/stop-hits/length fold)
+        // and re-tokenized per reference over raw text
+        val good = b
+          .withColumn("__toks", TextFunctions.tokens(col(textCol)))
+          .filter(TextFunctions.qualityScoreFromTokens(
+            col(textCol), col("__toks")) >= minQuality)
         val contaminated = good
-          .select(col(idCol), explode(TextFunctions.shingles(col(textCol), n)).as("g"))
+          .select(col(idCol),
+            explode(TextFunctions.shinglesFromTokens(col("__toks"), n)).as("g"))
           .join(broadcast(evalGrams), Seq("g"))
           .select(col(idCol)).distinct()
         good.join(contaminated, Seq(idCol), "left_anti")
           .withColumn(textCol, TextFunctions.scrubPii(col(textCol)))
-          .drop("fingerprint")
+          .drop("fingerprint", "__toks")
           .withColumn("__batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
